@@ -1,0 +1,125 @@
+"""Unit tests for the device op layer (exact search, normalize, merge, kmeans)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from wdbx_tpu.ops import exact_search, kmeans, l2_normalize, topk_merge
+
+
+def _normed(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+class TestNormalize:
+    def test_unit_norm(self, rng):
+        x = rng.standard_normal((32, 384)).astype(np.float32) * 5
+        out = np.asarray(l2_normalize(jnp.asarray(x)))
+        np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, rtol=1e-5)
+
+    def test_zero_vector_safe(self):
+        out = np.asarray(l2_normalize(jnp.zeros((2, 8))))
+        assert np.all(np.isfinite(out))
+        np.testing.assert_array_equal(out, 0.0)
+
+
+class TestExactSearch:
+    def test_matches_numpy_oracle(self, rng):
+        db = _normed(rng, 1000, 64)
+        q = _normed(rng, 16, 64)
+        scores, idx = exact_search(jnp.asarray(db), jnp.asarray(q), k=10)
+        ref = q @ db.T
+        ref_idx = np.argsort(-ref, axis=-1)[:, :10]
+        ref_scores = np.take_along_axis(ref, ref_idx, axis=-1)
+        np.testing.assert_allclose(np.asarray(scores), ref_scores, rtol=1e-4, atol=1e-5)
+        # Indices may permute within score ties; compare via scores per rank.
+        got = np.take_along_axis(ref, np.asarray(idx), axis=-1)
+        np.testing.assert_allclose(got, ref_scores, rtol=1e-4, atol=1e-5)
+
+    def test_self_query_is_top1(self, rng):
+        db = _normed(rng, 500, 32)
+        scores, idx = exact_search(jnp.asarray(db), jnp.asarray(db[:8]), k=1)
+        np.testing.assert_array_equal(np.asarray(idx)[:, 0], np.arange(8))
+        np.testing.assert_allclose(np.asarray(scores)[:, 0], 1.0, rtol=1e-4)
+
+    def test_valid_mask_excludes(self, rng):
+        db = _normed(rng, 100, 16)
+        valid = np.ones(100, bool)
+        valid[:50] = False
+        _, idx = exact_search(
+            jnp.asarray(db), jnp.asarray(db[:4]), k=5, valid=jnp.asarray(valid)
+        )
+        assert np.all(np.asarray(idx) >= 50)
+
+    def test_k_exceeds_n_pads(self, rng):
+        db = _normed(rng, 3, 8)
+        scores, idx = exact_search(jnp.asarray(db), jnp.asarray(db[:2]), k=8)
+        assert scores.shape == (2, 8)
+        assert np.all(np.asarray(scores)[:, 3:] == -np.inf)
+        assert np.all(np.asarray(idx)[:, 3:] == -1)
+
+    def test_bf16_db_recall(self, rng):
+        db = _normed(rng, 2000, 128)
+        q = _normed(rng, 8, 128)
+        _, idx32 = exact_search(jnp.asarray(db), jnp.asarray(q), k=10)
+        _, idx16 = exact_search(
+            jnp.asarray(db, dtype=jnp.bfloat16), jnp.asarray(q), k=10
+        )
+        overlap = np.mean(
+            [
+                len(set(a.tolist()) & set(b.tolist())) / 10
+                for a, b in zip(np.asarray(idx32), np.asarray(idx16))
+            ]
+        )
+        assert overlap >= 0.9
+
+
+class TestTopkMerge:
+    def test_merge_two_shards(self):
+        s = jnp.asarray([[0.9, 0.5, 0.1, 0.95, 0.4, 0.2]])
+        i = jnp.asarray([[0, 1, 2, 100, 101, 102]])
+        scores, ids = topk_merge(s, i, k=3)
+        np.testing.assert_allclose(np.asarray(scores)[0], [0.95, 0.9, 0.5], rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(ids)[0], [100, 0, 1])
+
+    def test_neg_inf_padding_sinks(self):
+        s = jnp.asarray([[-np.inf, 0.3, -np.inf, 0.7]])
+        i = jnp.asarray([[-1, 5, -1, 9]])
+        scores, ids = topk_merge(s, i, k=2)
+        np.testing.assert_array_equal(np.asarray(ids)[0], [9, 5])
+
+    def test_k_exceeds_candidates(self):
+        s = jnp.asarray([[0.5, 0.1]])
+        i = jnp.asarray([[3, 4]])
+        scores, ids = topk_merge(s, i, k=4)
+        assert scores.shape == (1, 4)
+        assert np.asarray(scores)[0, 2] == -np.inf
+
+
+class TestKmeans:
+    def test_recovers_separated_clusters(self, rng):
+        # 4 well-separated direction clusters on the sphere.
+        centers = _normed(rng, 4, 32)
+        pts = np.concatenate(
+            [
+                c + 0.05 * rng.standard_normal((64, 32)).astype(np.float32)
+                for c in centers
+            ]
+        )
+        pts = pts / np.linalg.norm(pts, axis=-1, keepdims=True)
+        cents, assign = kmeans(jnp.asarray(pts), num_clusters=4, iters=20)
+        assign = np.asarray(assign)
+        # Every ground-truth cluster maps to one dominant learned cluster.
+        for g in range(4):
+            block = assign[g * 64 : (g + 1) * 64]
+            dominant = np.bincount(block, minlength=4).max()
+            assert dominant >= 60
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(cents), axis=-1), 1.0, rtol=1e-4
+        )
+
+    def test_assignment_is_nearest_centroid(self, rng):
+        pts = _normed(rng, 200, 16)
+        cents, assign = kmeans(jnp.asarray(pts), num_clusters=8, iters=10)
+        sims = pts @ np.asarray(cents).T
+        np.testing.assert_array_equal(np.asarray(assign), np.argmax(sims, axis=-1))

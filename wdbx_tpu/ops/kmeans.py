@@ -1,0 +1,91 @@
+"""Spherical k-means on device — trains IVF partitions.
+
+The reference delegates IVF training to FAISS C++ (``index.train``,
+reference wdbx/core/indexing.py:944-947, nlist=100 per
+wdbx/core/config.py:37). Here training is a jitted Lloyd iteration whose
+hot step is two MXU matmuls (assignment scoring and one-hot centroid
+accumulation), so a 1M x 384 train runs entirely on the chip.
+
+Vectors are assumed L2-normalized (cosine geometry); centroids are
+re-normalized every iteration, making this spherical k-means — the right
+objective when search similarity is inner product of unit vectors.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("num_clusters", "iters"))
+def kmeans(
+    data: jax.Array,
+    num_clusters: int,
+    iters: int = 15,
+    seed: int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """Cluster ``(N, d)`` unit vectors into ``num_clusters`` partitions.
+
+    Returns ``(centroids, assignments)``: ``(num_clusters, d)`` float32
+    unit centroids and ``(N,)`` int32 cluster ids.
+    """
+    data = data.astype(jnp.float32)
+    key = jax.random.PRNGKey(seed)
+    centroids = _kmeanspp_init(key, data, num_clusters)
+
+    def step(_, cents):
+        # Assignment: max inner product against current centroids.
+        sims = jax.lax.dot_general(
+            data, cents, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (N, C)
+        assign = jnp.argmax(sims, axis=-1)
+        # Accumulate: one-hot^T @ data rides the MXU; empty clusters keep
+        # their previous centroid instead of collapsing to zero.
+        onehot = jax.nn.one_hot(assign, num_clusters, dtype=jnp.float32)  # (N, C)
+        sums = jax.lax.dot_general(
+            onehot, data, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (C, d)
+        counts = jnp.sum(onehot, axis=0)[:, None]
+        new = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), cents)
+        return _renorm(new)
+
+    centroids = jax.lax.fori_loop(0, iters, step, centroids)
+    sims = jax.lax.dot_general(
+        data, centroids, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    assignments = jnp.argmax(sims, axis=-1).astype(jnp.int32)
+    return centroids, assignments
+
+
+def _kmeanspp_init(key: jax.Array, data: jax.Array, c: int) -> jax.Array:
+    """k-means++ seeding: sample each next centroid proportional to its
+    squared cosine distance from the closest already-chosen centroid.
+    Prevents the cluster-collapse that plain random init suffers; cost is
+    ~one extra assignment pass (c matvecs), negligible next to Lloyd."""
+    n, d = data.shape
+    key, sub = jax.random.split(key)
+    first = jax.random.randint(sub, (), 0, n)
+    cents = jnp.zeros((c, d), jnp.float32).at[0].set(data[first])
+    min_d2 = 2.0 - 2.0 * (data @ data[first])
+
+    def body(i, carry):
+        key, cents, min_d2 = carry
+        key, sub = jax.random.split(key)
+        idx = jax.random.categorical(sub, jnp.log(jnp.maximum(min_d2, 1e-12)))
+        chosen = data[idx]
+        cents = cents.at[i].set(chosen)
+        min_d2 = jnp.minimum(min_d2, 2.0 - 2.0 * (data @ chosen))
+        return key, cents, min_d2
+
+    _, cents, _ = jax.lax.fori_loop(1, c, body, (key, cents, min_d2))
+    return _renorm(cents)
+
+
+def _renorm(x: jax.Array) -> jax.Array:
+    sq = jnp.sum(x * x, axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
