@@ -1,0 +1,253 @@
+"""Index layer tests: flat slab CRUD, growth, tombstones, persistence,
+and IVF recall vs the exact oracle (the parity spec the reference lacks —
+SURVEY.md §4 'implication for our build')."""
+
+import numpy as np
+import pytest
+
+from wdbx_tpu.index import FlatIndex, IVFIndex, create_index
+
+
+def _normed(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+class TestFlatIndex:
+    def test_add_search_roundtrip(self, rng):
+        idx = FlatIndex(dim=32)
+        vecs = _normed(rng, 100, 32)
+        slots = idx.add_batch(vecs)
+        assert len(set(slots.tolist())) == 100
+        scores, got = idx.search(vecs[:5], k=1)
+        np.testing.assert_array_equal(got[:, 0], slots[:5])
+        np.testing.assert_allclose(scores[:, 0], 1.0, rtol=1e-4)
+
+    def test_dim_mismatch_raises(self):
+        idx = FlatIndex(dim=8)
+        with pytest.raises(ValueError, match="dimension"):
+            idx.add_batch(np.ones((1, 4), np.float32))
+
+    def test_growth_beyond_capacity(self, rng):
+        idx = FlatIndex(dim=16, capacity=32)
+        vecs = _normed(rng, 200, 16)
+        idx.add_batch(vecs)
+        assert idx.count() == 200
+        assert idx.capacity >= 200
+        _, got = idx.search(vecs[150:152], k=1)
+        assert got[0, 0] == 150 and got[1, 0] == 151
+
+    def test_remove_tombstones_and_reuse(self, rng):
+        idx = FlatIndex(dim=16)
+        vecs = _normed(rng, 10, 16)
+        slots = idx.add_batch(vecs)
+        idx.remove_slots(slots[:5])
+        assert idx.count() == 5
+        _, got = idx.search(vecs[0], k=3)
+        assert slots[0] not in got[0]
+        # freed slots get recycled
+        new_slots = idx.add_batch(_normed(rng, 5, 16))
+        assert set(new_slots.tolist()) == set(slots[:5].tolist())
+
+    def test_update_slots(self, rng):
+        idx = FlatIndex(dim=16)
+        vecs = _normed(rng, 4, 16)
+        slots = idx.add_batch(vecs)
+        new_vec = _normed(rng, 1, 16)
+        idx.update_slots(slots[:1], new_vec)
+        scores, got = idx.search(new_vec, k=1)
+        assert got[0, 0] == slots[0]
+        np.testing.assert_allclose(scores[0, 0], 1.0, rtol=1e-4)
+
+    def test_slot_mask_prefilter(self, rng):
+        idx = FlatIndex(dim=16)
+        vecs = _normed(rng, 20, 16)
+        slots = idx.add_batch(vecs)
+        mask = np.zeros(idx.capacity + 1, bool)
+        mask[slots[10:]] = True
+        _, got = idx.search(vecs[0], k=5, slot_mask=mask)
+        assert all(g in slots[10:] for g in got[0] if g >= 0)
+
+    def test_cosine_normalizes_unnormalized_input(self, rng):
+        idx = FlatIndex(dim=16)
+        raw = rng.standard_normal((10, 16)).astype(np.float32) * 7
+        slots = idx.add_batch(raw)
+        scores, got = idx.search(raw[3] * 2.5, k=1)
+        assert got[0, 0] == slots[3]
+        np.testing.assert_allclose(scores[0, 0], 1.0, rtol=1e-4)
+
+    def test_persistence_roundtrip(self, rng, temp_dir):
+        idx = FlatIndex(dim=16)
+        vecs = _normed(rng, 50, 16)
+        slots = idx.add_batch(vecs)
+        idx.remove_slots(slots[:3])
+        idx.save(f"{temp_dir}/flat")
+        idx2 = FlatIndex(dim=16)
+        assert idx2.load(f"{temp_dir}/flat")
+        assert idx2.count() == 47
+        _, got = idx2.search(vecs[10], k=1)
+        assert got[0, 0] == slots[10]
+        _, got = idx2.search(vecs[0], k=50)
+        assert slots[0] not in got[0]
+
+    def test_load_missing_returns_false(self, temp_dir):
+        assert not FlatIndex(dim=8).load(f"{temp_dir}/nope")
+
+    def test_bfloat16_slab(self, rng, temp_dir):
+        idx = FlatIndex(dim=32, dtype="bfloat16")
+        vecs = _normed(rng, 64, 32)
+        slots = idx.add_batch(vecs)
+        _, got = idx.search(vecs[:4], k=1)
+        np.testing.assert_array_equal(got[:, 0], slots[:4])
+        idx.save(f"{temp_dir}/bf16")
+        idx2 = FlatIndex(dim=32, dtype="bfloat16")
+        assert idx2.load(f"{temp_dir}/bf16")
+        _, got = idx2.search(vecs[:4], k=1)
+        np.testing.assert_array_equal(got[:, 0], slots[:4])
+
+    def test_clear(self, rng):
+        idx = FlatIndex(dim=8)
+        idx.add_batch(_normed(rng, 10, 8))
+        idx.clear()
+        assert idx.count() == 0
+        scores, got = idx.search(_normed(rng, 1, 8), k=3)
+        assert np.all(got == -1)
+
+    def test_stats(self, rng):
+        idx = FlatIndex(dim=8)
+        idx.add_batch(_normed(rng, 10, 8))
+        s = idx.get_stats()
+        assert s["size"] == 10 and s["type"] == "flat" and s["dim"] == 8
+
+
+class TestIVFIndex:
+    def test_recall_vs_exact(self, rng):
+        # Clustered data (what real embedding corpora look like); uniform
+        # random vectors are the known-adversarial case for any IVF.
+        n, d, k = 20_000, 64, 10
+        centers = _normed(rng, 128, d)
+        noise = 0.4 / np.sqrt(d)
+        db = centers[rng.integers(0, 128, n)] + noise * rng.standard_normal(
+            (n, d)
+        ).astype(np.float32)
+        db /= np.linalg.norm(db, axis=-1, keepdims=True)
+        queries = db[rng.integers(0, n, 32)] + noise * rng.standard_normal(
+            (32, d)
+        ).astype(np.float32)
+        queries /= np.linalg.norm(queries, axis=-1, keepdims=True)
+        ivf = IVFIndex(
+            dim=d, nlist=64, nprobe=8, train_threshold=1000, capacity=n
+        )
+        slots = ivf.add_batch(db)
+        ivf.build()
+        _, got = ivf.search(queries, k=k)
+        exact = np.argsort(-(queries @ db.T), axis=-1)[:, :k]
+        exact_slots = slots[exact]
+        recall = np.mean(
+            [
+                len(set(a.tolist()) & set(b.tolist())) / k
+                for a, b in zip(got, exact_slots)
+            ]
+        )
+        assert recall >= 0.9, f"recall {recall}"
+
+    def test_tune_hits_target_recall(self, rng):
+        n, d, k = 5000, 32, 10
+        db = _normed(rng, n, d)  # uniform random: worst case for IVF
+        queries = _normed(rng, 16, d)
+        ivf = IVFIndex(dim=d, nlist=32, nprobe=1, train_threshold=1000)
+        slots = ivf.add_batch(db)
+        ivf.build()
+        achieved = ivf.tune(queries, k=k, target_recall=0.95)
+        assert achieved >= 0.95
+        _, got = ivf.search(queries, k=k)
+        exact = np.argsort(-(queries @ db.T), axis=-1)[:, :k]
+        exact_slots = slots[exact]
+        recall = np.mean(
+            [
+                len(set(a.tolist()) & set(b.tolist())) / k
+                for a, b in zip(got, exact_slots)
+            ]
+        )
+        assert recall >= 0.9
+
+    def test_untrained_falls_back_to_flat(self, rng):
+        ivf = IVFIndex(dim=16, train_threshold=10_000)
+        vecs = _normed(rng, 100, 16)
+        slots = ivf.add_batch(vecs)
+        assert not ivf.is_trained
+        _, got = ivf.search(vecs[:3], k=1)
+        np.testing.assert_array_equal(got[:, 0], slots[:3])
+
+    def test_auto_train_on_search(self, rng):
+        ivf = IVFIndex(dim=16, nlist=8, train_threshold=256)
+        ivf.add_batch(_normed(rng, 300, 16))
+        ivf.search(_normed(rng, 1, 16), k=5)
+        assert ivf.is_trained
+
+    def test_fresh_buffer_adds_visible(self, rng):
+        ivf = IVFIndex(dim=16, nlist=8, train_threshold=64)
+        ivf.add_batch(_normed(rng, 100, 16))
+        ivf.build()
+        late = _normed(rng, 5, 16)
+        late_slots = ivf.add_batch(late)
+        scores, got = ivf.search(late, k=1)
+        np.testing.assert_array_equal(got[:, 0], late_slots)
+        np.testing.assert_allclose(scores[:, 0], 1.0, rtol=1e-4)
+
+    def test_delete_after_build_invisible(self, rng):
+        ivf = IVFIndex(dim=16, nlist=4, train_threshold=32)
+        vecs = _normed(rng, 64, 16)
+        slots = ivf.add_batch(vecs)
+        ivf.build()
+        ivf.remove_slots(slots[:1])
+        _, got = ivf.search(vecs[0], k=5)
+        assert slots[0] not in got[0]
+
+    def test_no_duplicate_results_after_reuse(self, rng):
+        ivf = IVFIndex(dim=16, nlist=4, train_threshold=32)
+        vecs = _normed(rng, 64, 16)
+        slots = ivf.add_batch(vecs)
+        ivf.build()
+        ivf.remove_slots(slots[:8])
+        ivf.add_batch(_normed(rng, 8, 16))
+        _, got = ivf.search(vecs[8:12], k=10)
+        for row in got:
+            live = [s for s in row if s >= 0]
+            assert len(live) == len(set(live))
+
+    def test_rebuild_absorbs_residual(self, rng):
+        ivf = IVFIndex(
+            dim=16, nlist=4, train_threshold=32, rebuild_fraction=0.1
+        )
+        ivf.add_batch(_normed(rng, 64, 16))
+        ivf.build()
+        ivf.add_batch(_normed(rng, 32, 16))  # > 10% of built size
+        ivf.search(_normed(rng, 1, 16), k=1)  # triggers rebuild
+        assert len(ivf._residual) == 0
+        assert ivf._built_size == 96
+
+    def test_persistence_roundtrip(self, rng, temp_dir):
+        ivf = IVFIndex(dim=16, nlist=4, train_threshold=32)
+        vecs = _normed(rng, 64, 16)
+        slots = ivf.add_batch(vecs)
+        ivf.build()
+        ivf.add_batch(_normed(rng, 3, 16))
+        ivf.save(f"{temp_dir}/ivf")
+        ivf2 = IVFIndex(dim=16)
+        assert ivf2.load(f"{temp_dir}/ivf")
+        assert ivf2.is_trained and ivf2.count() == 67
+        _, got = ivf2.search(vecs[:4], k=1)
+        np.testing.assert_array_equal(got[:, 0], slots[:4])
+
+
+class TestFactory:
+    def test_create_flat(self):
+        assert create_index("flat", 8).kind == "flat"
+
+    def test_create_ivf(self):
+        assert create_index("ivf", 8).kind == "ivf"
+
+    def test_unknown_raises(self):
+        with pytest.raises(ValueError):
+            create_index("hnsw-graph", 8)

@@ -1,0 +1,116 @@
+"""Index ABC — the contract the store layer programs against.
+
+The reference's ``VectorIndex`` ABC (reference wdbx/core/indexing.py:18)
+speaks string ids and per-vector calls because its backends are
+per-element C++ graph inserts. A TPU index is a fixed-shape device slab,
+so this contract is numeric and batched: vectors in, *slot* handles out,
+whole query batches scored at once. String-id bookkeeping lives one layer
+up in the store (wdbx_tpu/store/vector_store.py), keeping host dict work
+off the device path.
+"""
+
+from __future__ import annotations
+
+import abc
+from typing import Any
+
+import numpy as np
+
+
+class VectorIndex(abc.ABC):
+    """Batched, slot-addressed similarity index."""
+
+    #: subclass tag used by config / factory ("flat", "ivf")
+    kind: str = "base"
+
+    def __init__(self, dim: int, metric: str = "cosine"):
+        if metric not in ("cosine", "ip"):
+            raise ValueError(f"unsupported metric: {metric}")
+        self.dim = dim
+        self.metric = metric
+
+    # -- mutation ---------------------------------------------------------
+    @abc.abstractmethod
+    def add_batch(self, vectors: np.ndarray) -> np.ndarray:
+        """Insert ``(n, dim)`` vectors; returns ``(n,)`` int64 slot ids."""
+
+    @abc.abstractmethod
+    def update_slots(self, slots: np.ndarray, vectors: np.ndarray) -> None:
+        """Overwrite existing slots in place."""
+
+    @abc.abstractmethod
+    def remove_slots(self, slots: np.ndarray) -> None:
+        """Tombstone slots: they become invisible to search immediately
+        (unlike the reference's zero-vector HNSW tombstones that keep
+        surfacing in results, reference wdbx/core/indexing.py:525-560)."""
+
+    # -- query ------------------------------------------------------------
+    @abc.abstractmethod
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        slot_mask: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k over valid slots. Returns ``(scores, slots)`` each
+        ``(B, k)``; absent candidates have score ``-inf`` and slot ``-1``.
+        ``slot_mask`` (bool, per slot) pre-filters on device — the
+        high-selectivity alternative to the reference's host post-filter
+        (reference wdbx/core/vector_store.py:414-463)."""
+
+    @abc.abstractmethod
+    def get_vectors(self, slots: np.ndarray) -> np.ndarray:
+        """Read back vectors (as stored, post-normalization) by slot."""
+
+    # -- lifecycle --------------------------------------------------------
+    @abc.abstractmethod
+    def clear(self) -> None: ...
+
+    @abc.abstractmethod
+    def save(self, path: str) -> None: ...
+
+    @abc.abstractmethod
+    def load(self, path: str) -> bool:
+        """Load persisted state; returns False if nothing was found."""
+
+    @abc.abstractmethod
+    def count(self) -> int: ...
+
+    @property
+    @abc.abstractmethod
+    def capacity(self) -> int: ...
+
+    def optimize(self) -> None:
+        """Compaction / retraining hook; default no-op (parity with
+        reference wdbx/core/indexing.py:610-628)."""
+
+    def get_stats(self) -> dict[str, Any]:
+        return {
+            "type": self.kind,
+            "dim": self.dim,
+            "metric": self.metric,
+            "size": self.count(),
+            "capacity": self.capacity,
+        }
+
+
+def create_index(kind: str, dim: int, config: Any = None) -> "VectorIndex":
+    """Factory keyed by config, mirroring the reference's index-type
+    switch (reference wdbx/core/vector_store.py:111-134 choosing
+    HNSWIndex/FaissIndex from ``INDEX_TYPE``)."""
+    from wdbx_tpu.index.flat import FlatIndex
+    from wdbx_tpu.index.ivf import IVFIndex
+
+    kind = (kind or "flat").lower()
+    kwargs: dict[str, Any] = {}
+    if config is not None:
+        kwargs["metric"] = config.get("INDEX_METRIC", "cosine")
+        kwargs["dtype"] = config.get("INDEX_DTYPE", "float32")
+    if kind == "flat":
+        return FlatIndex(dim, **kwargs)
+    if kind == "ivf":
+        if config is not None:
+            kwargs["nlist"] = int(config.get("IVF_NLIST", 100))
+            kwargs["nprobe"] = int(config.get("IVF_NPROBE", 8))
+        return IVFIndex(dim, **kwargs)
+    raise ValueError(f"unknown index type: {kind}")

@@ -1,0 +1,257 @@
+"""Flat (exact) device index: one HBM slab, one matmul, recall 1.0.
+
+This is the TPU answer to both the reference's numpy brute-force path and
+``IndexFlatIP`` (reference wdbx/core/indexing.py:715-725): the whole
+database lives in device HBM as a fixed-capacity slab, queries are scored
+in a single MXU matmul with fused top-k, and mutation is a batched
+scatter instead of per-vector C++ inserts (the hot loop at reference
+wdbx/core/indexing.py:378).
+
+Mutability vs XLA static shapes:
+  * capacity slabs — the slab is a power-of-two capacity plus one trash
+    row; adds scatter into free slots, growth doubles capacity (a new
+    compile per doubling, amortized O(log N) compiles over a DB's life);
+  * tombstone mask — deletes flip a validity bit; dead slots score -inf
+    and are recycled by later adds;
+  * bucketed batching — add/query batches pad to the next power of two so
+    the number of traced shapes stays logarithmic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wdbx_tpu.index.base import VectorIndex
+from wdbx_tpu.ops.exact_search import exact_search
+from wdbx_tpu.ops.normalize import l2_normalize
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _write(slab, valid, vecs, slots, flags):
+    slab = slab.at[slots].set(vecs.astype(slab.dtype))
+    valid = valid.at[slots].set(flags)
+    return slab, valid
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _tombstone(valid, slots):
+    return valid.at[slots].set(False)
+
+
+class FlatIndex(VectorIndex):
+    kind = "flat"
+
+    def __init__(
+        self,
+        dim: int,
+        metric: str = "cosine",
+        dtype: str = "float32",
+        capacity: int = 1024,
+    ):
+        super().__init__(dim, metric)
+        if dtype not in _DTYPES:
+            raise ValueError(f"unsupported slab dtype: {dtype}")
+        self.dtype_name = dtype
+        self._dtype = _DTYPES[dtype]
+        self._precision = "highest" if dtype == "float32" else "default"
+        self._cap = _next_pow2(capacity)
+        self._alloc(self._cap)
+        self._size = 0
+        self._free: list[int] = []
+        self._next_slot = 0
+
+    # -- storage ----------------------------------------------------------
+    def _alloc(self, cap: int) -> None:
+        # +1 trash row: padded scatter lanes write there harmlessly.
+        self._slab = jnp.zeros((cap + 1, self.dim), self._dtype)
+        self._valid = jnp.zeros((cap + 1,), jnp.bool_)
+
+    def _grow(self, need: int) -> None:
+        new_cap = self._cap
+        while new_cap < need:
+            new_cap *= 2
+        slab = jnp.zeros((new_cap + 1, self.dim), self._dtype)
+        self._slab = slab.at[: self._cap].set(self._slab[: self._cap])
+        valid = jnp.zeros((new_cap + 1,), jnp.bool_)
+        self._valid = valid.at[: self._cap].set(self._valid[: self._cap])
+        self._cap = new_cap
+
+    def _take_slots(self, n: int) -> np.ndarray:
+        slots = []
+        while self._free and len(slots) < n:
+            slots.append(self._free.pop())
+        fresh = n - len(slots)
+        if fresh:
+            if self._next_slot + fresh > self._cap:
+                self._grow(self._next_slot + fresh)
+            slots.extend(range(self._next_slot, self._next_slot + fresh))
+            self._next_slot += fresh
+        return np.asarray(slots, np.int64)
+
+    def _prep(self, vectors: np.ndarray) -> np.ndarray:
+        vectors = np.asarray(vectors, np.float32)
+        if vectors.ndim == 1:
+            vectors = vectors[None, :]
+        if vectors.shape[-1] != self.dim:
+            raise ValueError(
+                f"vector dimension {vectors.shape[-1]} != index dimension {self.dim}"
+            )
+        return vectors
+
+    def _scatter(self, slots: np.ndarray, vectors: np.ndarray, flag: bool) -> None:
+        n = len(slots)
+        pad_n = _next_pow2(max(n, 1))
+        vecs = jnp.asarray(
+            np.pad(vectors, ((0, pad_n - n), (0, 0))), self._dtype
+        )
+        if self.metric == "cosine":
+            vecs = l2_normalize(vecs).astype(self._dtype)
+        pslots = jnp.asarray(
+            np.pad(slots, (0, pad_n - n), constant_values=self._cap)
+        )
+        flags = jnp.asarray(
+            np.pad(np.full(n, flag), (0, pad_n - n), constant_values=False)
+        )
+        self._slab, self._valid = _write(self._slab, self._valid, vecs, pslots, flags)
+
+    # -- VectorIndex ------------------------------------------------------
+    def add_batch(self, vectors: np.ndarray) -> np.ndarray:
+        vectors = self._prep(vectors)
+        slots = self._take_slots(len(vectors))
+        self._scatter(slots, vectors, True)
+        self._size += len(vectors)
+        return slots
+
+    def update_slots(self, slots: np.ndarray, vectors: np.ndarray) -> None:
+        vectors = self._prep(vectors)
+        self._scatter(np.asarray(slots, np.int64), vectors, True)
+
+    def remove_slots(self, slots: np.ndarray) -> None:
+        slots = np.asarray(slots, np.int64)
+        if len(slots) == 0:
+            return
+        pad_n = _next_pow2(len(slots))
+        pslots = jnp.asarray(
+            np.pad(slots, (0, pad_n - len(slots)), constant_values=self._cap)
+        )
+        self._valid = _tombstone(self._valid, pslots)
+        self._size -= len(slots)
+        self._free.extend(int(s) for s in slots)
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        slot_mask: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        queries = self._prep(queries)
+        b = len(queries)
+        pad_b = _next_pow2(max(b, 1))
+        q = jnp.asarray(np.pad(queries, ((0, pad_b - b), (0, 0))))
+        if self.metric == "cosine":
+            q = l2_normalize(q)
+        valid = self._valid
+        if slot_mask is not None:
+            mask = np.zeros(self._cap + 1, bool)
+            mask[: len(slot_mask)] = slot_mask[: self._cap + 1]
+            valid = jnp.logical_and(valid, jnp.asarray(mask))
+        scores, idx = exact_search(
+            self._slab, q, k=k, valid=valid, precision=self._precision
+        )
+        scores = np.asarray(scores[:b])
+        slots = np.asarray(idx[:b], np.int64)
+        slots[scores == -np.inf] = -1
+        return scores, slots
+
+    def get_vectors(self, slots: np.ndarray) -> np.ndarray:
+        host = np.asarray(self._slab[np.asarray(slots, np.int64)], np.float32)
+        return host
+
+    def clear(self) -> None:
+        self._alloc(self._cap)
+        self._size = 0
+        self._free = []
+        self._next_slot = 0
+
+    def count(self) -> int:
+        return self._size
+
+    @property
+    def capacity(self) -> int:
+        return self._cap
+
+    # -- persistence ------------------------------------------------------
+    # Layout: <path>.npz holds the slab (bf16 saved as raw uint16 bits) +
+    # validity; <path>.meta.json holds scalars. Mirrors the reference's
+    # <path>.bin + <path>.mapping scheme (reference
+    # wdbx/core/indexing.py:317-344) without pickle.
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        hwm = self._next_slot
+        slab = np.asarray(self._slab[:hwm])
+        if slab.dtype != np.float32:
+            slab = slab.view(np.uint16)
+        np.savez(
+            path + ".npz",
+            slab=slab,
+            valid=np.asarray(self._valid[:hwm]),
+        )
+        meta = {
+            "dim": self.dim,
+            "metric": self.metric,
+            "dtype": self.dtype_name,
+            "size": self._size,
+            "next_slot": self._next_slot,
+            "free": self._free,
+            "kind": self.kind,
+        }
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
+
+    def load(self, path: str) -> bool:
+        if not (os.path.exists(path + ".npz") and os.path.exists(path + ".meta.json")):
+            return False
+        with open(path + ".meta.json") as f:
+            meta = json.load(f)
+        if meta["dim"] != self.dim:
+            raise ValueError(
+                f"persisted index dim {meta['dim']} != configured {self.dim}"
+            )
+        data = np.load(path + ".npz")
+        slab, valid = data["slab"], data["valid"]
+        self.dtype_name = meta["dtype"]
+        self._dtype = _DTYPES[self.dtype_name]
+        self._precision = "highest" if self.dtype_name == "float32" else "default"
+        if slab.dtype == np.uint16:
+            slab = slab.view(jnp.bfloat16)
+        hwm = int(meta["next_slot"])
+        self._cap = _next_pow2(max(hwm, 1024))
+        self._alloc(self._cap)
+        if hwm:
+            self._slab = self._slab.at[:hwm].set(jnp.asarray(slab))
+            self._valid = self._valid.at[:hwm].set(jnp.asarray(valid))
+        self._size = int(meta["size"])
+        self._next_slot = hwm
+        self._free = [int(s) for s in meta["free"]]
+        return True
+
+    def get_stats(self) -> dict:
+        stats = super().get_stats()
+        stats.update(
+            dtype=self.dtype_name,
+            tombstones=len(self._free),
+            hbm_bytes=int(self._slab.size) * self._slab.dtype.itemsize,
+        )
+        return stats

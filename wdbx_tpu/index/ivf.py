@@ -1,0 +1,366 @@
+"""IVF (partitioned) index: ScaNN/IVF-style clustered scan, TPU-shaped.
+
+Replaces both the reference's HNSW graph walk (hostile to TPUs:
+data-dependent gathers, reference wdbx/core/indexing.py:470-505) and its
+FAISS IVF wrapper (reference wdbx/core/indexing.py:709-758). Design:
+
+  * vectors always live in the base FlatIndex slab (source of truth for
+    mutation, persistence and re-ranking);
+  * the IVF overlay is *indices only*: spherical-k-means centroids plus a
+    dense ``(nlist, bucket_cap)`` table of slot ids — no duplicated
+    embeddings, deletes stay one tombstone bit;
+  * a query scores centroids (one small matmul), picks ``nprobe``
+    buckets, gathers exactly those rows from HBM and scores them on the
+    MXU — HBM traffic drops to ~nprobe/nlist of a full scan, which is the
+    win for small-batch / latency-bound serving (at large batch, distinct
+    queries probe distinct buckets and the flat scan is already optimal);
+  * adds after a build land in a "fresh buffer" of residual slots that is
+    brute-force scanned and merged, classic IVF freshness design; the
+    overlay rebuilds when the residual outgrows ``rebuild_fraction``.
+
+Auto-training parity: the reference trains IVF once enough vectors are
+buffered (reference wdbx/core/indexing.py:944-947); here the first search
+past ``train_threshold`` triggers a build, and ``optimize()`` forces a
+retrain like the reference's (reference wdbx/core/indexing.py:1124-1149).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wdbx_tpu.index.flat import FlatIndex, _next_pow2
+from wdbx_tpu.ops.kmeans import kmeans
+from wdbx_tpu.ops.normalize import l2_normalize
+
+
+@partial(jax.jit, static_argnames=("k", "nprobe", "precision"))
+def _ivf_search(
+    slab,
+    valid,
+    centroids,
+    bucket_slot,
+    bucket_valid,
+    residual_slots,
+    residual_count,
+    q,
+    k,
+    nprobe,
+    precision,
+):
+    b = q.shape[0]
+    # 1. Probe selection: one small MXU matmul over the centroid table.
+    cs = jax.lax.dot_general(
+        q, centroids, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    _, probe = jax.lax.top_k(cs, min(nprobe, centroids.shape[0]))  # (B, P)
+
+    # 2. Gather probed buckets' slots and rows; score on the MXU.
+    cslots = bucket_slot[probe]  # (B, P, C)
+    cvalid = jnp.logical_and(bucket_valid[probe], valid[cslots])
+    cand = slab[cslots]  # (B, P, C, d) — the only large HBM read
+    scores = jnp.einsum(
+        "bpcd,bd->bpc", cand.astype(jnp.float32), q,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    scores = jnp.where(cvalid, scores, -jnp.inf).reshape(b, -1)
+    flat_slots = cslots.reshape(b, -1)
+
+    # 3. Fresh buffer: brute-scan residual (recently added) slots.
+    r_cap = residual_slots.shape[0]
+    if r_cap:
+        rows = slab[residual_slots].astype(jnp.float32)  # (R, d)
+        r_scores = jax.lax.dot_general(
+            q, rows, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        live = jnp.arange(r_cap) < residual_count
+        r_valid = jnp.logical_and(valid[residual_slots], live)
+        r_scores = jnp.where(r_valid[None, :], r_scores, -jnp.inf)
+        scores = jnp.concatenate([scores, r_scores], axis=-1)
+        flat_slots = jnp.concatenate(
+            [flat_slots, jnp.broadcast_to(residual_slots, (b, r_cap))], axis=-1
+        )
+
+    k_eff = min(k, scores.shape[-1])
+    top, pos = jax.lax.top_k(scores, k_eff)
+    top_slots = jnp.take_along_axis(flat_slots, pos, axis=-1)
+    if k_eff < k:
+        top = jnp.pad(top, ((0, 0), (0, k - k_eff)), constant_values=-jnp.inf)
+        top_slots = jnp.pad(top_slots, ((0, 0), (0, k - k_eff)), constant_values=0)
+    return top, top_slots
+
+
+class IVFIndex(FlatIndex):
+    kind = "ivf"
+
+    def __init__(
+        self,
+        dim: int,
+        metric: str = "cosine",
+        dtype: str = "float32",
+        capacity: int = 1024,
+        nlist: int = 100,
+        nprobe: int = 8,
+        train_threshold: int = 4096,
+        rebuild_fraction: float = 0.2,
+        kmeans_iters: int = 15,
+        train_sample: int = 262_144,
+    ):
+        super().__init__(dim, metric=metric, dtype=dtype, capacity=capacity)
+        self.nlist = nlist
+        self.nprobe = nprobe
+        self.train_threshold = train_threshold
+        self.rebuild_fraction = rebuild_fraction
+        self.kmeans_iters = kmeans_iters
+        self.train_sample = train_sample
+        self._reset_overlay()
+
+    def _reset_overlay(self) -> None:
+        self._centroids = None  # (nlist, d) f32
+        self._bucket_slot = None  # (nlist, cap_b) int32 → slab rows
+        self._bucket_valid = None  # (nlist, cap_b) bool
+        self._residual: list[int] = []  # slots added since last build
+        self._quarantine: list[int] = []  # freed slots held until rebuild
+        self._built_size = 0
+
+    @property
+    def is_trained(self) -> bool:
+        return self._centroids is not None
+
+    # -- mutation: fresh buffer bookkeeping ---------------------------------
+    def add_batch(self, vectors: np.ndarray) -> np.ndarray:
+        slots = super().add_batch(vectors)
+        if self.is_trained:
+            self._residual.extend(int(s) for s in slots)
+        return slots
+
+    def remove_slots(self, slots: np.ndarray) -> None:
+        """Tombstone, but quarantine the slots instead of recycling them:
+        a reused slot would be referenced by both its old bucket entry and
+        the fresh buffer, surfacing duplicate candidates. Quarantined
+        slots return to the free list at the next build()."""
+        super().remove_slots(slots)
+        if self.is_trained:
+            freed = set(int(s) for s in np.asarray(slots, np.int64))
+            self._free = [s for s in self._free if s not in freed]
+            self._quarantine.extend(freed)
+
+    def clear(self) -> None:
+        super().clear()
+        self._reset_overlay()
+
+    def optimize(self) -> None:
+        if self._size > 0:
+            self.build()
+
+    # -- build ---------------------------------------------------------------
+    def build(self) -> None:
+        """(Re)train centroids and lay out buckets from the live slab."""
+        hwm = self._next_slot
+        if self._size == 0 or hwm == 0:
+            self._reset_overlay()
+            return
+        valid = np.asarray(self._valid[:hwm])
+        live_slots = np.nonzero(valid)[0].astype(np.int32)
+        rows = np.asarray(self._slab[live_slots], np.float32)
+        if self.metric == "cosine":
+            norms = np.linalg.norm(rows, axis=-1, keepdims=True)
+            rows = rows / np.maximum(norms, 1e-12)
+
+        nlist = min(self.nlist, len(rows))
+        train = rows
+        if len(rows) > self.train_sample:
+            sel = np.random.default_rng(0).choice(
+                len(rows), self.train_sample, replace=False
+            )
+            train = rows[sel]
+        centroids, _ = kmeans(
+            jnp.asarray(train), num_clusters=nlist, iters=self.kmeans_iters
+        )
+        centroids = np.asarray(centroids)
+        # Assign *all* live rows to their nearest centroid (chunked matmul).
+        assign = np.empty(len(rows), np.int32)
+        chunk = 131_072
+        for i in range(0, len(rows), chunk):
+            sims = rows[i : i + chunk] @ centroids.T
+            assign[i : i + chunk] = np.argmax(sims, axis=-1)
+
+        counts = np.bincount(assign, minlength=nlist)
+        cap_b = max(8, int(math.ceil(counts.max() / 8.0)) * 8)
+        bucket_slot = np.full((nlist, cap_b), self._cap, np.int32)  # trash row
+        bucket_valid = np.zeros((nlist, cap_b), bool)
+        fill = np.zeros(nlist, np.int64)
+        order = np.argsort(assign, kind="stable")
+        for pos in order:
+            c = assign[pos]
+            bucket_slot[c, fill[c]] = live_slots[pos]
+            bucket_valid[c, fill[c]] = True
+            fill[c] += 1
+
+        self._centroids = jnp.asarray(centroids)
+        self._bucket_slot = jnp.asarray(bucket_slot)
+        self._bucket_valid = jnp.asarray(bucket_valid)
+        self._residual = []
+        self._free.extend(self._quarantine)  # safe to recycle post-rebuild
+        self._quarantine = []
+        self._built_size = self._size
+
+    def _maybe_build(self) -> None:
+        if not self.is_trained:
+            if self._size >= self.train_threshold:
+                self.build()
+            return
+        if self._built_size and (
+            len(self._residual) > self.rebuild_fraction * self._built_size
+        ):
+            self.build()
+
+    # -- query -----------------------------------------------------------------
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        slot_mask: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        self._maybe_build()
+        if not self.is_trained:
+            # Below the training threshold a flat scan is both exact and
+            # cheap — same spirit as FAISS buffering pre-train adds
+            # (reference wdbx/core/indexing.py:874-882).
+            return super().search(queries, k, slot_mask)
+
+        queries = self._prep(queries)
+        b = len(queries)
+        pad_b = _next_pow2(max(b, 1))
+        q = jnp.asarray(np.pad(queries, ((0, pad_b - b), (0, 0))))
+        if self.metric == "cosine":
+            q = l2_normalize(q)
+
+        valid = self._valid
+        if slot_mask is not None:
+            mask = np.zeros(self._cap + 1, bool)
+            mask[: len(slot_mask)] = slot_mask[: self._cap + 1]
+            valid = jnp.logical_and(valid, jnp.asarray(mask))
+
+        r_n = len(self._residual)
+        r_cap = _next_pow2(max(r_n, 1)) if r_n else 0
+        residual_slots = jnp.asarray(
+            np.pad(
+                np.asarray(self._residual, np.int32),
+                (0, r_cap - r_n),
+                constant_values=self._cap,
+            )
+        )
+        scores, slots = _ivf_search(
+            self._slab,
+            valid,
+            self._centroids,
+            self._bucket_slot,
+            self._bucket_valid,
+            residual_slots,
+            jnp.int32(r_n),
+            q,
+            k=k,
+            nprobe=self.nprobe,
+            precision=self._precision,
+        )
+        scores = np.asarray(scores[:b])
+        out_slots = np.asarray(slots[:b], np.int64)
+        out_slots[scores == -np.inf] = -1
+        return scores, out_slots
+
+    def tune(
+        self,
+        queries: np.ndarray,
+        k: int = 10,
+        target_recall: float = 0.95,
+        max_scan_fraction: float = 1.0,
+    ) -> float:
+        """Pick the smallest ``nprobe`` hitting ``target_recall`` on a
+        sample query set, measured against this index's own exact scan
+        (the oracle the reference never had; SURVEY.md §7 'hard parts'
+        calls for exactly this loop). Returns the achieved recall.
+        """
+        self._maybe_build()
+        if not self.is_trained:
+            return 1.0
+        queries = self._prep(queries)
+        _, exact = FlatIndex.search(self, queries, k)
+        exact_sets = [set(int(s) for s in row if s >= 0) or {-1} for row in exact]
+        nlist = int(self._centroids.shape[0])
+        max_probe = max(1, int(nlist * max_scan_fraction))
+        nprobe, recall = 1, 0.0
+        while True:
+            self.nprobe = nprobe
+            _, got = self.search(queries, k)
+            recall = float(
+                np.mean(
+                    [
+                        len(e & set(int(s) for s in g)) / len(e)
+                        for e, g in zip(exact_sets, got)
+                    ]
+                )
+            )
+            if recall >= target_recall or nprobe >= max_probe:
+                return recall
+            nprobe = min(max_probe, max(nprobe + 1, int(nprobe * 1.5)))
+
+    # -- persistence -------------------------------------------------------
+    def save(self, path: str) -> None:
+        super().save(path)
+        if self.is_trained:
+            np.savez(
+                path + ".ivf.npz",
+                centroids=np.asarray(self._centroids),
+                bucket_slot=np.asarray(self._bucket_slot),
+                bucket_valid=np.asarray(self._bucket_valid),
+                residual=np.asarray(self._residual, np.int32),
+            )
+        with open(path + ".ivf.json", "w") as f:
+            json.dump(
+                {
+                    "nlist": self.nlist,
+                    "nprobe": self.nprobe,
+                    "trained": self.is_trained,
+                    "built_size": self._built_size,
+                    "quarantine": self._quarantine,
+                },
+                f,
+            )
+
+    def load(self, path: str) -> bool:
+        if not super().load(path):
+            return False
+        self._reset_overlay()
+        if os.path.exists(path + ".ivf.json"):
+            with open(path + ".ivf.json") as f:
+                meta = json.load(f)
+            self.nlist = meta["nlist"]
+            self.nprobe = meta["nprobe"]
+            self._built_size = meta.get("built_size", 0)
+            self._quarantine = [int(s) for s in meta.get("quarantine", [])]
+            if meta.get("trained") and os.path.exists(path + ".ivf.npz"):
+                data = np.load(path + ".ivf.npz")
+                self._centroids = jnp.asarray(data["centroids"])
+                self._bucket_slot = jnp.asarray(data["bucket_slot"])
+                self._bucket_valid = jnp.asarray(data["bucket_valid"])
+                self._residual = [int(s) for s in data["residual"]]
+        return True
+
+    def get_stats(self) -> dict:
+        stats = super().get_stats()
+        stats.update(
+            nlist=self.nlist,
+            nprobe=self.nprobe,
+            trained=self.is_trained,
+            residual=len(self._residual),
+        )
+        return stats
