@@ -1,0 +1,118 @@
+"""Multi-device tests on the faked 8-device CPU mesh: sharded search
+parity with single-device flat, growth, persistence, and the control
+plane. These are the multi-device tests the reference entirely lacks
+(SURVEY.md §4)."""
+
+import asyncio
+
+import jax
+import numpy as np
+
+from wdbx_tpu.core.config import WDBXConfig
+from wdbx_tpu.parallel import ShardedFlatIndex, ShardEngine, make_mesh
+
+
+def _normed(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+class TestMesh:
+    def test_eight_devices(self):
+        mesh = make_mesh()
+        assert mesh.devices.size == 8
+        assert mesh.axis_names == ("shard",)
+
+    def test_subset(self):
+        assert make_mesh(4).devices.size == 4
+
+
+class TestShardedFlatIndex:
+    def test_matches_exact_oracle(self, rng):
+        idx = ShardedFlatIndex(dim=32, capacity=2048)
+        db = _normed(rng, 1500, 32)
+        slots = idx.add_batch(db)
+        q = _normed(rng, 8, 32)
+        scores, got = idx.search(q, k=10)
+        ref = np.argsort(-(q @ db.T), axis=-1)[:, :10]
+        ref_slots = slots[ref]
+        # identical top-k sets (scores may tie-permute)
+        for a, b in zip(got, ref_slots):
+            assert set(a.tolist()) == set(b.tolist())
+
+    def test_capacity_is_device_aligned(self):
+        idx = ShardedFlatIndex(dim=8, capacity=100)
+        assert idx.capacity % 8 == 0
+
+    def test_growth(self, rng):
+        idx = ShardedFlatIndex(dim=8, capacity=8)
+        vecs = _normed(rng, 5000, 8)
+        idx.add_batch(vecs)
+        assert idx.count() == 5000
+        _, got = idx.search(vecs[4321], k=1)
+        assert got[0, 0] == 4321
+
+    def test_remove_and_mask(self, rng):
+        idx = ShardedFlatIndex(dim=8)
+        vecs = _normed(rng, 40, 8)
+        slots = idx.add_batch(vecs)
+        idx.remove_slots(slots[:10])
+        _, got = idx.search(vecs[0], k=5)
+        assert slots[0] not in got[0]
+        mask = np.zeros(idx.capacity, bool)
+        mask[slots[20:]] = True
+        _, got = idx.search(vecs[25], k=3, slot_mask=mask)
+        assert got[0, 0] == slots[25]
+
+    def test_persistence(self, rng, temp_dir):
+        idx = ShardedFlatIndex(dim=8)
+        vecs = _normed(rng, 30, 8)
+        slots = idx.add_batch(vecs)
+        idx.save(f"{temp_dir}/sharded")
+        idx2 = ShardedFlatIndex(dim=8)
+        assert idx2.load(f"{temp_dir}/sharded")
+        _, got = idx2.search(vecs[:3], k=1)
+        np.testing.assert_array_equal(got[:, 0], slots[:3])
+
+    def test_stats(self):
+        idx = ShardedFlatIndex(dim=8)
+        s = idx.get_stats()
+        assert s["devices"] == 8
+        assert s["type"] == "sharded_flat"
+
+    def test_store_integration(self, rng, temp_dir):
+        from wdbx_tpu.store.vector_store import VectorStore
+
+        cfg = WDBXConfig(
+            {
+                "VECTOR_DIMENSION": 8,
+                "NUM_SHARDS": 1,
+                "DATA_DIR": temp_dir,
+                "INDEX_TYPE": "sharded_flat",
+            }
+        )
+        store = VectorStore(cfg)
+        vecs = {f"v{i}": rng.standard_normal(8).astype(np.float32) for i in range(64)}
+        store.batch_store(vecs)
+        hits = store.search(vecs["v33"], limit=1)
+        assert hits[0][0] == "v33"
+
+
+class TestShardEngine:
+    def test_initialize_and_allocation(self, temp_dir):
+        cfg = WDBXConfig(
+            {"DATA_DIR": temp_dir, "DISTRIBUTED_REPLICATION_FACTOR": 2}
+        )
+        engine = ShardEngine(cfg)
+        asyncio.run(engine.initialize())
+        alloc = engine.allocation()
+        assert len(alloc["shards"]) == 8
+        shard0 = alloc["shards"]["0"]
+        assert len(shard0["replicas"]) == 1
+        assert shard0["replicas"][0] != shard0["primary"]
+        import os
+
+        assert os.path.exists(f"{temp_dir}/shard_allocation.json")
+        stats = engine.get_stats()
+        assert stats["initialized"] and len(stats["devices"]) == 8
+        assert engine.is_local_shard(0)

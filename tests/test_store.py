@@ -1,0 +1,212 @@
+"""VectorStore tests — the compatibility spec from the reference suite
+(reference tests/test_core.py: round-trip, CRUD, batch + filter,
+error handling, persistence-across-restart, stats shapes)."""
+
+import numpy as np
+import pytest
+
+from wdbx_tpu.core.config import WDBXConfig
+from wdbx_tpu.store.filters import matches_filter
+from wdbx_tpu.store.vector_store import VectorStore, stable_shard
+
+
+def make_store(temp_dir, dim=4, shards=2, **extra):
+    cfg = WDBXConfig(
+        {"VECTOR_DIMENSION": dim, "NUM_SHARDS": shards, "DATA_DIR": temp_dir, **extra}
+    )
+    return VectorStore(cfg)
+
+
+class TestFilters:
+    def test_equality(self):
+        assert matches_filter({"a": 1}, {"a": 1})
+        assert not matches_filter({"a": 2}, {"a": 1})
+        assert not matches_filter({}, {"a": 1})
+
+    def test_operators(self):
+        meta = {"n": 5, "tag": "x"}
+        assert matches_filter(meta, {"n": {"$gt": 4}})
+        assert matches_filter(meta, {"n": {"$gte": 5}})
+        assert matches_filter(meta, {"n": {"$lt": 6}})
+        assert matches_filter(meta, {"n": {"$lte": 5}})
+        assert matches_filter(meta, {"tag": {"$in": ["x", "y"]}})
+        assert matches_filter(meta, {"tag": {"$nin": ["z"]}})
+        assert matches_filter(meta, {"n": {"$exists": True}})
+        assert matches_filter(meta, {"zzz": {"$exists": False}})
+        assert not matches_filter(meta, {"n": {"$gt": 5}})
+        assert not matches_filter(meta, {"zzz": {"$exists": True}})
+        assert not matches_filter(meta, {"missing": {"$gt": 1}})
+
+    def test_combined_clauses(self):
+        meta = {"n": 5, "tag": "x"}
+        assert matches_filter(meta, {"n": {"$gt": 1, "$lt": 10}, "tag": "x"})
+        assert not matches_filter(meta, {"n": {"$gt": 1}, "tag": "y"})
+
+    def test_unknown_operator_raises(self):
+        with pytest.raises(ValueError):
+            matches_filter({"a": 1}, {"a": {"$regex": "x"}})
+
+
+class TestStableShard:
+    def test_deterministic(self):
+        assert stable_shard("vec-1", 4) == stable_shard("vec-1", 4)
+
+    def test_spreads(self):
+        shards = {stable_shard(f"id-{i}", 4) for i in range(100)}
+        assert shards == {0, 1, 2, 3}
+
+
+class TestVectorStore:
+    def test_store_search_roundtrip(self, temp_dir):
+        store = make_store(temp_dir)
+        vec = [0.1, 0.2, 0.3, 0.4]
+        assert store.store("v1", vec, {"tag": "a"})
+        hits = store.search(vec, limit=5)
+        assert hits[0][0] == "v1"
+        assert hits[0][1] > 0.99
+        assert hits[0][2] == {"tag": "a"}
+
+    def test_full_crud_cycle(self, temp_dir):
+        store = make_store(temp_dir)
+        store.store("v1", [1, 0, 0, 0], {"k": 1})
+        got = store.get("v1")
+        assert got is not None
+        vec, meta = got
+        np.testing.assert_allclose(vec, [1, 0, 0, 0])
+        assert meta == {"k": 1}
+        assert store.update_metadata("v1", {"k": 2})
+        assert store.get("v1")[1] == {"k": 2}
+        assert store.delete("v1")
+        assert store.get("v1") is None
+        assert not store.delete("v1")
+        assert store.count() == 0
+
+    def test_missing_id_semantics(self, temp_dir):
+        store = make_store(temp_dir)
+        assert store.get("nope") is None
+        assert not store.delete("nope")
+        assert not store.update_metadata("nope", {})
+
+    def test_dim_mismatch_raises(self, temp_dir):
+        store = make_store(temp_dir)
+        with pytest.raises(ValueError):
+            store.store("v1", [1.0, 2.0])
+        with pytest.raises(ValueError):
+            store.search([1.0, 2.0])
+
+    def test_batch_store_and_nn_identity(self, temp_dir, rng):
+        store = make_store(temp_dir, dim=8)
+        vecs = {
+            f"v{i}": rng.standard_normal(8).astype(np.float32) for i in range(10)
+        }
+        metas = {f"v{i}": {"value": i} for i in range(10)}
+        assert store.batch_store(vecs, metas) == 10
+        assert store.count() == 10
+        for vid, vec in list(vecs.items())[:3]:
+            hits = store.search(vec, limit=1)
+            assert hits[0][0] == vid
+
+    def test_metadata_filter_lt(self, temp_dir, rng):
+        store = make_store(temp_dir, dim=8)
+        vecs = {
+            f"v{i}": rng.standard_normal(8).astype(np.float32) for i in range(10)
+        }
+        metas = {f"v{i}": {"value": i} for i in range(10)}
+        store.batch_store(vecs, metas)
+        hits = store.search(vecs["v0"], limit=10, filter_metadata={"value": {"$lt": 5}})
+        assert 0 < len(hits) <= 5
+        assert all(h[2]["value"] < 5 for h in hits)
+
+    def test_prefilter_returns_full_limit(self, temp_dir, rng):
+        store = make_store(temp_dir, dim=8, FILTER_MODE="pre")
+        vecs = {
+            f"v{i}": rng.standard_normal(8).astype(np.float32) for i in range(50)
+        }
+        metas = {f"v{i}": {"value": i} for i in range(50)}
+        store.batch_store(vecs, metas)
+        hits = store.search(
+            vecs["v49"], limit=5, threshold=-1e9,
+            filter_metadata={"value": {"$lt": 10}},
+        )
+        assert len(hits) == 5
+        assert all(h[2]["value"] < 10 for h in hits)
+
+    def test_threshold(self, temp_dir):
+        store = make_store(temp_dir)
+        store.store("a", [1, 0, 0, 0])
+        store.store("b", [0, 1, 0, 0])  # orthogonal → score ~0
+        hits = store.search([1, 0, 0, 0], limit=10, threshold=0.5)
+        assert [h[0] for h in hits] == ["a"]
+
+    def test_update_existing_vector(self, temp_dir):
+        store = make_store(temp_dir)
+        store.store("v", [1, 0, 0, 0])
+        store.store("v", [0, 1, 0, 0])  # overwrite
+        assert store.count() == 1
+        hits = store.search([0, 1, 0, 0], limit=1)
+        assert hits[0][0] == "v" and hits[0][1] > 0.99
+
+    def test_persistence_restart(self, temp_dir, rng):
+        store = make_store(temp_dir, dim=8)
+        vecs = {
+            f"v{i}": rng.standard_normal(8).astype(np.float32) for i in range(20)
+        }
+        store.batch_store(vecs, {f"v{i}": {"i": i} for i in range(20)})
+        store.save()
+        store2 = make_store(temp_dir, dim=8)
+        assert store2.count() == 20
+        hits = store2.search(vecs["v7"], limit=1)
+        assert hits[0][0] == "v7"
+        assert store2.get("v7")[1] == {"i": 7}
+
+    def test_clear(self, temp_dir):
+        store = make_store(temp_dir)
+        store.store("a", [1, 0, 0, 0])
+        store.store("b", [0, 1, 0, 0])
+        assert store.clear() == 2
+        assert store.count() == 0
+        store2 = make_store(temp_dir)  # clear persisted
+        assert store2.count() == 0
+
+    def test_stats_shape(self, temp_dir):
+        store = make_store(temp_dir, shards=2)
+        store.store("a", [1, 0, 0, 0])
+        stats = store.get_stats()
+        assert stats["vector_count"] == 1
+        assert stats["num_shards"] == 2
+        assert len(stats["indices"]) == 2
+        assert stats["vector_dimension"] == 4
+
+    def test_search_batch(self, temp_dir, rng):
+        store = make_store(temp_dir, dim=8)
+        vecs = {
+            f"v{i}": rng.standard_normal(8).astype(np.float32) for i in range(30)
+        }
+        store.batch_store(vecs)
+        queries = np.stack([vecs["v3"], vecs["v17"], vecs["v29"]])
+        results = store.search_batch(queries, limit=1)
+        assert [r[0][0] for r in results] == ["v3", "v17", "v29"]
+
+    async def test_async_twins(self, temp_dir):
+        store = make_store(temp_dir)
+        assert await store.store_async("v1", [1, 0, 0, 0], {"a": 1})
+        hits = await store.search_async([1, 0, 0, 0], limit=1)
+        assert hits[0][0] == "v1"
+        got = await store.get_async("v1")
+        assert got[1] == {"a": 1}
+        assert await store.update_metadata_async("v1", {"a": 2})
+        assert await store.delete_async("v1")
+        assert (await store.clear_async()) == 0
+
+    def test_ivf_store(self, temp_dir, rng):
+        store = make_store(
+            temp_dir, dim=8, shards=1, INDEX_TYPE="ivf", IVF_TRAIN_THRESHOLD=64,
+            IVF_NLIST=4,
+        )
+        vecs = {
+            f"v{i}": rng.standard_normal(8).astype(np.float32) for i in range(100)
+        }
+        store.batch_store(vecs)
+        store.optimize()
+        hits = store.search(vecs["v42"], limit=1)
+        assert hits[0][0] == "v42"

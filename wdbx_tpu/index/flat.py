@@ -66,26 +66,28 @@ class FlatIndex(VectorIndex):
         self.dtype_name = dtype
         self._dtype = _DTYPES[dtype]
         self._precision = "highest" if dtype == "float32" else "default"
-        self._cap = _next_pow2(capacity)
+        self._cap = self._round_cap(capacity)
         self._alloc(self._cap)
         self._size = 0
         self._free: list[int] = []
         self._next_slot = 0
 
     # -- storage ----------------------------------------------------------
+    # Padded scatter lanes target slot == capacity, which is out of
+    # bounds: JAX scatters DROP out-of-bounds updates, so padding is free.
+    def _round_cap(self, need: int) -> int:
+        return _next_pow2(need)
+
     def _alloc(self, cap: int) -> None:
-        # +1 trash row: padded scatter lanes write there harmlessly.
-        self._slab = jnp.zeros((cap + 1, self.dim), self._dtype)
-        self._valid = jnp.zeros((cap + 1,), jnp.bool_)
+        self._slab = jnp.zeros((cap, self.dim), self._dtype)
+        self._valid = jnp.zeros((cap,), jnp.bool_)
 
     def _grow(self, need: int) -> None:
-        new_cap = self._cap
-        while new_cap < need:
-            new_cap *= 2
-        slab = jnp.zeros((new_cap + 1, self.dim), self._dtype)
-        self._slab = slab.at[: self._cap].set(self._slab[: self._cap])
-        valid = jnp.zeros((new_cap + 1,), jnp.bool_)
-        self._valid = valid.at[: self._cap].set(self._valid[: self._cap])
+        new_cap = self._round_cap(need)
+        slab = jnp.zeros((new_cap, self.dim), self._dtype)
+        self._slab = slab.at[: self._cap].set(self._slab)
+        valid = jnp.zeros((new_cap,), jnp.bool_)
+        self._valid = valid.at[: self._cap].set(self._valid)
         self._cap = new_cap
 
     def _take_slots(self, n: int) -> np.ndarray:
@@ -124,7 +126,17 @@ class FlatIndex(VectorIndex):
         flags = jnp.asarray(
             np.pad(np.full(n, flag), (0, pad_n - n), constant_values=False)
         )
-        self._slab, self._valid = _write(self._slab, self._valid, vecs, pslots, flags)
+        self._slab, self._valid = self._write_arrays(vecs, pslots, flags)
+
+    def _write_arrays(self, vecs, pslots, flags):
+        return _write(self._slab, self._valid, vecs, pslots, flags)
+
+    def _tombstone_arrays(self, pslots):
+        return _tombstone(self._valid, pslots)
+
+    def _place(self, slab_np: np.ndarray, valid_np: np.ndarray) -> None:
+        self._slab = jnp.asarray(slab_np, self._dtype)
+        self._valid = jnp.asarray(valid_np)
 
     # -- VectorIndex ------------------------------------------------------
     def add_batch(self, vectors: np.ndarray) -> np.ndarray:
@@ -146,7 +158,7 @@ class FlatIndex(VectorIndex):
         pslots = jnp.asarray(
             np.pad(slots, (0, pad_n - len(slots)), constant_values=self._cap)
         )
-        self._valid = _tombstone(self._valid, pslots)
+        self._valid = self._tombstone_arrays(pslots)
         self._size -= len(slots)
         self._free.extend(int(s) for s in slots)
 
@@ -164,8 +176,8 @@ class FlatIndex(VectorIndex):
             q = l2_normalize(q)
         valid = self._valid
         if slot_mask is not None:
-            mask = np.zeros(self._cap + 1, bool)
-            mask[: len(slot_mask)] = slot_mask[: self._cap + 1]
+            mask = np.zeros(self._cap, bool)
+            mask[: len(slot_mask)] = slot_mask[: self._cap]
             valid = jnp.logical_and(valid, jnp.asarray(mask))
         scores, idx = exact_search(
             self._slab, q, k=k, valid=valid, precision=self._precision
@@ -200,13 +212,15 @@ class FlatIndex(VectorIndex):
     def save(self, path: str) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         hwm = self._next_slot
-        slab = np.asarray(self._slab[:hwm])
+        # Host-side slicing: partial slices of sharded slabs are ambiguous
+        # for the partitioner, a full host gather is not.
+        slab = np.asarray(self._slab)[:hwm]
         if slab.dtype != np.float32:
             slab = slab.view(np.uint16)
         np.savez(
             path + ".npz",
             slab=slab,
-            valid=np.asarray(self._valid[:hwm]),
+            valid=np.asarray(self._valid)[:hwm],
         )
         meta = {
             "dim": self.dim,
@@ -237,11 +251,15 @@ class FlatIndex(VectorIndex):
         if slab.dtype == np.uint16:
             slab = slab.view(jnp.bfloat16)
         hwm = int(meta["next_slot"])
-        self._cap = _next_pow2(max(hwm, 1024))
-        self._alloc(self._cap)
+        self._cap = self._round_cap(max(hwm, 1024))
+        # Assemble on host, then place once (device_put handles sharded
+        # placement in the subclass).
+        slab_np = np.zeros((self._cap, self.dim), np.asarray(slab).dtype)
+        valid_np = np.zeros((self._cap,), bool)
         if hwm:
-            self._slab = self._slab.at[:hwm].set(jnp.asarray(slab))
-            self._valid = self._valid.at[:hwm].set(jnp.asarray(valid))
+            slab_np[:hwm] = slab
+            valid_np[:hwm] = valid
+        self._place(slab_np, valid_np)
         self._size = int(meta["size"])
         self._next_slot = hwm
         self._free = [int(s) for s in meta["free"]]

@@ -246,8 +246,8 @@ class IVFIndex(FlatIndex):
 
         valid = self._valid
         if slot_mask is not None:
-            mask = np.zeros(self._cap + 1, bool)
-            mask[: len(slot_mask)] = slot_mask[: self._cap + 1]
+            mask = np.zeros(self._cap, bool)
+            mask[: len(slot_mask)] = slot_mask[: self._cap]
             valid = jnp.logical_and(valid, jnp.asarray(mask))
 
         r_n = len(self._residual)

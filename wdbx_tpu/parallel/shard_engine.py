@@ -1,0 +1,122 @@
+"""Shard control plane.
+
+What survives from the reference's ShardManager (reference
+wdbx/core/distributed.py:21): the *control* responsibilities — knowing
+the topology, shard→device placement, replication factor, liveness — as
+small host-side JSON state. What does NOT survive: the data plane.
+Cross-shard queries are XLA collectives inside compiled programs
+(wdbx_tpu/parallel/sharded_flat.py), not pickle-over-TCP RPC (the
+reference's framed-socket scheme at wdbx/core/distributed.py:265-273 is
+both dead code — its client paths NameError on ``struct`` — and unsafe).
+
+Multi-host scaling hooks into JAX's multi-controller runtime
+(``jax.distributed.initialize`` over DCN) rather than a bespoke
+coordinator process.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import socket
+import time
+from typing import Any
+
+import jax
+
+from wdbx_tpu.parallel.mesh import make_mesh
+
+logger = logging.getLogger("wdbx_tpu.parallel")
+
+
+class ShardEngine:
+    """Owns the device mesh and shard placement metadata."""
+
+    def __init__(self, config: Any, mesh=None):
+        self.config = config
+        self.axis = str(config.get("MESH_AXIS", "shard"))
+        self.replication_factor = int(
+            config.get("DISTRIBUTED_REPLICATION_FACTOR", 1)
+        )
+        self.node_id = f"{socket.gethostname()}_{int(time.time())}"
+        self.mesh = mesh
+        self._initialized = False
+
+    async def initialize(self) -> None:
+        if self._initialized:
+            return
+        # Multi-host: if a coordinator is configured in the environment,
+        # join the JAX multi-controller runtime (DCN control plane).
+        coord = os.environ.get("WDBX_COORDINATOR_ADDRESS")
+        if coord and jax.process_count() == 1:
+            try:
+                jax.distributed.initialize(
+                    coordinator_address=coord,
+                    num_processes=int(os.environ.get("WDBX_NUM_PROCESSES", "1")),
+                    process_id=int(os.environ.get("WDBX_PROCESS_ID", "0")),
+                )
+            except Exception as e:
+                logger.warning("jax.distributed.initialize failed: %s", e)
+        if self.mesh is None:
+            self.mesh = make_mesh(axis=self.axis)
+        self._persist_allocation()
+        self._initialized = True
+
+    async def shutdown(self) -> None:
+        self._initialized = False
+
+    # -- placement metadata ------------------------------------------------
+    def allocation(self) -> dict[str, Any]:
+        """Shard→device map. Devices replace the reference's 'nodes';
+        replication means the same logical shard present on r devices
+        (recomputed from checkpoint on failure, not socket failover)."""
+        mesh = self.mesh or make_mesh(axis=self.axis)
+        devices = list(mesh.devices.flat)
+        alloc = {
+            "axis": self.axis,
+            "node_id": self.node_id,
+            "process_index": jax.process_index(),
+            "process_count": jax.process_count(),
+            "replication_factor": self.replication_factor,
+            "shards": {
+                str(i): {
+                    "primary": str(d),
+                    "replicas": [
+                        str(devices[(i + r) % len(devices)])
+                        for r in range(1, self.replication_factor)
+                    ],
+                }
+                for i, d in enumerate(devices)
+            },
+        }
+        return alloc
+
+    def _persist_allocation(self) -> None:
+        data_dir = self.config.get("DATA_DIR", "./wdbx_data")
+        try:
+            os.makedirs(data_dir, exist_ok=True)
+            with open(os.path.join(data_dir, "shard_allocation.json"), "w") as f:
+                json.dump(self.allocation(), f, indent=2)
+        except OSError as e:
+            logger.warning("failed to persist shard allocation: %s", e)
+
+    def is_local_shard(self, shard: int) -> bool:
+        """All mesh shards are addressable from this controller; with
+        multi-host meshes a shard is 'local' if its device belongs to
+        this process."""
+        mesh = self.mesh or make_mesh(axis=self.axis)
+        devices = list(mesh.devices.flat)
+        device = devices[shard % len(devices)]
+        return device.process_index == jax.process_index()
+
+    def get_stats(self) -> dict[str, Any]:
+        mesh = self.mesh
+        return {
+            "node_id": self.node_id,
+            "axis": self.axis,
+            "devices": [str(d) for d in (mesh.devices.flat if mesh else [])],
+            "replication_factor": self.replication_factor,
+            "process_count": jax.process_count(),
+            "initialized": self._initialized,
+        }

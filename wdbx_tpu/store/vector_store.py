@@ -1,0 +1,435 @@
+"""Sharded vector store: host bookkeeping over device-resident shard slabs.
+
+Parity target is the reference ``VectorStore`` (reference
+wdbx/core/vector_store.py:22): store/search/get/delete/update_metadata/
+batch_store/clear/count/optimize/get_stats with ``_async`` twins, shard
+fan-out search with top-k merge, Mongo-style metadata filters, threshold,
+and disk persistence with restart-resume.
+
+TPU-first differences:
+  * shard placement uses a *stable* blake2 hash (the reference's
+    ``abs(hash(id)) % n`` is salt-randomized per process, reference
+    wdbx/core/vector_store.py:178-190);
+  * vectors live in device HBM slabs (one index per shard); inserts are
+    batched scatters, not per-vector C++ calls (reference hot loop at
+    wdbx/core/indexing.py:378);
+  * search accepts query *batches* and merges shard results with a device
+    top-k instead of a host sort (reference wdbx/core/vector_store.py:384);
+  * ``_async`` methods wrap the sync path in ``asyncio.to_thread`` — JAX
+    dispatch is already asynchronous, so no thread-pool-per-index
+    machinery (reference wdbx/core/vector_store.py:71-73) is needed;
+  * persistence is npz/JSON, never pickle.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import hashlib
+import json
+import logging
+import os
+import threading
+from typing import Any
+
+import numpy as np
+
+from wdbx_tpu.index.base import VectorIndex, create_index
+from wdbx_tpu.store.filters import build_slot_mask, compile_filter
+
+logger = logging.getLogger("wdbx_tpu.store")
+
+SearchHit = tuple[str, float, dict[str, Any]]
+
+
+def stable_shard(vector_id: str, num_shards: int) -> int:
+    """Deterministic id → shard placement, stable across processes."""
+    digest = hashlib.blake2b(vector_id.encode("utf-8"), digest_size=8).digest()
+    return int.from_bytes(digest, "big") % num_shards
+
+
+class VectorStore:
+    """Dimension-checked, sharded, persistent vector store."""
+
+    def __init__(self, config: Any, data_dir: str | None = None):
+        self.config = config
+        self.dim = int(config.get("VECTOR_DIMENSION", 384))
+        self.num_shards = int(config.get("NUM_SHARDS", 1))
+        self.data_dir = data_dir or config.get("DATA_DIR", "./wdbx_data")
+        self.keep_raw = bool(config.get("VECTOR_STORE_KEEP_RAW", True))
+        self.autosave_interval = int(
+            config.get("VECTOR_STORE_AUTOSAVE_INTERVAL", 1000)
+        )
+        self.save_immediately = bool(
+            config.get("VECTOR_STORE_SAVE_IMMEDIATELY", False)
+        )
+        self.filter_mode = str(config.get("FILTER_MODE", "auto"))
+
+        self.metadata: dict[str, dict[str, Any]] = {}
+        self.raw_vectors: dict[str, np.ndarray] = {}
+        self.indices: list[VectorIndex] = []
+        self.id_to_slot: list[dict[str, int]] = []
+        self.slot_to_id: list[dict[int, str]] = []
+        self._mutations_since_save = 0
+        self._lock = threading.RLock()
+
+        index_type = config.get("INDEX_TYPE", "flat")
+        for _ in range(self.num_shards):
+            self.indices.append(create_index(index_type, self.dim, config))
+            self.id_to_slot.append({})
+            self.slot_to_id.append({})
+
+        self._create_dirs()
+        self._load()
+
+    # -- lifecycle --------------------------------------------------------
+    def _create_dirs(self) -> None:
+        for sub in ("metadata", "vectors", "indices"):
+            os.makedirs(os.path.join(self.data_dir, sub), exist_ok=True)
+
+    async def initialize(self) -> None:
+        """Async init hook (device warm-up happens lazily)."""
+
+    async def shutdown(self) -> None:
+        await asyncio.to_thread(self.save)
+
+    # -- helpers ----------------------------------------------------------
+    def _check_vector(self, vector: Any) -> np.ndarray:
+        arr = np.asarray(vector, dtype=np.float32)
+        if arr.ndim != 1 or arr.shape[0] != self.dim:
+            raise ValueError(
+                f"vector dimension {arr.shape} does not match store dimension "
+                f"{self.dim}"
+            )
+        return arr
+
+    def _shard_for(self, vector_id: str) -> int:
+        return stable_shard(vector_id, self.num_shards)
+
+    def _after_mutation(self, count: int = 1) -> None:
+        self._mutations_since_save += count
+        if self.save_immediately:
+            self.save()
+        elif (
+            self.autosave_interval
+            and self._mutations_since_save >= self.autosave_interval
+        ):
+            self.save()
+
+    # -- mutation ---------------------------------------------------------
+    def store(
+        self,
+        vector_id: str,
+        vector: Any,
+        metadata: dict[str, Any] | None = None,
+    ) -> bool:
+        arr = self._check_vector(vector)
+        with self._lock:
+            shard = self._shard_for(vector_id)
+            existing = self.id_to_slot[shard].get(vector_id)
+            if existing is not None:
+                self.indices[shard].update_slots(
+                    np.asarray([existing]), arr[None, :]
+                )
+            else:
+                slot = int(self.indices[shard].add_batch(arr[None, :])[0])
+                self.id_to_slot[shard][vector_id] = slot
+                self.slot_to_id[shard][slot] = vector_id
+            self.metadata[vector_id] = dict(metadata or {})
+            if self.keep_raw:
+                self.raw_vectors[vector_id] = arr
+            self._after_mutation()
+        return True
+
+    def batch_store(
+        self,
+        vectors: dict[str, Any],
+        metadata: dict[str, dict[str, Any]] | None = None,
+    ) -> int:
+        """Group by shard, one scatter per shard — the compiled-batch
+        replacement for the reference's per-vector insert loop
+        (reference wdbx/core/vector_store.py:720-763)."""
+        metadata = metadata or {}
+        by_shard: dict[int, tuple[list[str], list[np.ndarray]]] = {}
+        updates: list[tuple[str, np.ndarray]] = []
+        with self._lock:
+            for vid, vec in vectors.items():
+                arr = self._check_vector(vec)
+                shard = self._shard_for(vid)
+                if vid in self.id_to_slot[shard]:
+                    updates.append((vid, arr))
+                else:
+                    ids, arrs = by_shard.setdefault(shard, ([], []))
+                    ids.append(vid)
+                    arrs.append(arr)
+            for shard, (ids, arrs) in by_shard.items():
+                slots = self.indices[shard].add_batch(np.stack(arrs))
+                for vid, slot in zip(ids, slots):
+                    self.id_to_slot[shard][vid] = int(slot)
+                    self.slot_to_id[shard][int(slot)] = vid
+            for vid, arr in updates:
+                shard = self._shard_for(vid)
+                slot = self.id_to_slot[shard][vid]
+                self.indices[shard].update_slots(np.asarray([slot]), arr[None, :])
+            for vid in vectors:
+                self.metadata[vid] = dict(metadata.get(vid, {}))
+                if self.keep_raw:
+                    self.raw_vectors[vid] = self._check_vector(vectors[vid])
+            self._after_mutation(len(vectors))
+        return len(vectors)
+
+    def delete(self, vector_id: str) -> bool:
+        with self._lock:
+            shard = self._shard_for(vector_id)
+            slot = self.id_to_slot[shard].pop(vector_id, None)
+            if slot is None:
+                return False
+            self.slot_to_id[shard].pop(slot, None)
+            self.indices[shard].remove_slots(np.asarray([slot]))
+            self.metadata.pop(vector_id, None)
+            self.raw_vectors.pop(vector_id, None)
+            self._after_mutation()
+        return True
+
+    def update_metadata(self, vector_id: str, metadata: dict[str, Any]) -> bool:
+        with self._lock:
+            shard = self._shard_for(vector_id)
+            if vector_id not in self.id_to_slot[shard]:
+                return False
+            self.metadata[vector_id] = dict(metadata)
+            self._after_mutation()
+        return True
+
+    # -- read -------------------------------------------------------------
+    def get(self, vector_id: str) -> tuple[list[float], dict[str, Any]] | None:
+        shard = self._shard_for(vector_id)
+        slot = self.id_to_slot[shard].get(vector_id)
+        if slot is None:
+            return None
+        if vector_id in self.raw_vectors:
+            vec = self.raw_vectors[vector_id]
+        else:
+            vec = self.indices[shard].get_vectors(np.asarray([slot]))[0]
+        return vec.tolist(), self.metadata.get(vector_id, {})
+
+    def count(self) -> int:
+        return sum(len(m) for m in self.id_to_slot)
+
+    # -- search -----------------------------------------------------------
+    def search(
+        self,
+        query_vector: Any,
+        limit: int = 10,
+        threshold: float = 0.0,
+        filter_metadata: dict[str, Any] | None = None,
+    ) -> list[SearchHit]:
+        return self.search_batch(
+            np.asarray(query_vector, np.float32)[None, :],
+            limit=limit,
+            threshold=threshold,
+            filter_metadata=filter_metadata,
+        )[0]
+
+    def search_batch(
+        self,
+        query_vectors: Any,
+        limit: int = 10,
+        threshold: float = 0.0,
+        filter_metadata: dict[str, Any] | None = None,
+    ) -> list[list[SearchHit]]:
+        """Batched shard fan-out + merge. All shards are scored with
+        asynchronously dispatched device programs; merging happens on tiny
+        (B, shards*k) candidate sets."""
+        queries = np.asarray(query_vectors, np.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        if queries.shape[-1] != self.dim:
+            raise ValueError(
+                f"query dimension {queries.shape[-1]} does not match store "
+                f"dimension {self.dim}"
+            )
+        b = len(queries)
+        use_pre = self._use_prefilter(filter_metadata)
+        fetch_k = limit if (use_pre or not filter_metadata) else max(limit * 4, 50)
+
+        per_shard: list[tuple[np.ndarray, np.ndarray, int]] = []
+        with self._lock:
+            for shard, index in enumerate(self.indices):
+                mask = None
+                if use_pre:
+                    mask = build_slot_mask(
+                        index.capacity,
+                        (
+                            (slot, vid)
+                            for vid, slot in self.id_to_slot[shard].items()
+                        ),
+                        self.metadata,
+                        filter_metadata,
+                    )
+                scores, slots = index.search(queries, fetch_k, slot_mask=mask)
+                per_shard.append((scores, slots, shard))
+
+            results: list[list[SearchHit]] = []
+            post = (
+                compile_filter(filter_metadata)
+                if (filter_metadata and not use_pre)
+                else None
+            )
+            for qi in range(b):
+                cands: list[tuple[str, float]] = []
+                for scores, slots, shard in per_shard:
+                    lookup = self.slot_to_id[shard]
+                    for score, slot in zip(scores[qi], slots[qi]):
+                        if slot < 0 or score == -np.inf:
+                            continue
+                        vid = lookup.get(int(slot))
+                        if vid is None:
+                            continue
+                        cands.append((vid, float(score)))
+                cands.sort(key=lambda t: -t[1])
+                hits: list[SearchHit] = []
+                for vid, score in cands:
+                    if threshold is not None and score < threshold:
+                        continue
+                    meta = self.metadata.get(vid, {})
+                    if post is not None and not post(meta):
+                        continue
+                    hits.append((vid, score, meta))
+                    if len(hits) >= limit:
+                        break
+                results.append(hits)
+        return results
+
+    def _use_prefilter(self, flt: dict[str, Any] | None) -> bool:
+        if not flt:
+            return False
+        if self.filter_mode == "pre":
+            return True
+        if self.filter_mode == "post":
+            return False
+        # auto: predicate evaluation is host-side Python, so cap the work.
+        return self.count() <= 100_000
+
+    # -- maintenance ------------------------------------------------------
+    def clear(self) -> int:
+        with self._lock:
+            n = self.count()
+            for index in self.indices:
+                index.clear()
+            for maps in (self.id_to_slot, self.slot_to_id):
+                for m in maps:
+                    m.clear()
+            self.metadata.clear()
+            self.raw_vectors.clear()
+            self.save()
+        return n
+
+    def optimize(self) -> bool:
+        with self._lock:
+            for index in self.indices:
+                index.optimize()
+        return True
+
+    def get_stats(self) -> dict[str, Any]:
+        return {
+            "vector_count": self.count(),
+            "vector_dimension": self.dim,
+            "num_shards": self.num_shards,
+            "metadata_count": len(self.metadata),
+            "data_dir": self.data_dir,
+            "indices": [index.get_stats() for index in self.indices],
+        }
+
+    # -- persistence ------------------------------------------------------
+    def _index_path(self, shard: int) -> str:
+        return os.path.join(self.data_dir, "indices", f"shard_{shard}")
+
+    def save(self) -> None:
+        with self._lock:
+            with open(
+                os.path.join(self.data_dir, "metadata", "metadata.json"), "w"
+            ) as f:
+                json.dump(self.metadata, f)
+            for shard, index in enumerate(self.indices):
+                index.save(self._index_path(shard))
+                maps = {vid: slot for vid, slot in self.id_to_slot[shard].items()}
+                with open(self._index_path(shard) + ".ids.json", "w") as f:
+                    json.dump(maps, f)
+            if self.keep_raw and self.raw_vectors:
+                ids = list(self.raw_vectors)
+                np.savez(
+                    os.path.join(self.data_dir, "vectors", "raw.npz"),
+                    ids=np.asarray(ids, dtype=object),
+                    vectors=np.stack([self.raw_vectors[i] for i in ids]),
+                )
+            self._mutations_since_save = 0
+
+    def _load(self) -> None:
+        meta_path = os.path.join(self.data_dir, "metadata", "metadata.json")
+        if os.path.exists(meta_path):
+            try:
+                with open(meta_path) as f:
+                    self.metadata = json.load(f)
+            except (ValueError, OSError) as e:
+                logger.warning("failed to load metadata: %s", e)
+        for shard, index in enumerate(self.indices):
+            try:
+                if index.load(self._index_path(shard)):
+                    with open(self._index_path(shard) + ".ids.json") as f:
+                        id_map = json.load(f)
+                    self.id_to_slot[shard] = {
+                        vid: int(slot) for vid, slot in id_map.items()
+                    }
+                    self.slot_to_id[shard] = {
+                        int(slot): vid for vid, slot in id_map.items()
+                    }
+            except (ValueError, OSError, KeyError) as e:
+                # Corrupt index state → fresh index, matching the
+                # reference's fallback (reference wdbx/core/indexing.py:309-315).
+                logger.warning("failed to load shard %d: %s", shard, e)
+                index.clear()
+                self.id_to_slot[shard] = {}
+                self.slot_to_id[shard] = {}
+        raw_path = os.path.join(self.data_dir, "vectors", "raw.npz")
+        if self.keep_raw and os.path.exists(raw_path):
+            try:
+                data = np.load(raw_path, allow_pickle=True)
+                for vid, vec in zip(data["ids"], data["vectors"]):
+                    self.raw_vectors[str(vid)] = np.asarray(vec, np.float32)
+            except (ValueError, OSError) as e:
+                logger.warning("failed to load raw vectors: %s", e)
+
+    # -- async twins ------------------------------------------------------
+    async def store_async(self, vector_id, vector, metadata=None) -> bool:
+        return await asyncio.to_thread(self.store, vector_id, vector, metadata)
+
+    async def batch_store_async(self, vectors, metadata=None) -> int:
+        return await asyncio.to_thread(self.batch_store, vectors, metadata)
+
+    async def search_async(
+        self, query_vector, limit=10, threshold=0.0, filter_metadata=None
+    ) -> list[SearchHit]:
+        return await asyncio.to_thread(
+            self.search, query_vector, limit, threshold, filter_metadata
+        )
+
+    async def search_batch_async(
+        self, query_vectors, limit=10, threshold=0.0, filter_metadata=None
+    ) -> list[list[SearchHit]]:
+        return await asyncio.to_thread(
+            self.search_batch, query_vectors, limit, threshold, filter_metadata
+        )
+
+    async def get_async(self, vector_id):
+        return await asyncio.to_thread(self.get, vector_id)
+
+    async def delete_async(self, vector_id) -> bool:
+        return await asyncio.to_thread(self.delete, vector_id)
+
+    async def update_metadata_async(self, vector_id, metadata) -> bool:
+        return await asyncio.to_thread(self.update_metadata, vector_id, metadata)
+
+    async def clear_async(self) -> int:
+        return await asyncio.to_thread(self.clear)
+
+    async def optimize_async(self) -> bool:
+        return await asyncio.to_thread(self.optimize)
