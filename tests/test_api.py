@@ -1,0 +1,147 @@
+"""REST API tests via aiohttp's test client — all 13 reference routes
+plus the batched-search extension."""
+
+import numpy as np
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from wdbx_tpu import WDBX
+from wdbx_tpu.api.server import WDBXAPIServer
+from wdbx_tpu.plugins import WDBXPlugin
+
+
+class FakeEmbedder(WDBXPlugin):
+    name = "ollama"
+    description = "fake"
+    version = "0"
+
+    async def create_embedding(self, text):
+        rng = np.random.default_rng(abs(hash(text)) % 2**32)
+        return rng.standard_normal(4).astype(float).tolist()
+
+
+async def make_client(temp_dir, **server_kw):
+    db = WDBX(vector_dimension=4, num_shards=2, data_dir=temp_dir,
+              enable_plugins=False)
+    db.register_plugin(FakeEmbedder(db))
+    await db.initialize()
+    server = WDBXAPIServer(db, **server_kw)
+    client = TestClient(TestServer(server.app))
+    await client.start_server()
+    return client, db
+
+
+class TestAPI:
+    async def test_health(self, temp_dir):
+        client, _ = await make_client(temp_dir)
+        resp = await client.get("/api/v1/health")
+        assert resp.status == 200
+        body = await resp.json()
+        assert body["status"] == "healthy" and "version" in body
+        await client.close()
+
+    async def test_vector_crud_routes(self, temp_dir):
+        client, _ = await make_client(temp_dir)
+        resp = await client.post(
+            "/api/v1/vectors",
+            json={"vector": [1, 0, 0, 0], "metadata": {"t": 1}, "id": "v1"},
+        )
+        assert resp.status == 200
+        assert (await resp.json())["vector_id"] == "v1"
+
+        resp = await client.post(
+            "/api/v1/vectors/search",
+            json={"query_vector": [1, 0, 0, 0], "limit": 5},
+        )
+        results = (await resp.json())["results"]
+        assert results[0]["vector_id"] == "v1"
+        assert results[0]["similarity"] > 0.99
+        assert results[0]["metadata"] == {"t": 1}
+
+        resp = await client.get("/api/v1/vectors/v1")
+        body = await resp.json()
+        assert body["vector"] == [1.0, 0.0, 0.0, 0.0]
+
+        resp = await client.put(
+            "/api/v1/vectors/v1/metadata", json={"metadata": {"t": 2}}
+        )
+        assert (await resp.json())["success"]
+
+        resp = await client.delete("/api/v1/vectors/v1")
+        assert (await resp.json())["success"]
+        assert (await client.get("/api/v1/vectors/v1")).status == 404
+        assert (await client.delete("/api/v1/vectors/v1")).status == 404
+        await client.close()
+
+    async def test_batch_search_route(self, temp_dir):
+        client, db = await make_client(temp_dir)
+        for i in range(4):
+            vec = [0.0] * 4
+            vec[i] = 1.0
+            db.vector_store(vec, id=f"e{i}")
+        resp = await client.post(
+            "/api/v1/vectors/search/batch",
+            json={"query_vectors": [[1, 0, 0, 0], [0, 0, 1, 0]], "limit": 1},
+        )
+        body = await resp.json()
+        assert body["results"][0][0]["vector_id"] == "e0"
+        assert body["results"][1][0]["vector_id"] == "e2"
+        await client.close()
+
+    async def test_stats_and_clear(self, temp_dir):
+        client, db = await make_client(temp_dir)
+        db.vector_store([1, 0, 0, 0])
+        resp = await client.get("/api/v1/stats")
+        assert (await resp.json())["vector_count"] == 1
+        resp = await client.post("/api/v1/clear")
+        assert (await resp.json())["removed_vectors"] == 1
+        await client.close()
+
+    async def test_embeddings_routes(self, temp_dir):
+        client, _ = await make_client(temp_dir)
+        resp = await client.post("/api/v1/embeddings", json={"text": "hi"})
+        assert resp.status == 200
+        assert len((await resp.json())["embedding"]) == 4
+        resp = await client.post(
+            "/api/v1/embeddings/batch", json={"texts": ["a", "b"]}
+        )
+        assert len((await resp.json())["embeddings"]) == 2
+        await client.close()
+
+    async def test_embeddings_501_when_no_plugin(self, temp_dir):
+        db = WDBX(vector_dimension=4, data_dir=temp_dir, enable_plugins=False)
+        server = WDBXAPIServer(db)
+        client = TestClient(TestServer(server.app))
+        await client.start_server()
+        resp = await client.post("/api/v1/embeddings", json={"text": "x"})
+        assert resp.status == 501
+        await client.close()
+
+    async def test_plugins_routes(self, temp_dir):
+        client, _ = await make_client(temp_dir)
+        resp = await client.get("/api/v1/plugins")
+        plugins = (await resp.json())["plugins"]
+        assert any(p["name"] == "ollama" for p in plugins)
+        resp = await client.get("/api/v1/plugins/ollama")
+        assert (await resp.json())["name"] == "ollama"
+        assert (await client.get("/api/v1/plugins/nope")).status == 404
+        await client.close()
+
+    async def test_api_key_auth(self, temp_dir):
+        client, _ = await make_client(temp_dir, api_key="sekrit")
+        assert (await client.get("/api/v1/health")).status == 200  # exempt
+        assert (await client.get("/api/v1/stats")).status == 401
+        resp = await client.get(
+            "/api/v1/stats", headers={"X-API-Key": "sekrit"}
+        )
+        assert resp.status == 200
+        await client.close()
+
+    async def test_validation_errors(self, temp_dir):
+        client, _ = await make_client(temp_dir)
+        assert (await client.post("/api/v1/vectors", json={})).status == 422
+        resp = await client.post(
+            "/api/v1/vectors", json={"vector": [1.0, 2.0]}
+        )
+        assert resp.status == 400  # dim mismatch → ValueError → 400
+        await client.close()

@@ -1,0 +1,312 @@
+"""REST API server.
+
+Route-for-route parity with the reference FastAPI app (reference
+wdbx/api/server.py:104-278): the same 13 ``/api/v1`` endpoints with the
+same request/response JSON shapes, optional ``X-API-Key`` auth
+(reference wdbx/api/server.py:87-101) and CORS. Built on aiohttp.web
+(FastAPI/uvicorn are not in this image; aiohttp is) — and built ONCE:
+the reference constructs every route twice, verbatim, in ``__init__``
+and again in ``initialize()`` (reference wdbx/api/server.py:69-278 vs
+:280-490); here ``initialize()`` is idempotent.
+
+Extensions beyond the reference: ``POST /vectors/search/batch`` exposes
+the TPU-native batched query path.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import threading
+from typing import TYPE_CHECKING, Any
+
+from aiohttp import web
+
+if TYPE_CHECKING:
+    from wdbx_tpu.core.wdbx import WDBX
+
+logger = logging.getLogger("wdbx_tpu.api")
+
+# Same plugin priority order as the reference embedding endpoints
+# (reference wdbx/api/server.py:198-204), with lmstudio appended.
+EMBEDDING_PLUGIN_PRIORITY = [
+    "openai", "ollama", "huggingface", "sentencetransformers", "lmstudio",
+]
+
+
+def _json_error(status: int, detail: str) -> web.Response:
+    return web.json_response({"detail": detail}, status=status)
+
+
+class WDBXAPIServer:
+    """aiohttp application exposing the WDBX facade."""
+
+    def __init__(
+        self,
+        wdbx: "WDBX",
+        host: str | None = None,
+        port: int | None = None,
+        api_key: str | None = None,
+        cors_origins: list[str] | None = None,
+    ):
+        self.wdbx = wdbx
+        cfg = wdbx.config
+        self.host = host or cfg.get("API_HOST", "127.0.0.1")
+        self.port = int(port or cfg.get("API_PORT", 8000))
+        self.api_key = api_key if api_key is not None else cfg.get("API_KEY")
+        self.cors_origins = (
+            cors_origins
+            if cors_origins is not None
+            else cfg.get_typed("API_CORS_ORIGINS", list, default=None)
+        )
+        self.app = self._build_app()
+        self._runner: web.AppRunner | None = None
+        self._thread: threading.Thread | None = None
+        self._thread_loop: asyncio.AbstractEventLoop | None = None
+
+    # -- app construction --------------------------------------------------
+    def _build_app(self) -> web.Application:
+        app = web.Application(middlewares=[self._auth_middleware])
+        r = app.router
+        p = "/api/v1"
+        r.add_get(f"{p}/health", self.health)
+        r.add_post(f"{p}/vectors", self.store_vector)
+        r.add_post(f"{p}/vectors/search", self.search_vectors)
+        r.add_post(f"{p}/vectors/search/batch", self.search_vectors_batch)
+        r.add_get(f"{p}/vectors/{{vector_id}}", self.get_vector)
+        r.add_delete(f"{p}/vectors/{{vector_id}}", self.delete_vector)
+        r.add_put(f"{p}/vectors/{{vector_id}}/metadata", self.update_metadata)
+        r.add_get(f"{p}/stats", self.get_stats)
+        r.add_post(f"{p}/clear", self.clear_database)
+        r.add_post(f"{p}/embeddings", self.create_embedding)
+        r.add_post(f"{p}/embeddings/batch", self.create_embeddings_batch)
+        r.add_get(f"{p}/plugins", self.list_plugins)
+        r.add_get(f"{p}/plugins/{{plugin_name}}", self.get_plugin_info)
+        return app
+
+    @web.middleware
+    async def _auth_middleware(self, request: web.Request, handler):
+        if self.api_key and request.path != "/api/v1/health":
+            if request.headers.get("X-API-Key") != self.api_key:
+                return _json_error(401, "Invalid or missing API key")
+        try:
+            response = await handler(request)
+        except web.HTTPException:
+            raise
+        except ValueError as e:
+            response = _json_error(400, str(e))
+        except Exception as e:
+            logger.exception("unhandled API error")
+            response = _json_error(500, str(e))
+        if self.cors_origins:
+            origin = request.headers.get("Origin")
+            allowed = (
+                "*"
+                if "*" in self.cors_origins
+                else (origin if origin in self.cors_origins else None)
+            )
+            if allowed:
+                response.headers["Access-Control-Allow-Origin"] = allowed
+        return response
+
+    # -- handlers ----------------------------------------------------------
+    async def health(self, request: web.Request) -> web.Response:
+        from wdbx_tpu import __version__
+
+        return web.json_response({"status": "healthy", "version": __version__})
+
+    async def store_vector(self, request: web.Request) -> web.Response:
+        data = await request.json()
+        if "vector" not in data:
+            return _json_error(422, "field 'vector' is required")
+        vector_id = await self.wdbx.vector_store_async(
+            data["vector"], data.get("metadata"), data.get("id")
+        )
+        return web.json_response({"vector_id": vector_id})
+
+    async def search_vectors(self, request: web.Request) -> web.Response:
+        data = await request.json()
+        if "query_vector" not in data:
+            return _json_error(422, "field 'query_vector' is required")
+        results = await self.wdbx.vector_search_async(
+            data["query_vector"],
+            data.get("limit", 10),
+            data.get("threshold", 0.0),
+            data.get("filter_metadata"),
+        )
+        return web.json_response(
+            {
+                "results": [
+                    {"vector_id": vid, "similarity": sim, "metadata": meta}
+                    for vid, sim, meta in results
+                ]
+            }
+        )
+
+    async def search_vectors_batch(self, request: web.Request) -> web.Response:
+        data = await request.json()
+        if "query_vectors" not in data:
+            return _json_error(422, "field 'query_vectors' is required")
+        batches = await self.wdbx.vector_search_batch_async(
+            data["query_vectors"],
+            data.get("limit", 10),
+            data.get("threshold", 0.0),
+            data.get("filter_metadata"),
+        )
+        return web.json_response(
+            {
+                "results": [
+                    [
+                        {"vector_id": vid, "similarity": sim, "metadata": meta}
+                        for vid, sim, meta in hits
+                    ]
+                    for hits in batches
+                ]
+            }
+        )
+
+    async def get_vector(self, request: web.Request) -> web.Response:
+        vector_id = request.match_info["vector_id"]
+        result = await self.wdbx.get_vector_async(vector_id)
+        if result is None:
+            return _json_error(404, f"Vector with ID {vector_id} not found")
+        vector, metadata = result
+        return web.json_response(
+            {"vector_id": vector_id, "vector": vector, "metadata": metadata}
+        )
+
+    async def delete_vector(self, request: web.Request) -> web.Response:
+        vector_id = request.match_info["vector_id"]
+        if not await self.wdbx.delete_vector_async(vector_id):
+            return _json_error(404, f"Vector with ID {vector_id} not found")
+        return web.json_response({"success": True})
+
+    async def update_metadata(self, request: web.Request) -> web.Response:
+        vector_id = request.match_info["vector_id"]
+        data = await request.json()
+        if "metadata" not in data:
+            return _json_error(422, "field 'metadata' is required")
+        if not await self.wdbx.update_metadata_async(vector_id, data["metadata"]):
+            return _json_error(404, f"Vector with ID {vector_id} not found")
+        return web.json_response({"success": True})
+
+    async def get_stats(self, request: web.Request) -> web.Response:
+        return web.json_response(self.wdbx.get_stats())
+
+    async def clear_database(self, request: web.Request) -> web.Response:
+        count = await self.wdbx.clear_async()
+        return web.json_response({"removed_vectors": count})
+
+    def _embedding_plugins(self):
+        manager = self.wdbx.plugin_manager
+        if manager is None:
+            return
+        for name in EMBEDDING_PLUGIN_PRIORITY:
+            plugin = manager.get(name)
+            if plugin is not None:
+                yield plugin
+        for name, plugin in manager.plugins.items():
+            if name not in EMBEDDING_PLUGIN_PRIORITY:
+                yield plugin
+
+    async def create_embedding(self, request: web.Request) -> web.Response:
+        data = await request.json()
+        if "text" not in data:
+            return _json_error(422, "field 'text' is required")
+        for plugin in self._embedding_plugins():
+            try:
+                embedding = await plugin.create_embedding(data["text"])
+                return web.json_response({"embedding": list(embedding)})
+            except Exception as e:
+                logger.error("embedding via %s failed: %s", plugin.name, e)
+        return _json_error(501, "No embedding plugin available")
+
+    async def create_embeddings_batch(self, request: web.Request) -> web.Response:
+        data = await request.json()
+        if "texts" not in data:
+            return _json_error(422, "field 'texts' is required")
+        for plugin in self._embedding_plugins():
+            try:
+                embeddings = await plugin.create_embeddings_batch(data["texts"])
+                return web.json_response(
+                    {"embeddings": [list(e) for e in embeddings]}
+                )
+            except Exception as e:
+                logger.error("batch embedding via %s failed: %s", plugin.name, e)
+        return _json_error(501, "No embedding plugin available")
+
+    async def list_plugins(self, request: web.Request) -> web.Response:
+        manager = self.wdbx.plugin_manager
+        plugins = manager.plugins.values() if manager else []
+        return web.json_response(
+            {
+                "plugins": [
+                    {
+                        "name": p.name,
+                        "description": p.description,
+                        "version": p.version,
+                    }
+                    for p in plugins
+                ]
+            }
+        )
+
+    async def get_plugin_info(self, request: web.Request) -> web.Response:
+        name = request.match_info["plugin_name"]
+        manager = self.wdbx.plugin_manager
+        plugin = manager.get(name) if manager else None
+        if plugin is None:
+            return _json_error(404, f"Plugin {name} not found")
+        return web.json_response(
+            {
+                "name": plugin.name,
+                "description": plugin.description,
+                "version": plugin.version,
+                "stats": plugin.get_stats(),
+            }
+        )
+
+    # -- lifecycle ---------------------------------------------------------
+    async def initialize(self) -> None:
+        """Idempotent; the app is already built."""
+
+    async def start(self) -> None:
+        self._runner = web.AppRunner(self.app)
+        await self._runner.setup()
+        site = web.TCPSite(self._runner, self.host, self.port)
+        await site.start()
+        logger.info("API server listening on %s:%d", self.host, self.port)
+
+    async def stop(self) -> None:
+        if self._runner is not None:
+            await self._runner.cleanup()
+            self._runner = None
+
+    async def serve_forever(self) -> None:
+        await self.start()
+        try:
+            while True:
+                await asyncio.sleep(3600)
+        finally:
+            await self.stop()
+
+    def start_in_thread(self) -> threading.Thread:
+        """Daemon thread with its own event loop (parity: reference
+        wdbx/api/server.py:523-539)."""
+
+        def run():
+            loop = asyncio.new_event_loop()
+            asyncio.set_event_loop(loop)
+            self._thread_loop = loop
+            loop.run_until_complete(self.start())
+            loop.run_forever()
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+        return self._thread
+
+    def stop_thread(self) -> None:
+        loop = self._thread_loop
+        if loop is not None:
+            asyncio.run_coroutine_threadsafe(self.stop(), loop).result(timeout=10)
+            loop.call_soon_threadsafe(loop.stop)

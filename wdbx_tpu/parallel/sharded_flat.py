@@ -8,8 +8,13 @@ the whole multi-shard search is ONE compiled XLA program under
 takes a local top-k, all-gathers the tiny (B, k) candidate sets over ICI
 and merges — no host in the loop.
 
-Slot ids are global row numbers in the logically-concatenated slab, so
-the host-side id↔slot bookkeeping inherited from FlatIndex is unchanged.
+Layout: the slab is ``(n_dev, rows_per_dev, dim)`` sharded on axis 0,
+and slot id ``s`` lives at ``(s % n_dev, s // n_dev)``. Striding by
+device means sequentially-allocated slots round-robin across the mesh
+(balanced load from the first insert), and a slot's owning device never
+changes when capacity grows — rows_per_dev doubles, ``s % n_dev`` does
+not. Slot ids stay the stable host-side handles FlatIndex bookkeeping
+expects.
 """
 
 from __future__ import annotations
@@ -28,12 +33,14 @@ from wdbx_tpu.ops.normalize import l2_normalize
 
 def _build_search(mesh: Mesh, axis: str, k: int, precision: str):
     def local(slab_l, valid_l, q):
-        scores = score_block(slab_l, q, precision=precision)
-        scores = jnp.where(valid_l[None, :], scores, -jnp.inf)
-        k_local = min(k, slab_l.shape[0])
+        n_dev = jax.lax.axis_size(axis)
+        rows = slab_l.shape[1]
+        scores = score_block(slab_l[0], q, precision=precision)  # (B, rows)
+        scores = jnp.where(valid_l[0][None, :], scores, -jnp.inf)
+        k_local = min(k, rows)
         s, i = jax.lax.top_k(scores, k_local)
-        base = jax.lax.axis_index(axis) * slab_l.shape[0]
-        gi = i.astype(jnp.int32) + base
+        # slot = local_row * n_dev + device_index
+        gi = i.astype(jnp.int32) * n_dev + jax.lax.axis_index(axis)
         # Tiny (B, k) candidate sets ride ICI; the big slab never moves.
         all_s = jax.lax.all_gather(s, axis, axis=1, tiled=True)
         all_i = jax.lax.all_gather(gi, axis, axis=1, tiled=True)
@@ -45,7 +52,7 @@ def _build_search(mesh: Mesh, axis: str, k: int, precision: str):
         jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(axis, None), P(axis), P(None, None)),
+            in_specs=(P(axis, None, None), P(axis, None), P(None, None)),
             out_specs=(P(None, None), P(None, None)),
             check_vma=False,  # post-all-gather merge is replicated by construction
         )
@@ -81,58 +88,99 @@ class ShardedFlatIndex(FlatIndex):
         per_dev = _next_pow2(max(128, -(-need // self.n_devices)))
         return per_dev * self.n_devices
 
+    @property
+    def rows_per_device(self) -> int:
+        return self._cap // self.n_devices
+
     def _sharding(self, spec: P) -> NamedSharding:
         return NamedSharding(self.mesh, spec)
 
+    def _slot_coords(self, slots: jnp.ndarray):
+        """slot id → (device_row, local_row); OOB pad slots map to
+        local_row == rows_per_device, which the scatter drops."""
+        return slots % self.n_devices, slots // self.n_devices
+
     def _alloc(self, cap: int) -> None:
+        rpd = cap // self.n_devices
         self._slab = jax.device_put(
-            jnp.zeros((cap, self.dim), self._dtype),
-            self._sharding(P(self.axis, None)),
+            jnp.zeros((self.n_devices, rpd, self.dim), self._dtype),
+            self._sharding(P(self.axis, None, None)),
         )
         self._valid = jax.device_put(
-            jnp.zeros((cap,), jnp.bool_), self._sharding(P(self.axis))
+            jnp.zeros((self.n_devices, rpd), jnp.bool_),
+            self._sharding(P(self.axis, None)),
         )
 
     def _grow(self, need: int) -> None:
         new_cap = self._round_cap(need)
-        pad = new_cap - self._cap
+        pad = new_cap // self.n_devices - self.rows_per_device
         self._slab = jax.device_put(
-            jnp.pad(self._slab, ((0, pad), (0, 0))),
-            self._sharding(P(self.axis, None)),
+            jnp.pad(self._slab, ((0, 0), (0, pad), (0, 0))),
+            self._sharding(P(self.axis, None, None)),
         )
         self._valid = jax.device_put(
-            jnp.pad(self._valid, (0, pad)), self._sharding(P(self.axis))
+            jnp.pad(self._valid, ((0, 0), (0, pad))),
+            self._sharding(P(self.axis, None)),
         )
         self._cap = new_cap
         self._search_cache.clear()
 
     def _write_arrays(self, vecs, pslots, flags):
-        # Scatter into a sharded slab needs an explicit out_sharding; XLA
-        # routes each update row to the owning device. The jitted fn is
-        # memoized per instance (jit caches on function identity).
+        # Scatter into the sharded slab needs an explicit out_sharding;
+        # XLA routes each update row to its owning device. Memoized per
+        # instance (jit caches on function identity).
         if self._write_fn is None:
-            slab_s = self._sharding(P(self.axis, None))
-            valid_s = self._sharding(P(self.axis))
+            slab_s = self._sharding(P(self.axis, None, None))
+            valid_s = self._sharding(P(self.axis, None))
 
-            @partial(jax.jit, donate_argnums=(0, 1))
-            def write(slab, valid, v, s, f):
-                slab = slab.at[s].set(v.astype(slab.dtype), out_sharding=slab_s)
-                valid = valid.at[s].set(f, out_sharding=valid_s)
+            @partial(jax.jit, donate_argnums=(0, 1), static_argnums=(5,))
+            def write(slab, valid, v, s, f, n_dev):
+                dev, row = s % n_dev, s // n_dev
+                slab = slab.at[dev, row].set(
+                    v.astype(slab.dtype), out_sharding=slab_s
+                )
+                valid = valid.at[dev, row].set(f, out_sharding=valid_s)
                 return slab, valid
 
             self._write_fn = write
-        return self._write_fn(self._slab, self._valid, vecs, pslots, flags)
+        return self._write_fn(
+            self._slab, self._valid, vecs, pslots, flags, self.n_devices
+        )
 
     def _tombstone_arrays(self, pslots):
         if self._tombstone_fn is None:
-            valid_s = self._sharding(P(self.axis))
+            valid_s = self._sharding(P(self.axis, None))
 
-            @partial(jax.jit, donate_argnums=(0,))
-            def tomb(valid, s):
-                return valid.at[s].set(False, out_sharding=valid_s)
+            @partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
+            def tomb(valid, s, n_dev):
+                return valid.at[s % n_dev, s // n_dev].set(
+                    False, out_sharding=valid_s
+                )
 
             self._tombstone_fn = tomb
-        return self._tombstone_fn(self._valid, pslots)
+        return self._tombstone_fn(self._valid, pslots, self.n_devices)
+
+    def _place(self, slab_np: np.ndarray, valid_np: np.ndarray) -> None:
+        # slot-ordered (cap, dim) host layout → (n_dev, rpd, dim) striped
+        rpd = self._cap // self.n_devices
+        slab3 = np.ascontiguousarray(
+            slab_np.reshape(rpd, self.n_devices, self.dim).transpose(1, 0, 2)
+        )
+        valid2 = np.ascontiguousarray(
+            valid_np.reshape(rpd, self.n_devices).T
+        )
+        self._slab = jax.device_put(
+            jnp.asarray(slab3, self._dtype), self._sharding(P(self.axis, None, None))
+        )
+        self._valid = jax.device_put(
+            jnp.asarray(valid2), self._sharding(P(self.axis, None))
+        )
+
+    def _host_slot_view(self) -> tuple[np.ndarray, np.ndarray]:
+        """Full slab gathered to host in slot order (cap, dim)."""
+        slab = np.asarray(self._slab).transpose(1, 0, 2).reshape(-1, self.dim)
+        valid = np.asarray(self._valid).T.reshape(-1)
+        return slab, valid
 
     # -- sharded search ----------------------------------------------------
     def search(
@@ -153,8 +201,13 @@ class ShardedFlatIndex(FlatIndex):
         if slot_mask is not None:
             mask = np.zeros(self._cap, bool)
             mask[: len(slot_mask)] = slot_mask[: self._cap]
+            mask2 = mask.reshape(self.rows_per_device, self.n_devices).T
             valid = jnp.logical_and(
-                valid, jax.device_put(jnp.asarray(mask), self._sharding(P(self.axis)))
+                valid,
+                jax.device_put(
+                    jnp.asarray(np.ascontiguousarray(mask2)),
+                    self._sharding(P(self.axis, None)),
+                ),
             )
         key = (k, self._cap)
         fn = self._search_cache.get(key)
@@ -171,19 +224,41 @@ class ShardedFlatIndex(FlatIndex):
         out[scores == -np.inf] = -1
         return scores, out
 
-    def _place(self, slab_np: np.ndarray, valid_np: np.ndarray) -> None:
-        self._slab = jax.device_put(
-            jnp.asarray(slab_np, self._dtype), self._sharding(P(self.axis, None))
-        )
-        self._valid = jax.device_put(
-            jnp.asarray(valid_np), self._sharding(P(self.axis))
-        )
+    def get_vectors(self, slots: np.ndarray) -> np.ndarray:
+        slab, _ = self._host_slot_view()
+        return slab[np.asarray(slots, np.int64)].astype(np.float32)
+
+    # -- persistence -------------------------------------------------------
+    def save(self, path: str) -> None:
+        # Reuse FlatIndex's on-disk format (slot-ordered rows) so single-
+        # and multi-device deployments can load each other's checkpoints.
+        import json
+        import os
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        slab, valid = self._host_slot_view()
+        hwm = self._next_slot
+        slab = slab[:hwm]
+        if slab.dtype != np.float32:
+            slab = slab.view(np.uint16)
+        np.savez(path + ".npz", slab=slab, valid=valid[:hwm])
+        meta = {
+            "dim": self.dim,
+            "metric": self.metric,
+            "dtype": self.dtype_name,
+            "size": self._size,
+            "next_slot": self._next_slot,
+            "free": self._free,
+            "kind": self.kind,
+        }
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
 
     def get_stats(self) -> dict:
         stats = super().get_stats()
         stats.update(
             devices=self.n_devices,
             mesh_axis=self.axis,
-            rows_per_device=self._cap // self.n_devices,
+            rows_per_device=self.rows_per_device,
         )
         return stats
