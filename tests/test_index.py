@@ -251,3 +251,72 @@ class TestFactory:
     def test_unknown_raises(self):
         with pytest.raises(ValueError):
             create_index("hnsw-graph", 8)
+
+
+class TestInt8:
+    def test_int8_flat_recall(self, rng):
+        from wdbx_tpu.index import FlatIndex
+
+        db = _normed(rng, 5000, 64)
+        idx = FlatIndex(dim=64, dtype="int8", capacity=5000)
+        slots = idx.add_batch(db)
+        q = _normed(rng, 16, 64)
+        _, got = idx.search(q, k=10)
+        exact = np.argsort(-(q @ db.T), axis=-1)[:, :10]
+        exact_slots = slots[exact]
+        recall = np.mean(
+            [
+                len(set(a.tolist()) & set(b.tolist())) / 10
+                for a, b in zip(got, exact_slots)
+            ]
+        )
+        assert recall >= 0.95, f"int8 recall {recall}"
+
+    def test_int8_self_query(self, rng):
+        from wdbx_tpu.index import FlatIndex
+
+        idx = FlatIndex(dim=32, dtype="int8")
+        vecs = _normed(rng, 100, 32)
+        slots = idx.add_batch(vecs)
+        scores, got = idx.search(vecs[:8], k=1)
+        np.testing.assert_array_equal(got[:, 0], slots[:8])
+        np.testing.assert_allclose(scores[:, 0], 1.0, atol=0.02)
+
+    def test_int8_get_vectors_dequantized(self, rng):
+        from wdbx_tpu.index import FlatIndex
+
+        idx = FlatIndex(dim=16, dtype="int8")
+        vecs = _normed(rng, 4, 16)
+        slots = idx.add_batch(vecs)
+        back = idx.get_vectors(slots)
+        np.testing.assert_allclose(back, vecs, atol=0.02)
+
+    def test_int8_persistence(self, rng, temp_dir):
+        from wdbx_tpu.index import FlatIndex
+
+        idx = FlatIndex(dim=16, dtype="int8")
+        vecs = _normed(rng, 50, 16)
+        slots = idx.add_batch(vecs)
+        idx.save(f"{temp_dir}/i8")
+        idx2 = FlatIndex(dim=16, dtype="int8")
+        assert idx2.load(f"{temp_dir}/i8")
+        _, got = idx2.search(vecs[:4], k=1)
+        np.testing.assert_array_equal(got[:, 0], slots[:4])
+
+    def test_int8_sharded(self, rng, temp_dir):
+        from wdbx_tpu.parallel import ShardedFlatIndex
+
+        idx = ShardedFlatIndex(dim=32, dtype="int8")
+        vecs = _normed(rng, 200, 32)
+        slots = idx.add_batch(vecs)
+        scores, got = idx.search(vecs[:8], k=1)
+        np.testing.assert_array_equal(got[:, 0], slots[:8])
+        np.testing.assert_allclose(scores[:, 0], 1.0, atol=0.02)
+        idx.remove_slots(slots[:2])
+        _, got = idx.search(vecs[0], k=5)
+        assert slots[0] not in got[0]
+        idx.save(f"{temp_dir}/i8s")
+        idx2 = ShardedFlatIndex(dim=32, dtype="int8")
+        assert idx2.load(f"{temp_dir}/i8s")
+        _, got = idx2.search(vecs[2:6], k=1)
+        np.testing.assert_array_equal(got[:, 0], slots[2:6])

@@ -31,7 +31,7 @@ from wdbx_tpu.index.base import VectorIndex
 from wdbx_tpu.ops.exact_search import exact_search
 from wdbx_tpu.ops.normalize import l2_normalize
 
-_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "int8": jnp.int8}
 
 
 def _next_pow2(n: int) -> int:
@@ -43,6 +43,17 @@ def _write(slab, valid, vecs, slots, flags):
     slab = slab.at[slots].set(vecs.astype(slab.dtype))
     valid = valid.at[slots].set(flags)
     return slab, valid
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2))
+def _write_quantized(slab, valid, scales, vecs, slots, flags):
+    from wdbx_tpu.kernels.quant import quantize_rows
+
+    q, s = quantize_rows(vecs)
+    slab = slab.at[slots].set(q)
+    scales = scales.at[slots].set(s)
+    valid = valid.at[slots].set(flags)
+    return slab, valid, scales
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -67,6 +78,7 @@ class FlatIndex(VectorIndex):
         self._dtype = _DTYPES[dtype]
         self._precision = "highest" if dtype == "float32" else "default"
         self._cap = self._round_cap(capacity)
+        self._scales = None  # (cap,) f32 per-row scales; int8 slabs only
         self._alloc(self._cap)
         self._size = 0
         self._free: list[int] = []
@@ -78,9 +90,15 @@ class FlatIndex(VectorIndex):
     def _round_cap(self, need: int) -> int:
         return _next_pow2(need)
 
+    @property
+    def _is_int8(self) -> bool:
+        return self._dtype == jnp.int8
+
     def _alloc(self, cap: int) -> None:
         self._slab = jnp.zeros((cap, self.dim), self._dtype)
         self._valid = jnp.zeros((cap,), jnp.bool_)
+        if self._is_int8:
+            self._scales = jnp.zeros((cap,), jnp.float32)
 
     def _grow(self, need: int) -> None:
         new_cap = self._round_cap(need)
@@ -88,6 +106,9 @@ class FlatIndex(VectorIndex):
         self._slab = slab.at[: self._cap].set(self._slab)
         valid = jnp.zeros((new_cap,), jnp.bool_)
         self._valid = valid.at[: self._cap].set(self._valid)
+        if self._is_int8:
+            scales = jnp.zeros((new_cap,), jnp.float32)
+            self._scales = scales.at[: self._cap].set(self._scales)
         self._cap = new_cap
 
     def _take_slots(self, n: int) -> np.ndarray:
@@ -115,11 +136,11 @@ class FlatIndex(VectorIndex):
     def _scatter(self, slots: np.ndarray, vectors: np.ndarray, flag: bool) -> None:
         n = len(slots)
         pad_n = _next_pow2(max(n, 1))
-        vecs = jnp.asarray(
-            np.pad(vectors, ((0, pad_n - n), (0, 0))), self._dtype
-        )
+        # int8 slabs quantize inside the write kernel; keep floats until then.
+        staging = jnp.float32 if self._is_int8 else self._dtype
+        vecs = jnp.asarray(np.pad(vectors, ((0, pad_n - n), (0, 0))), staging)
         if self.metric == "cosine":
-            vecs = l2_normalize(vecs).astype(self._dtype)
+            vecs = l2_normalize(vecs).astype(staging)
         pslots = jnp.asarray(
             np.pad(slots, (0, pad_n - n), constant_values=self._cap)
         )
@@ -129,14 +150,26 @@ class FlatIndex(VectorIndex):
         self._slab, self._valid = self._write_arrays(vecs, pslots, flags)
 
     def _write_arrays(self, vecs, pslots, flags):
+        if self._is_int8:
+            slab, valid, self._scales = _write_quantized(
+                self._slab, self._valid, self._scales, vecs, pslots, flags
+            )
+            return slab, valid
         return _write(self._slab, self._valid, vecs, pslots, flags)
 
     def _tombstone_arrays(self, pslots):
         return _tombstone(self._valid, pslots)
 
-    def _place(self, slab_np: np.ndarray, valid_np: np.ndarray) -> None:
+    def _place(
+        self,
+        slab_np: np.ndarray,
+        valid_np: np.ndarray,
+        scales_np: np.ndarray | None = None,
+    ) -> None:
         self._slab = jnp.asarray(slab_np, self._dtype)
         self._valid = jnp.asarray(valid_np)
+        if scales_np is not None:
+            self._scales = jnp.asarray(scales_np)
 
     # -- VectorIndex ------------------------------------------------------
     def add_batch(self, vectors: np.ndarray) -> np.ndarray:
@@ -180,7 +213,8 @@ class FlatIndex(VectorIndex):
             mask[: len(slot_mask)] = slot_mask[: self._cap]
             valid = jnp.logical_and(valid, jnp.asarray(mask))
         scores, idx = exact_search(
-            self._slab, q, k=k, valid=valid, precision=self._precision
+            self._slab, q, k=k, valid=valid, precision=self._precision,
+            scales=self._scales,
         )
         scores = np.asarray(scores[:b])
         slots = np.asarray(idx[:b], np.int64)
@@ -188,7 +222,10 @@ class FlatIndex(VectorIndex):
         return scores, slots
 
     def get_vectors(self, slots: np.ndarray) -> np.ndarray:
-        host = np.asarray(self._slab[np.asarray(slots, np.int64)], np.float32)
+        slots = np.asarray(slots, np.int64)
+        host = np.asarray(self._slab[slots], np.float32)
+        if self._is_int8:
+            host = host * np.asarray(self._scales[slots], np.float32)[:, None]
         return host
 
     def clear(self) -> None:
@@ -215,13 +252,12 @@ class FlatIndex(VectorIndex):
         # Host-side slicing: partial slices of sharded slabs are ambiguous
         # for the partitioner, a full host gather is not.
         slab = np.asarray(self._slab)[:hwm]
-        if slab.dtype != np.float32:
+        if slab.dtype not in (np.float32, np.int8):
             slab = slab.view(np.uint16)
-        np.savez(
-            path + ".npz",
-            slab=slab,
-            valid=np.asarray(self._valid)[:hwm],
-        )
+        arrays = {"slab": slab, "valid": np.asarray(self._valid)[:hwm]}
+        if self._is_int8:
+            arrays["scales"] = np.asarray(self._scales)[:hwm]
+        np.savez(path + ".npz", **arrays)
         meta = {
             "dim": self.dim,
             "metric": self.metric,
@@ -256,10 +292,13 @@ class FlatIndex(VectorIndex):
         # placement in the subclass).
         slab_np = np.zeros((self._cap, self.dim), np.asarray(slab).dtype)
         valid_np = np.zeros((self._cap,), bool)
+        scales_np = np.zeros((self._cap,), np.float32) if self._is_int8 else None
         if hwm:
             slab_np[:hwm] = slab
             valid_np[:hwm] = valid
-        self._place(slab_np, valid_np)
+            if self._is_int8:
+                scales_np[:hwm] = data["scales"]
+        self._place(slab_np, valid_np, scales_np)
         self._size = int(meta["size"])
         self._next_slot = hwm
         self._free = [int(s) for s in meta["free"]]

@@ -27,6 +27,7 @@ def exact_search(
     k: int,
     valid: jax.Array | None = None,
     precision: str = "highest",
+    scales: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Top-k inner-product search of ``queries`` against ``db``.
 
@@ -52,7 +53,12 @@ def exact_search(
     ``"default"`` (single bf16 pass, ~6x faster — fine for ANN ranking).
     bfloat16/int8 slabs are unaffected.
     """
-    scores = score_block(db, queries, precision=precision)
+    if db.dtype == jnp.int8:
+        from wdbx_tpu.kernels.quant import int8_score
+
+        scores = int8_score(db, scales, queries, precision=precision)
+    else:
+        scores = score_block(db, queries, precision=precision)
     if valid is not None:
         scores = jnp.where(valid[None, :], scores, NEG_INF)
     k_eff = min(k, db.shape[0])

@@ -31,11 +31,16 @@ from wdbx_tpu.ops.exact_search import score_block
 from wdbx_tpu.ops.normalize import l2_normalize
 
 
-def _build_search(mesh: Mesh, axis: str, k: int, precision: str):
-    def local(slab_l, valid_l, q):
+def _build_search(mesh: Mesh, axis: str, k: int, precision: str, int8: bool):
+    def local(slab_l, valid_l, scales_l, q):
         n_dev = jax.lax.axis_size(axis)
         rows = slab_l.shape[1]
-        scores = score_block(slab_l[0], q, precision=precision)  # (B, rows)
+        if int8:
+            from wdbx_tpu.kernels.quant import int8_score
+
+            scores = int8_score(slab_l[0], scales_l[0], q, precision=precision)
+        else:
+            scores = score_block(slab_l[0], q, precision=precision)  # (B, rows)
         scores = jnp.where(valid_l[0][None, :], scores, -jnp.inf)
         k_local = min(k, rows)
         s, i = jax.lax.top_k(scores, k_local)
@@ -52,7 +57,12 @@ def _build_search(mesh: Mesh, axis: str, k: int, precision: str):
         jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(axis, None, None), P(axis, None), P(None, None)),
+            in_specs=(
+                P(axis, None, None),
+                P(axis, None),
+                P(axis, None),
+                P(None, None),
+            ),
             out_specs=(P(None, None), P(None, None)),
             check_vma=False,  # post-all-gather merge is replicated by construction
         )
@@ -110,6 +120,12 @@ class ShardedFlatIndex(FlatIndex):
             jnp.zeros((self.n_devices, rpd), jnp.bool_),
             self._sharding(P(self.axis, None)),
         )
+        # Scales always exist here (ones for float dtypes) so the
+        # shard_map search signature is uniform; 4 bytes/row is noise.
+        self._scales = jax.device_put(
+            jnp.ones((self.n_devices, rpd), jnp.float32),
+            self._sharding(P(self.axis, None)),
+        )
 
     def _grow(self, need: int) -> None:
         new_cap = self._round_cap(need)
@@ -122,6 +138,10 @@ class ShardedFlatIndex(FlatIndex):
             jnp.pad(self._valid, ((0, 0), (0, pad))),
             self._sharding(P(self.axis, None)),
         )
+        self._scales = jax.device_put(
+            jnp.pad(self._scales, ((0, 0), (0, pad)), constant_values=1.0),
+            self._sharding(P(self.axis, None)),
+        )
         self._cap = new_cap
         self._search_cache.clear()
 
@@ -132,20 +152,30 @@ class ShardedFlatIndex(FlatIndex):
         if self._write_fn is None:
             slab_s = self._sharding(P(self.axis, None, None))
             valid_s = self._sharding(P(self.axis, None))
+            int8 = self._is_int8
 
-            @partial(jax.jit, donate_argnums=(0, 1), static_argnums=(5,))
-            def write(slab, valid, v, s, f, n_dev):
+            @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnums=(6,))
+            def write(slab, valid, scales, v, s, f, n_dev):
                 dev, row = s % n_dev, s // n_dev
-                slab = slab.at[dev, row].set(
-                    v.astype(slab.dtype), out_sharding=slab_s
-                )
+                if int8:
+                    from wdbx_tpu.kernels.quant import quantize_rows
+
+                    qv, sc = quantize_rows(v)
+                    slab = slab.at[dev, row].set(qv, out_sharding=slab_s)
+                    scales = scales.at[dev, row].set(sc, out_sharding=valid_s)
+                else:
+                    slab = slab.at[dev, row].set(
+                        v.astype(slab.dtype), out_sharding=slab_s
+                    )
                 valid = valid.at[dev, row].set(f, out_sharding=valid_s)
-                return slab, valid
+                return slab, valid, scales
 
             self._write_fn = write
-        return self._write_fn(
-            self._slab, self._valid, vecs, pslots, flags, self.n_devices
+        slab, valid, self._scales = self._write_fn(
+            self._slab, self._valid, self._scales, vecs, pslots, flags,
+            self.n_devices,
         )
+        return slab, valid
 
     def _tombstone_arrays(self, pslots):
         if self._tombstone_fn is None:
@@ -160,7 +190,12 @@ class ShardedFlatIndex(FlatIndex):
             self._tombstone_fn = tomb
         return self._tombstone_fn(self._valid, pslots, self.n_devices)
 
-    def _place(self, slab_np: np.ndarray, valid_np: np.ndarray) -> None:
+    def _place(
+        self,
+        slab_np: np.ndarray,
+        valid_np: np.ndarray,
+        scales_np: np.ndarray | None = None,
+    ) -> None:
         # slot-ordered (cap, dim) host layout → (n_dev, rpd, dim) striped
         rpd = self._cap // self.n_devices
         slab3 = np.ascontiguousarray(
@@ -174,6 +209,12 @@ class ShardedFlatIndex(FlatIndex):
         )
         self._valid = jax.device_put(
             jnp.asarray(valid2), self._sharding(P(self.axis, None))
+        )
+        if scales_np is None:
+            scales_np = np.ones(self._cap, np.float32)
+        scales2 = np.ascontiguousarray(scales_np.reshape(rpd, self.n_devices).T)
+        self._scales = jax.device_put(
+            jnp.asarray(scales2), self._sharding(P(self.axis, None))
         )
 
     def _host_slot_view(self) -> tuple[np.ndarray, np.ndarray]:
@@ -195,8 +236,8 @@ class ShardedFlatIndex(FlatIndex):
         q = jnp.asarray(np.pad(queries, ((0, pad_b - b), (0, 0))))
         if self.metric == "cosine":
             q = l2_normalize(q)
-        if self._dtype != jnp.float32:
-            q = q.astype(self._dtype)
+        if self._dtype == jnp.bfloat16:
+            q = q.astype(jnp.bfloat16)  # int8 slabs keep float queries
         valid = self._valid
         if slot_mask is not None:
             mask = np.zeros(self._cap, bool)
@@ -212,9 +253,11 @@ class ShardedFlatIndex(FlatIndex):
         key = (k, self._cap)
         fn = self._search_cache.get(key)
         if fn is None:
-            fn = _build_search(self.mesh, self.axis, k, self._precision)
+            fn = _build_search(
+                self.mesh, self.axis, k, self._precision, self._is_int8
+            )
             self._search_cache[key] = fn
-        scores, slots = fn(self._slab, valid, q)
+        scores, slots = fn(self._slab, valid, self._scales, q)
         scores = np.asarray(scores[:b])
         out = np.asarray(slots[:b], np.int64)
         if scores.shape[1] < k:  # fewer than k candidates exist mesh-wide
@@ -225,8 +268,13 @@ class ShardedFlatIndex(FlatIndex):
         return scores, out
 
     def get_vectors(self, slots: np.ndarray) -> np.ndarray:
+        slots = np.asarray(slots, np.int64)
         slab, _ = self._host_slot_view()
-        return slab[np.asarray(slots, np.int64)].astype(np.float32)
+        rows = slab[slots].astype(np.float32)
+        if self._is_int8:
+            scales = np.asarray(self._scales).T.reshape(-1)
+            rows = rows * scales[slots][:, None]
+        return rows
 
     # -- persistence -------------------------------------------------------
     def save(self, path: str) -> None:
@@ -239,9 +287,12 @@ class ShardedFlatIndex(FlatIndex):
         slab, valid = self._host_slot_view()
         hwm = self._next_slot
         slab = slab[:hwm]
-        if slab.dtype != np.float32:
+        if slab.dtype not in (np.float32, np.int8):
             slab = slab.view(np.uint16)
-        np.savez(path + ".npz", slab=slab, valid=valid[:hwm])
+        arrays = {"slab": slab, "valid": valid[:hwm]}
+        if self._is_int8:
+            arrays["scales"] = np.asarray(self._scales).T.reshape(-1)[:hwm]
+        np.savez(path + ".npz", **arrays)
         meta = {
             "dim": self.dim,
             "metric": self.metric,
