@@ -63,6 +63,11 @@ def main() -> None:
         )
 
     # -- recall oracle: exact f32 top-k on device -------------------------
+    # 4 batches (256 queries) is plenty for a recall estimate; f32/HIGHEST
+    # is ~6 MXU passes so keeping this slice small keeps bench wall-time
+    # bounded.
+    n_oracle = min(4, nb)
+
     @jax.jit
     def oracle(dbx, qs):
         def step(c, q):
@@ -71,7 +76,7 @@ def main() -> None:
         return jax.lax.scan(step, 0, qs)[1]
 
     t0 = time.perf_counter()
-    exact_idx = np.asarray(oracle(db32, qstack))  # (nb, batch, k)
+    exact_idx = np.asarray(oracle(db32, qstack[:n_oracle]))
     oracle_s = time.perf_counter() - t0
 
     # -- flagship path: bf16 slab + approximate top-k, scan-pipelined ----
@@ -108,7 +113,8 @@ def main() -> None:
             [
                 len(set(a.tolist()) & set(b.tolist())) / k
                 for a, b in zip(
-                    got_idx.reshape(-1, k), exact_idx.reshape(-1, k)
+                    got_idx[:n_oracle].reshape(-1, k),
+                    exact_idx.reshape(-1, k),
                 )
             ]
         )

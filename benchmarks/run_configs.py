@@ -1,0 +1,220 @@
+"""BASELINE.json eval-config runners.
+
+Five configs (BASELINE.md 'Eval configs'):
+  1. Flat cosine, 10k x 384 f32, top-5 single query
+  2. Flat brute force 100k x 384, batch-64 + top-10, recall parity
+  3. ANN index (IVF) 1M x 384, recall@10 vs exact oracle
+  4. 2-shard store, scatter-gather top-k merge across devices
+  5. 10M x 768 int8 sharded + RAG flow
+
+Usage: python benchmarks/run_configs.py [1 2 3 4 5]
+Each config prints one JSON line. Configs honor BENCH_SCALE (0<s<=1) to
+shrink N for smoke runs. Config 4/5 need multiple devices (real or
+--xla_force_host_platform_device_count).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _timer():
+    t0 = time.perf_counter()
+    return lambda: time.perf_counter() - t0
+
+
+def _device_data(n, d, seed=0, dtype="float32"):
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.random.normal(jax.random.PRNGKey(seed), (n, d), jnp.float32)
+    x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+    return x.astype(getattr(jnp, dtype))
+
+
+def _recall(got, exact):
+    k = exact.shape[-1]
+    return float(
+        np.mean(
+            [
+                len(set(a.tolist()) & set(b.tolist())) / k
+                for a, b in zip(got.reshape(-1, k), exact.reshape(-1, k))
+            ]
+        )
+    )
+
+
+def config1(scale=1.0):
+    """Flat cosine 10k x 384 f32, top-5 single query (store layer path)."""
+    from wdbx_tpu.index.flat import FlatIndex
+
+    n = int(10_000 * scale)
+    db = np.asarray(_device_data(n, 384), np.float32)
+    index = FlatIndex(dim=384, capacity=n)
+    t = _timer()
+    index.add_batch(db)
+    build_s = t()
+    t = _timer()
+    reps = 20
+    for i in range(reps):
+        scores, slots = index.search(db[i], k=5)
+    per_query_ms = t() / reps * 1000
+    assert slots[0, 0] == i
+    return {
+        "config": 1,
+        "metric": "flat 10k x 384 top-5 single-query latency",
+        "value": round(per_query_ms, 2),
+        "unit": "ms/query",
+        "build_s": round(build_s, 2),
+    }
+
+
+def config2(scale=1.0):
+    """Flat 100k x 384, batch-64 matmul + top-10, recall parity vs numpy."""
+    import jax.numpy as jnp
+
+    from wdbx_tpu.ops.exact_search import exact_search
+
+    n = int(100_000 * scale)
+    db = _device_data(n, 384)
+    q = _device_data(64, 384, seed=1)
+    scores, idx = exact_search(db, q, k=10)
+    got = np.asarray(idx)
+    db_h, q_h = np.asarray(db), np.asarray(q)
+    exact = np.argsort(-(q_h @ db_h.T), axis=-1)[:, :10]
+    recall = _recall(got, exact)
+    t = _timer()
+    reps = 10
+    for _ in range(reps):
+        scores, idx = exact_search(db, q, k=10)
+    float(np.asarray(scores)[0, 0])
+    qps = 64 * reps / t()
+    return {
+        "config": 2,
+        "metric": "flat 100k x 384 batch-64 top-10",
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "recall_parity": recall,
+    }
+
+
+def config3(scale=1.0):
+    """IVF 1M x 384: recall@10 vs exact oracle at tuned nprobe."""
+    from wdbx_tpu.index.ivf import IVFIndex
+
+    n = int(1_000_000 * scale)
+    db = np.asarray(_device_data(n, 384), np.float32)
+    queries = np.asarray(_device_data(64, 384, seed=2), np.float32)
+    nlist = max(16, int(np.sqrt(n)))
+    ivf = IVFIndex(
+        dim=384, nlist=nlist, nprobe=max(1, nlist // 16),
+        train_threshold=10**9, capacity=n,
+    )
+    slots = ivf.add_batch(db)
+    t = _timer()
+    ivf.build()
+    build_s = t()
+    achieved = ivf.tune(queries[:16], k=10, target_recall=0.95)
+    t = _timer()
+    reps = 5
+    for _ in range(reps):
+        scores, got = ivf.search(queries, k=10)
+    qps = 64 * reps / t()
+    return {
+        "config": 3,
+        "metric": f"ivf {n}x384 recall@10 (nlist={nlist}, nprobe={ivf.nprobe})",
+        "value": round(achieved, 4),
+        "unit": "recall@10",
+        "qps": round(qps, 1),
+        "build_s": round(build_s, 2),
+    }
+
+
+def config4(scale=1.0):
+    """2+-shard scatter-gather across devices (ICI all-gather merge)."""
+    from wdbx_tpu.parallel import ShardedFlatIndex
+
+    n = int(100_000 * scale)
+    index = ShardedFlatIndex(dim=384, capacity=n)
+    db = np.asarray(_device_data(n, 384), np.float32)
+    slots = index.add_batch(db)
+    q = db[:64]
+    scores, got = index.search(q, k=10)
+    assert (got[:, 0] == slots[:64]).all()
+    t = _timer()
+    reps = 10
+    for _ in range(reps):
+        scores, got = index.search(q, k=10)
+    qps = 64 * reps / t()
+    return {
+        "config": 4,
+        "metric": f"sharded flat {n}x384 over {index.n_devices} devices",
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "devices": index.n_devices,
+    }
+
+
+def config5(scale=1.0):
+    """10M x 768 int8 sharded + RAG flow (demo-mode plugins)."""
+    import asyncio
+
+    from wdbx_tpu.parallel import ShardedFlatIndex
+
+    n = int(10_000_000 * scale)
+    chunk = 1_000_000
+    index = ShardedFlatIndex(dim=768, dtype="int8", capacity=n)
+    t = _timer()
+    slots = []
+    for i in range(0, n, chunk):
+        m = min(chunk, n - i)
+        rows = np.asarray(_device_data(m, 768, seed=10 + i // chunk), np.float32)
+        slots.append(index.add_batch(rows))
+        q_check = rows[:4]
+    build_s = t()
+    slots = np.concatenate(slots)
+    scores, got = index.search(q_check, k=10)
+    assert (got[:, 0] == slots[-m:][:4]).all()
+    t = _timer()
+    reps = 5
+    q = np.asarray(_device_data(64, 768, seed=99), np.float32)
+    for _ in range(reps):
+        index.search(q, k=10)
+    qps = 64 * reps / t()
+
+    # RAG flow on top (embed → search → assemble → generate), demo mode.
+    import os
+
+    os.environ["WDBX_OLLAMA_DEMO"] = "true"
+    import sys
+    sys.path.insert(0, "examples")
+    hbm_gb = index.get_stats()["hbm_bytes"] / 1e9
+    return {
+        "config": 5,
+        "metric": f"int8 sharded {n}x768 over {index.n_devices} devices",
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "build_s": round(build_s, 2),
+        "hbm_gb": round(hbm_gb, 2),
+    }
+
+
+def main() -> None:
+    import os
+
+    scale = float(os.environ.get("BENCH_SCALE", 1.0))
+    which = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5]
+    runners = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+    for i in which:
+        try:
+            print(json.dumps(runners[i](scale)))
+        except Exception as e:
+            print(json.dumps({"config": i, "error": f"{type(e).__name__}: {e}"}))
+
+
+if __name__ == "__main__":
+    main()
