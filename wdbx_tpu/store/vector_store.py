@@ -34,7 +34,9 @@ from typing import Any
 import numpy as np
 
 from wdbx_tpu.index.base import VectorIndex, create_index
+from wdbx_tpu.native import SlotRegistry
 from wdbx_tpu.store.filters import build_slot_mask, compile_filter
+from wdbx_tpu.utils.metrics import LatencyRecorder
 
 logger = logging.getLogger("wdbx_tpu.store")
 
@@ -67,16 +69,17 @@ class VectorStore:
         self.metadata: dict[str, dict[str, Any]] = {}
         self.raw_vectors: dict[str, np.ndarray] = {}
         self.indices: list[VectorIndex] = []
-        self.id_to_slot: list[dict[str, int]] = []
-        self.slot_to_id: list[dict[int, str]] = []
+        # id <-> slot bookkeeping: native C++ registry when built
+        # (wdbx_tpu/native), Python fallback otherwise.
+        self.registries: list[SlotRegistry] = []
         self._mutations_since_save = 0
         self._lock = threading.RLock()
+        self.metrics = LatencyRecorder()
 
         index_type = config.get("INDEX_TYPE", "flat")
         for _ in range(self.num_shards):
             self.indices.append(create_index(index_type, self.dim, config))
-            self.id_to_slot.append({})
-            self.slot_to_id.append({})
+            self.registries.append(SlotRegistry())
 
         self._create_dirs()
         self._load()
@@ -123,17 +126,16 @@ class VectorStore:
         metadata: dict[str, Any] | None = None,
     ) -> bool:
         arr = self._check_vector(vector)
-        with self._lock:
+        with self.metrics.timed("store"), self._lock:
             shard = self._shard_for(vector_id)
-            existing = self.id_to_slot[shard].get(vector_id)
+            existing = self.registries[shard].lookup(vector_id)
             if existing is not None:
                 self.indices[shard].update_slots(
                     np.asarray([existing]), arr[None, :]
                 )
             else:
                 slot = int(self.indices[shard].add_batch(arr[None, :])[0])
-                self.id_to_slot[shard][vector_id] = slot
-                self.slot_to_id[shard][slot] = vector_id
+                self.registries[shard].put([vector_id], [slot])
             self.metadata[vector_id] = dict(metadata or {})
             if self.keep_raw:
                 self.raw_vectors[vector_id] = arr
@@ -151,11 +153,11 @@ class VectorStore:
         metadata = metadata or {}
         by_shard: dict[int, tuple[list[str], list[np.ndarray]]] = {}
         updates: list[tuple[str, np.ndarray]] = []
-        with self._lock:
+        with self.metrics.timed("batch_store"), self._lock:
             for vid, vec in vectors.items():
                 arr = self._check_vector(vec)
                 shard = self._shard_for(vid)
-                if vid in self.id_to_slot[shard]:
+                if self.registries[shard].contains(vid):
                     updates.append((vid, arr))
                 else:
                     ids, arrs = by_shard.setdefault(shard, ([], []))
@@ -163,12 +165,10 @@ class VectorStore:
                     arrs.append(arr)
             for shard, (ids, arrs) in by_shard.items():
                 slots = self.indices[shard].add_batch(np.stack(arrs))
-                for vid, slot in zip(ids, slots):
-                    self.id_to_slot[shard][vid] = int(slot)
-                    self.slot_to_id[shard][int(slot)] = vid
+                self.registries[shard].put(ids, [int(s) for s in slots])
             for vid, arr in updates:
                 shard = self._shard_for(vid)
-                slot = self.id_to_slot[shard][vid]
+                slot = self.registries[shard].lookup(vid)
                 self.indices[shard].update_slots(np.asarray([slot]), arr[None, :])
             for vid in vectors:
                 self.metadata[vid] = dict(metadata.get(vid, {}))
@@ -180,10 +180,9 @@ class VectorStore:
     def delete(self, vector_id: str) -> bool:
         with self._lock:
             shard = self._shard_for(vector_id)
-            slot = self.id_to_slot[shard].pop(vector_id, None)
+            slot = self.registries[shard].remove(vector_id)
             if slot is None:
                 return False
-            self.slot_to_id[shard].pop(slot, None)
             self.indices[shard].remove_slots(np.asarray([slot]))
             self.metadata.pop(vector_id, None)
             self.raw_vectors.pop(vector_id, None)
@@ -193,7 +192,7 @@ class VectorStore:
     def update_metadata(self, vector_id: str, metadata: dict[str, Any]) -> bool:
         with self._lock:
             shard = self._shard_for(vector_id)
-            if vector_id not in self.id_to_slot[shard]:
+            if not self.registries[shard].contains(vector_id):
                 return False
             self.metadata[vector_id] = dict(metadata)
             self._after_mutation()
@@ -202,7 +201,7 @@ class VectorStore:
     # -- read -------------------------------------------------------------
     def get(self, vector_id: str) -> tuple[list[float], dict[str, Any]] | None:
         shard = self._shard_for(vector_id)
-        slot = self.id_to_slot[shard].get(vector_id)
+        slot = self.registries[shard].lookup(vector_id)
         if slot is None:
             return None
         if vector_id in self.raw_vectors:
@@ -212,7 +211,7 @@ class VectorStore:
         return vec.tolist(), self.metadata.get(vector_id, {})
 
     def count(self) -> int:
-        return sum(len(m) for m in self.id_to_slot)
+        return sum(reg.size() for reg in self.registries)
 
     # -- search -----------------------------------------------------------
     def search(
@@ -252,7 +251,7 @@ class VectorStore:
         fetch_k = limit if (use_pre or not filter_metadata) else max(limit * 4, 50)
 
         per_shard: list[tuple[np.ndarray, np.ndarray, int]] = []
-        with self._lock:
+        with self.metrics.timed("search_batch" if b > 1 else "search"), self._lock:
             for shard, index in enumerate(self.indices):
                 mask = None
                 if use_pre:
@@ -260,7 +259,7 @@ class VectorStore:
                         index.capacity,
                         (
                             (slot, vid)
-                            for vid, slot in self.id_to_slot[shard].items()
+                            for vid, slot in self.registries[shard].items()
                         ),
                         self.metadata,
                         filter_metadata,
@@ -277,11 +276,11 @@ class VectorStore:
             for qi in range(b):
                 cands: list[tuple[str, float]] = []
                 for scores, slots, shard in per_shard:
-                    lookup = self.slot_to_id[shard]
+                    reg = self.registries[shard]
                     for score, slot in zip(scores[qi], slots[qi]):
                         if slot < 0 or score == -np.inf:
                             continue
-                        vid = lookup.get(int(slot))
+                        vid = reg.id_of(int(slot))
                         if vid is None:
                             continue
                         cands.append((vid, float(score)))
@@ -315,9 +314,7 @@ class VectorStore:
             n = self.count()
             for index in self.indices:
                 index.clear()
-            for maps in (self.id_to_slot, self.slot_to_id):
-                for m in maps:
-                    m.clear()
+            self.registries = [SlotRegistry() for _ in self.indices]
             self.metadata.clear()
             self.raw_vectors.clear()
             self.save()
@@ -331,6 +328,7 @@ class VectorStore:
 
     def get_stats(self) -> dict[str, Any]:
         return {
+            "latency": self.metrics.summary(),
             "vector_count": self.count(),
             "vector_dimension": self.dim,
             "num_shards": self.num_shards,
@@ -351,7 +349,7 @@ class VectorStore:
                 json.dump(self.metadata, f)
             for shard, index in enumerate(self.indices):
                 index.save(self._index_path(shard))
-                maps = {vid: slot for vid, slot in self.id_to_slot[shard].items()}
+                maps = dict(self.registries[shard].items())
                 with open(self._index_path(shard) + ".ids.json", "w") as f:
                     json.dump(maps, f)
             if self.keep_raw and self.raw_vectors:
@@ -376,19 +374,16 @@ class VectorStore:
                 if index.load(self._index_path(shard)):
                     with open(self._index_path(shard) + ".ids.json") as f:
                         id_map = json.load(f)
-                    self.id_to_slot[shard] = {
-                        vid: int(slot) for vid, slot in id_map.items()
-                    }
-                    self.slot_to_id[shard] = {
-                        int(slot): vid for vid, slot in id_map.items()
-                    }
+                    reg = SlotRegistry()
+                    reg.put(list(id_map.keys()),
+                            [int(s) for s in id_map.values()])
+                    self.registries[shard] = reg
             except (ValueError, OSError, KeyError) as e:
                 # Corrupt index state → fresh index, matching the
                 # reference's fallback (reference wdbx/core/indexing.py:309-315).
                 logger.warning("failed to load shard %d: %s", shard, e)
                 index.clear()
-                self.id_to_slot[shard] = {}
-                self.slot_to_id[shard] = {}
+                self.registries[shard] = SlotRegistry()
         raw_path = os.path.join(self.data_dir, "vectors", "raw.npz")
         if self.keep_raw and os.path.exists(raw_path):
             try:

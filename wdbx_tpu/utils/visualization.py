@@ -157,8 +157,8 @@ class VectorVisualizer:
         store = self.wdbx.store
         ids, vecs, metas = [], [], []
         with store._lock:
-            for shard_map in store.id_to_slot:
-                for vid in shard_map:
+            for registry in store.registries:
+                for vid, _slot in registry.items():
                     if len(ids) >= max_vectors:
                         break
                     got = store.get(vid)
