@@ -320,3 +320,58 @@ class TestInt8:
         assert idx2.load(f"{temp_dir}/i8s")
         _, got = idx2.search(vecs[2:6], k=1)
         np.testing.assert_array_equal(got[:, 0], slots[2:6])
+
+
+class TestTopkMethods:
+    def test_fused_matches_exact(self, rng):
+        from wdbx_tpu.index import FlatIndex
+
+        vecs = _normed(rng, 600, 32)
+        exact_idx = FlatIndex(dim=32, capacity=1024)
+        fused_idx = FlatIndex(dim=32, capacity=1024, topk_method="fused")
+        s1 = exact_idx.add_batch(vecs)
+        s2 = fused_idx.add_batch(vecs)
+        q = _normed(rng, 8, 32)
+        _, got_e = exact_idx.search(q, k=10)
+        _, got_f = fused_idx.search(q, k=10)
+        for a, b in zip(got_e, got_f):
+            assert set(a.tolist()) == set(b.tolist())
+
+    def test_fused_respects_tombstones_and_mask(self, rng):
+        from wdbx_tpu.index import FlatIndex
+
+        idx = FlatIndex(dim=16, capacity=1024, topk_method="fused")
+        vecs = _normed(rng, 50, 16)
+        slots = idx.add_batch(vecs)
+        idx.remove_slots(slots[:5])
+        _, got = idx.search(vecs[0], k=5)
+        assert slots[0] not in got[0]
+        mask = np.zeros(idx.capacity, bool)
+        mask[slots[20:]] = True
+        _, got = idx.search(vecs[25], k=3, slot_mask=mask)
+        assert got[0, 0] == slots[25]
+
+    def test_fused_k_exceeds_live(self, rng):
+        from wdbx_tpu.index import FlatIndex
+
+        idx = FlatIndex(dim=8, capacity=1024, topk_method="fused")
+        vecs = _normed(rng, 3, 8)
+        idx.add_batch(vecs)
+        scores, got = idx.search(vecs[:1], k=8)
+        live = got[0][got[0] >= 0]
+        assert len(live) == 3
+
+    def test_approx_method(self, rng):
+        from wdbx_tpu.index import FlatIndex
+
+        idx = FlatIndex(dim=32, capacity=2048, topk_method="approx")
+        vecs = _normed(rng, 500, 32)
+        slots = idx.add_batch(vecs)
+        _, got = idx.search(vecs[:4], k=1)
+        np.testing.assert_array_equal(got[:, 0], slots[:4])
+
+    def test_unknown_method_raises(self):
+        from wdbx_tpu.index import FlatIndex
+
+        with pytest.raises(ValueError):
+            FlatIndex(dim=8, topk_method="magic")

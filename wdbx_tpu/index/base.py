@@ -107,6 +107,8 @@ def create_index(kind: str, dim: int, config: Any = None) -> "VectorIndex":
         kwargs["metric"] = config.get("INDEX_METRIC", "cosine")
         kwargs["dtype"] = config.get("INDEX_DTYPE", "float32")
     if kind == "flat":
+        if config is not None:
+            kwargs["topk_method"] = config.get("INDEX_TOPK", "exact")
         return FlatIndex(dim, **kwargs)
     if kind == "ivf":
         if config is not None:

@@ -70,10 +70,14 @@ class FlatIndex(VectorIndex):
         metric: str = "cosine",
         dtype: str = "float32",
         capacity: int = 1024,
+        topk_method: str = "exact",
     ):
         super().__init__(dim, metric)
         if dtype not in _DTYPES:
             raise ValueError(f"unsupported slab dtype: {dtype}")
+        if topk_method not in ("exact", "approx", "fused"):
+            raise ValueError(f"unsupported topk method: {topk_method}")
+        self.topk_method = topk_method
         self.dtype_name = dtype
         self._dtype = _DTYPES[dtype]
         self._precision = "highest" if dtype == "float32" else "default"
@@ -212,10 +216,25 @@ class FlatIndex(VectorIndex):
             mask = np.zeros(self._cap, bool)
             mask[: len(slot_mask)] = slot_mask[: self._cap]
             valid = jnp.logical_and(valid, jnp.asarray(mask))
-        scores, idx = exact_search(
-            self._slab, q, k=k, valid=valid, precision=self._precision,
-            scales=self._scales,
-        )
+        if self.topk_method == "fused" and not self._is_int8:
+            from wdbx_tpu.kernels.fused_topk import fused_topk_search
+
+            block_n = min(2048, self._cap)
+            scores, idx = fused_topk_search(
+                self._slab, q, valid, k=min(k, self._cap), block_n=block_n,
+                interpret=jax.default_backend() != "tpu",  # Mosaic is TPU-only
+            )
+            if scores.shape[1] < k:
+                pad = k - scores.shape[1]
+                scores = jnp.pad(scores, ((0, 0), (0, pad)),
+                                 constant_values=-jnp.inf)
+                idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
+            scores = jnp.where(scores <= -3.0e38, -jnp.inf, scores)
+        else:
+            scores, idx = exact_search(
+                self._slab, q, k=k, valid=valid, precision=self._precision,
+                scales=self._scales, method=self.topk_method,
+            )
         scores = np.asarray(scores[:b])
         slots = np.asarray(idx[:b], np.int64)
         slots[scores == -np.inf] = -1

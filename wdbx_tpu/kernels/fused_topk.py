@@ -1,0 +1,137 @@
+"""Pallas fused score+top-k kernel.
+
+The XLA path (ops/exact_search.py) materializes the full ``(B, N)``
+score matrix in HBM between the matmul and the top-k — at 1M rows and
+batch 64 that is an extra 256 MB written and re-read per batch, on a
+bandwidth-bound op. This kernel streams the database through VMEM in
+``(BLOCK_N, d)`` tiles, scores each tile on the MXU, and folds the tile
+into a running per-query top-k held in VMEM scratch — scores never
+touch HBM, so per-batch traffic drops to the slab read itself.
+
+TPU grid semantics make this natural: grid steps run sequentially on a
+core and scratch persists across steps (pallas_guide.md 'Grid and Block
+Specifications'), so the running top-k is a plain scratch accumulator —
+init on the first step, emit on the last.
+
+Selection is K passes of max+argmax+mask on the VPU (K*B*BLOCK_N ops per
+tile — noise next to the matmul); ``lax.top_k``'s sort lowering is
+avoided inside the kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -3.4e38  # effective -inf as a Python float (kernels can't capture arrays)
+
+
+def _fold_topk(scores, base_idx, tv, ti, k: int):
+    """Merge a (B, C) score tile into the running (B, k) scratch REFS:
+    tile and running candidates side by side, then k passes of
+    max/argmax/mask on the VPU extract the new descending top-k.
+    Writes go straight to the refs with static column indices (Mosaic
+    has no scatter/dynamic_update_slice on values)."""
+    b, c = scores.shape
+    tile_idx = (
+        jax.lax.broadcasted_iota(jnp.int32, (b, c), 1) + base_idx
+    )
+    work_v = jnp.concatenate([scores, tv[:]], axis=1)  # (B, C+k)
+    work_i = jnp.concatenate([tile_idx, ti[:]], axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, c + k), 1)
+    for j in range(k):
+        m = jnp.max(work_v, axis=-1)  # (B,)
+        am = jnp.argmax(work_v, axis=-1).astype(jnp.int32)  # (B,)
+        onehot = col == am[:, None]
+        # Mosaic-friendly gather: exactly one column matches, so a masked
+        # sum extracts the picked index without a gather op.
+        picked = jnp.sum(jnp.where(onehot, work_i, 0), axis=-1)
+        tv[:, j] = m
+        ti[:, j] = picked
+        work_v = jnp.where(onehot, NEG, work_v)
+
+
+def _kernel(q_ref, db_ref, valid_ref, out_v_ref, out_i_ref, tv, ti, *, k: int,
+            block_n: int):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        tv[:] = jnp.full_like(tv, NEG)
+        ti[:] = jnp.full_like(ti, -1)
+
+    scores = jax.lax.dot_general(
+        q_ref[:], db_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, BLOCK_N)
+    valid = valid_ref[:]  # (1, BLOCK_N) int8 mask
+    scores = jnp.where(valid != 0, scores, NEG)
+    _fold_topk(scores, i * block_n, tv, ti, k)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _emit():
+        out_v_ref[:] = tv[:]
+        out_i_ref[:] = ti[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_n", "interpret")
+)
+def fused_topk_search(
+    db: jax.Array,
+    queries: jax.Array,
+    valid: jax.Array,
+    k: int = 10,
+    block_n: int = 2048,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k inner products of ``queries`` (B, d) against ``db`` (N, d).
+
+    ``N`` must be a multiple of ``block_n`` (capacity slabs are powers of
+    two, so this holds by construction). Returns ``(values, indices)``
+    of shape ``(B, k)``; sorted descending because the fold fills ranks
+    in order. Invalid rows surface as ``-3.4e38``/whatever index — mask
+    them by score like the exact_search contract.
+    """
+    n, d = db.shape
+    b = queries.shape[0]
+    assert n % block_n == 0, (n, block_n)
+    grid = (n // block_n,)
+    valid_i8 = valid.astype(jnp.int8).reshape(1, n)
+    queries = queries.astype(db.dtype)
+
+    out_v, out_i = pl.pallas_call(
+        functools.partial(_kernel, k=k, block_n=block_n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, k), jnp.float32),
+            pltpu.VMEM((b, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=n * d * db.dtype.itemsize + b * d * 4 + n,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries, db, valid_i8)
+    return out_v, out_i
