@@ -32,6 +32,10 @@ import time
 
 import numpy as np
 
+# Persistent XLA compilation cache: repeat bench runs (and the driver's
+# round-end run) skip the 20-40s first-compile cost.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_wdbx")
+
 
 def main() -> None:
     n = int(os.environ.get("BENCH_N", 1_048_576))
