@@ -375,3 +375,55 @@ class TestTopkMethods:
 
         with pytest.raises(ValueError):
             FlatIndex(dim=8, topk_method="magic")
+
+
+class TestCompaction:
+    def test_compact_repacks_live_rows(self, rng):
+        from wdbx_tpu.index import FlatIndex
+
+        idx = FlatIndex(dim=16)
+        vecs = _normed(rng, 40, 16)
+        slots = idx.add_batch(vecs)
+        idx.remove_slots(slots[10:30])
+        old, new = idx.compact()
+        assert len(old) == 20 and (new == np.arange(20)).all()
+        assert idx.count() == 20
+        assert idx.get_stats()["tombstones"] == 0
+        # survivors still findable at their new slots
+        remap = dict(zip(old.tolist(), new.tolist()))
+        _, got = idx.search(vecs[0], k=1)
+        assert got[0, 0] == remap[slots[0]]
+
+    def test_store_optimize_compacts_and_remaps(self, temp_dir, rng):
+        from wdbx_tpu.core.config import WDBXConfig
+        from wdbx_tpu.store.vector_store import VectorStore
+
+        cfg = WDBXConfig(
+            {"VECTOR_DIMENSION": 8, "NUM_SHARDS": 1, "DATA_DIR": temp_dir}
+        )
+        store = VectorStore(cfg)
+        vecs = {f"v{i}": rng.standard_normal(8).astype(np.float32) for i in range(200)}
+        store.batch_store(vecs)
+        for i in range(150):
+            store.delete(f"v{i}")
+        assert store.optimize()
+        assert store.indices[0].get_stats()["tombstones"] == 0
+        # remaining ids still resolve correctly after remap
+        hits = store.search(vecs["v180"], limit=1)
+        assert hits[0][0] == "v180"
+        assert store.get("v199") is not None
+
+    def test_ivf_compact_rebuilds_overlay(self, rng):
+        from wdbx_tpu.index import IVFIndex
+
+        ivf = IVFIndex(dim=16, nlist=4, train_threshold=32)
+        vecs = _normed(rng, 64, 16)
+        slots = ivf.add_batch(vecs)
+        ivf.build()
+        ivf.remove_slots(slots[:32])
+        old, new = ivf.compact()
+        assert ivf.count() == 32
+        assert ivf.is_trained  # rebuilt (32 >= train_threshold)
+        remap = dict(zip(old.tolist(), new.tolist()))
+        _, got = ivf.search(vecs[40], k=1)
+        assert got[0, 0] == remap[slots[40]]

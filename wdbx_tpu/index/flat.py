@@ -247,6 +247,33 @@ class FlatIndex(VectorIndex):
             host = host * np.asarray(self._scales[slots], np.float32)[:, None]
         return host
 
+    def compact(self) -> tuple[np.ndarray, np.ndarray]:
+        """Repack live rows into the lowest slots, reclaiming tombstone
+        fragmentation (the op the reference's fake deletes can never do,
+        reference wdbx/core/indexing.py:525-560). Returns
+        ``(old_slots, new_slots)`` so the caller can remap its id table;
+        rows are moved with one device gather + scatter.
+        """
+        valid = np.asarray(self._valid)
+        live = np.nonzero(valid)[0]
+        n = len(live)
+        old_slots = live.astype(np.int64)
+        new_slots = np.arange(n, dtype=np.int64)
+        moved = old_slots[old_slots != new_slots]
+        if len(moved) == 0:
+            self._free = []
+            self._next_slot = n
+            return old_slots, new_slots
+        rows = self.get_vectors(old_slots)  # dequantized f32 (n, dim)
+        self._alloc(self._cap)
+        self._size = 0
+        self._free = []
+        self._next_slot = 0
+        if n:
+            re_slots = self.add_batch(rows)
+            assert (re_slots == new_slots).all()
+        return old_slots, new_slots
+
     def clear(self) -> None:
         self._alloc(self._cap)
         self._size = 0

@@ -161,6 +161,14 @@ class IVFIndex(FlatIndex):
         if self._size > 0:
             self.build()
 
+    def compact(self):
+        old, new = super().compact()
+        # Bucket tables and fresh buffer reference pre-compaction slots.
+        self._reset_overlay()
+        if self._size >= self.train_threshold:
+            self.build()
+        return old, new
+
     # -- build ---------------------------------------------------------------
     def build(self) -> None:
         """(Re)train centroids and lay out buckets from the live slab."""

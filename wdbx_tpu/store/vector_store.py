@@ -321,8 +321,22 @@ class VectorStore:
         return n
 
     def optimize(self) -> bool:
+        """Compact fragmented shards (remapping the id registry) and run
+        index-specific optimization (IVF retrain)."""
         with self._lock:
-            for index in self.indices:
+            for shard, index in enumerate(self.indices):
+                stats = index.get_stats()
+                tombstones = stats.get("tombstones", 0)
+                if tombstones > max(64, 0.2 * max(1, index.count())):
+                    old, new = index.compact()
+                    remap = {int(o): int(nw) for o, nw in zip(old, new)}
+                    items = self.registries[shard].items()
+                    reg = SlotRegistry()
+                    reg.put(
+                        [vid for vid, _ in items],
+                        [remap[int(slot)] for _, slot in items],
+                    )
+                    self.registries[shard] = reg
                 index.optimize()
         return True
 
