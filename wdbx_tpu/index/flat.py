@@ -142,7 +142,9 @@ class FlatIndex(VectorIndex):
         pad_n = _next_pow2(max(n, 1))
         # int8 slabs quantize inside the write kernel; keep floats until then.
         staging = jnp.float32 if self._is_int8 else self._dtype
-        vecs = jnp.asarray(np.pad(vectors, ((0, pad_n - n), (0, 0))), staging)
+        if pad_n != n:  # avoid a full host copy when already aligned
+            vectors = np.pad(vectors, ((0, pad_n - n), (0, 0)))
+        vecs = jnp.asarray(vectors, staging)
         if self.metric == "cosine":
             vecs = l2_normalize(vecs).astype(staging)
         pslots = jnp.asarray(

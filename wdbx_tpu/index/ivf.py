@@ -171,47 +171,78 @@ class IVFIndex(FlatIndex):
 
     # -- build ---------------------------------------------------------------
     def build(self) -> None:
-        """(Re)train centroids and lay out buckets from the live slab."""
+        """(Re)train centroids and lay out buckets from the live slab.
+
+        Device-centric: the live-row gather, normalization, k-means
+        training and full assignment pass all run on the TPU; the host
+        only sees the (N,) assignment vector and does a vectorized
+        argsort to lay the bucket table out. (An earlier host-side
+        version cost minutes at 1M x 384 on gather + matmul alone.)
+        """
         hwm = self._next_slot
         if self._size == 0 or hwm == 0:
             self._reset_overlay()
             return
         valid = np.asarray(self._valid[:hwm])
         live_slots = np.nonzero(valid)[0].astype(np.int32)
-        rows = np.asarray(self._slab[live_slots], np.float32)
-        if self.metric == "cosine":
-            norms = np.linalg.norm(rows, axis=-1, keepdims=True)
-            rows = rows / np.maximum(norms, 1e-12)
+        n_live = len(live_slots)
+        live_dev = jnp.asarray(live_slots)
 
-        nlist = min(self.nlist, len(rows))
-        train = rows
-        if len(rows) > self.train_sample:
-            sel = np.random.default_rng(0).choice(
-                len(rows), self.train_sample, replace=False
+        @jax.jit
+        def gather_rows(slab, idx):
+            rows = slab[idx].astype(jnp.float32)
+            if self.metric == "cosine":
+                rows = rows / jnp.maximum(
+                    jnp.linalg.norm(rows, axis=-1, keepdims=True), 1e-12
+                )
+            return rows
+
+        rows_dev = gather_rows(self._slab, live_dev)  # stays on device
+        if self._is_int8:
+            rows_dev = rows_dev * self._scales[live_dev][:, None]
+            rows_dev = rows_dev / jnp.maximum(
+                jnp.linalg.norm(rows_dev, axis=-1, keepdims=True), 1e-12
             )
-            train = rows[sel]
+
+        nlist = min(self.nlist, n_live)
+        train = rows_dev
+        if n_live > self.train_sample:
+            sel = np.random.default_rng(0).choice(
+                n_live, self.train_sample, replace=False
+            )
+            train = rows_dev[jnp.asarray(np.sort(sel))]
         centroids, _ = kmeans(
-            jnp.asarray(train), num_clusters=nlist, iters=self.kmeans_iters
+            train, num_clusters=nlist, iters=self.kmeans_iters
         )
-        centroids = np.asarray(centroids)
-        # Assign *all* live rows to their nearest centroid (chunked matmul).
-        assign = np.empty(len(rows), np.int32)
+
+        assign_fn = jax.jit(
+            lambda r, c: jnp.argmax(
+                jax.lax.dot_general(
+                    r, c, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ),
+                axis=-1,
+            ).astype(jnp.int32)
+        )
         chunk = 131_072
-        for i in range(0, len(rows), chunk):
-            sims = rows[i : i + chunk] @ centroids.T
-            assign[i : i + chunk] = np.argmax(sims, axis=-1)
+        assign = np.empty(n_live, np.int32)
+        for i in range(0, n_live, chunk):
+            end = min(i + chunk, n_live)
+            assign[i:end] = np.asarray(assign_fn(rows_dev[i:end], centroids))
 
         counts = np.bincount(assign, minlength=nlist)
         cap_b = max(8, int(math.ceil(counts.max() / 8.0)) * 8)
-        bucket_slot = np.full((nlist, cap_b), self._cap, np.int32)  # trash row
+        bucket_slot = np.full((nlist, cap_b), self._cap, np.int32)  # OOB pad
         bucket_valid = np.zeros((nlist, cap_b), bool)
-        fill = np.zeros(nlist, np.int64)
+        # Vectorized layout: stable-sort rows by cluster, position within
+        # cluster = global rank - cluster start.
         order = np.argsort(assign, kind="stable")
-        for pos in order:
-            c = assign[pos]
-            bucket_slot[c, fill[c]] = live_slots[pos]
-            bucket_valid[c, fill[c]] = True
-            fill[c] += 1
+        sorted_assign = assign[order]
+        starts = np.searchsorted(sorted_assign, np.arange(nlist))
+        pos_within = np.arange(n_live) - starts[sorted_assign]
+        bucket_slot[sorted_assign, pos_within] = live_slots[order]
+        bucket_valid[sorted_assign, pos_within] = True
+        centroids = np.asarray(centroids)
 
         self._centroids = jnp.asarray(centroids)
         self._bucket_slot = jnp.asarray(bucket_slot)
