@@ -427,3 +427,49 @@ class TestCompaction:
         remap = dict(zip(old.tolist(), new.tolist()))
         _, got = ivf.search(vecs[40], k=1)
         assert got[0, 0] == remap[slots[40]]
+
+
+class TestOrbaxPersistence:
+    def test_flat_orbax_roundtrip(self, rng, temp_dir):
+        from wdbx_tpu.index import FlatIndex
+
+        idx = FlatIndex(dim=16)
+        idx.persist_backend = "orbax"
+        vecs = _normed(rng, 30, 16)
+        slots = idx.add_batch(vecs)
+        idx.remove_slots(slots[:2])
+        idx.save(f"{temp_dir}/ob")
+        idx2 = FlatIndex(dim=16)
+        assert idx2.load(f"{temp_dir}/ob")
+        assert idx2.persist_backend == "orbax"
+        assert idx2.count() == 28
+        _, got = idx2.search(vecs[5], k=1)
+        assert got[0, 0] == slots[5]
+        _, got = idx2.search(vecs[0], k=28)
+        assert slots[0] not in got[0]
+
+    def test_sharded_orbax_roundtrip(self, rng, temp_dir):
+        from wdbx_tpu.parallel import ShardedFlatIndex
+
+        idx = ShardedFlatIndex(dim=16)
+        idx.persist_backend = "orbax"
+        vecs = _normed(rng, 40, 16)
+        slots = idx.add_batch(vecs)
+        idx.save(f"{temp_dir}/obs")
+        idx2 = ShardedFlatIndex(dim=16)
+        assert idx2.load(f"{temp_dir}/obs")
+        _, got = idx2.search(vecs[:4], k=1)
+        np.testing.assert_array_equal(got[:, 0], slots[:4])
+
+    def test_int8_orbax(self, rng, temp_dir):
+        from wdbx_tpu.index import FlatIndex
+
+        idx = FlatIndex(dim=16, dtype="int8")
+        idx.persist_backend = "orbax"
+        vecs = _normed(rng, 20, 16)
+        slots = idx.add_batch(vecs)
+        idx.save(f"{temp_dir}/obi")
+        idx2 = FlatIndex(dim=16, dtype="int8")
+        assert idx2.load(f"{temp_dir}/obi")
+        _, got = idx2.search(vecs[:4], k=1)
+        np.testing.assert_array_equal(got[:, 0], slots[:4])

@@ -78,6 +78,8 @@ class FlatIndex(VectorIndex):
         if topk_method not in ("exact", "approx", "fused"):
             raise ValueError(f"unsupported topk method: {topk_method}")
         self.topk_method = topk_method
+        #: "npz" (host gather, portable) or "orbax" (sharded device I/O)
+        self.persist_backend = "npz"
         self.dtype_name = dtype
         self._dtype = _DTYPES[dtype]
         self._precision = "highest" if dtype == "float32" else "default"
@@ -165,6 +167,17 @@ class FlatIndex(VectorIndex):
 
     def _tombstone_arrays(self, pslots):
         return _tombstone(self._valid, pslots)
+
+    def _abstract_arrays(self) -> dict:
+        """Restore targets for the orbax backend (subclasses attach
+        shardings)."""
+        out = {
+            "slab": jax.ShapeDtypeStruct((self._cap, self.dim), self._dtype),
+            "valid": jax.ShapeDtypeStruct((self._cap,), jnp.bool_),
+        }
+        if self._is_int8:
+            out["scales"] = jax.ShapeDtypeStruct((self._cap,), jnp.float32)
+        return out
 
     def _place(
         self,
@@ -296,17 +309,29 @@ class FlatIndex(VectorIndex):
     # wdbx/core/indexing.py:317-344) without pickle.
     def save(self, path: str) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        hwm = self._next_slot
-        # Host-side slicing: partial slices of sharded slabs are ambiguous
-        # for the partitioner, a full host gather is not.
-        slab = np.asarray(self._slab)[:hwm]
-        if slab.dtype not in (np.float32, np.int8):
-            slab = slab.view(np.uint16)
-        arrays = {"slab": slab, "valid": np.asarray(self._valid)[:hwm]}
-        if self._is_int8:
-            arrays["scales"] = np.asarray(self._scales)[:hwm]
-        np.savez(path + ".npz", **arrays)
-        meta = {
+        if self.persist_backend == "orbax":
+            from wdbx_tpu.store import persist
+
+            arrays = {"slab": self._slab, "valid": self._valid}
+            if self._is_int8:
+                arrays["scales"] = self._scales
+            persist.save_arrays(path, arrays)
+        else:
+            hwm = self._next_slot
+            # Host-side slicing: partial slices of sharded slabs are
+            # ambiguous for the partitioner, a full host gather is not.
+            slab = np.asarray(self._slab)[:hwm]
+            if slab.dtype not in (np.float32, np.int8):
+                slab = slab.view(np.uint16)
+            arrays = {"slab": slab, "valid": np.asarray(self._valid)[:hwm]}
+            if self._is_int8:
+                arrays["scales"] = np.asarray(self._scales)[:hwm]
+            np.savez(path + ".npz", **arrays)
+        with open(path + ".meta.json", "w") as f:
+            json.dump(self._persist_meta(), f)
+
+    def _persist_meta(self) -> dict:
+        return {
             "dim": self.dim,
             "metric": self.metric,
             "dtype": self.dtype_name,
@@ -314,12 +339,12 @@ class FlatIndex(VectorIndex):
             "next_slot": self._next_slot,
             "free": self._free,
             "kind": self.kind,
+            "backend": self.persist_backend,
+            "capacity": self._cap,
         }
-        with open(path + ".meta.json", "w") as f:
-            json.dump(meta, f)
 
     def load(self, path: str) -> bool:
-        if not (os.path.exists(path + ".npz") and os.path.exists(path + ".meta.json")):
+        if not os.path.exists(path + ".meta.json"):
             return False
         with open(path + ".meta.json") as f:
             meta = json.load(f)
@@ -327,11 +352,31 @@ class FlatIndex(VectorIndex):
             raise ValueError(
                 f"persisted index dim {meta['dim']} != configured {self.dim}"
             )
-        data = np.load(path + ".npz")
-        slab, valid = data["slab"], data["valid"]
         self.dtype_name = meta["dtype"]
         self._dtype = _DTYPES[self.dtype_name]
         self._precision = "highest" if self.dtype_name == "float32" else "default"
+        if meta.get("backend") == "orbax":
+            from wdbx_tpu.store import persist
+
+            if not persist.exists(path):
+                return False
+            self._cap = int(meta["capacity"])
+            restored = persist.load_arrays(path, self._abstract_arrays())
+            if restored is None:
+                return False
+            self._slab = restored["slab"]
+            self._valid = restored["valid"]
+            if "scales" in restored:
+                self._scales = restored["scales"]
+            self._size = int(meta["size"])
+            self._next_slot = int(meta["next_slot"])
+            self._free = [int(s) for s in meta["free"]]
+            self.persist_backend = "orbax"
+            return True
+        if not os.path.exists(path + ".npz"):
+            return False
+        data = np.load(path + ".npz")
+        slab, valid = data["slab"], data["valid"]
         if slab.dtype == np.uint16:
             slab = slab.view(jnp.bfloat16)
         hwm = int(meta["next_slot"])

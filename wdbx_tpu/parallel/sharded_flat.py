@@ -277,13 +277,44 @@ class ShardedFlatIndex(FlatIndex):
         return rows
 
     # -- persistence -------------------------------------------------------
+    def _abstract_arrays(self) -> dict:
+        rpd = self._cap // self.n_devices
+        out = {
+            "slab": jax.ShapeDtypeStruct(
+                (self.n_devices, rpd, self.dim), self._dtype,
+                sharding=self._sharding(P(self.axis, None, None)),
+            ),
+            "valid": jax.ShapeDtypeStruct(
+                (self.n_devices, rpd), jnp.bool_,
+                sharding=self._sharding(P(self.axis, None)),
+            ),
+            "scales": jax.ShapeDtypeStruct(
+                (self.n_devices, rpd), jnp.float32,
+                sharding=self._sharding(P(self.axis, None)),
+            ),
+        }
+        return out
+
     def save(self, path: str) -> None:
-        # Reuse FlatIndex's on-disk format (slot-ordered rows) so single-
-        # and multi-device deployments can load each other's checkpoints.
         import json
         import os
 
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        if self.persist_backend == "orbax":
+            # Per-device shard I/O, no host gather — the path that scales
+            # to pod-sized slabs.
+            from wdbx_tpu.store import persist
+
+            persist.save_arrays(
+                path,
+                {"slab": self._slab, "valid": self._valid,
+                 "scales": self._scales},
+            )
+            with open(path + ".meta.json", "w") as f:
+                json.dump(self._persist_meta(), f)
+            return
+        # npz: slot-ordered host layout, interchangeable with FlatIndex
+        # checkpoints across device counts.
         slab, valid = self._host_slot_view()
         hwm = self._next_slot
         slab = slab[:hwm]
@@ -293,17 +324,8 @@ class ShardedFlatIndex(FlatIndex):
         if self._is_int8:
             arrays["scales"] = np.asarray(self._scales).T.reshape(-1)[:hwm]
         np.savez(path + ".npz", **arrays)
-        meta = {
-            "dim": self.dim,
-            "metric": self.metric,
-            "dtype": self.dtype_name,
-            "size": self._size,
-            "next_slot": self._next_slot,
-            "free": self._free,
-            "kind": self.kind,
-        }
         with open(path + ".meta.json", "w") as f:
-            json.dump(meta, f)
+            json.dump(self._persist_meta(), f)
 
     def get_stats(self) -> dict:
         stats = super().get_stats()

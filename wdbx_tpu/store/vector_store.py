@@ -77,8 +77,11 @@ class VectorStore:
         self.metrics = LatencyRecorder()
 
         index_type = config.get("INDEX_TYPE", "flat")
+        persist_backend = str(config.get("PERSIST_BACKEND", "npz"))
         for _ in range(self.num_shards):
-            self.indices.append(create_index(index_type, self.dim, config))
+            index = create_index(index_type, self.dim, config)
+            index.persist_backend = persist_backend
+            self.indices.append(index)
             self.registries.append(SlotRegistry())
 
         self._create_dirs()
