@@ -72,3 +72,47 @@ class TestConfig:
         cfg = WDBXConfig(config_file=str(path))
         assert cfg.get("VECTOR_DIMENSION") == 777
         assert cfg.get_source("VECTOR_DIMENSION") == "file"
+
+
+class TestFromFile:
+    def test_yaml_sections_map_to_flat_keys(self, tmp_path):
+        path = tmp_path / "cfg.yaml"
+        path.write_text(
+            "core:\n"
+            "  vector_dimension: 128\n"
+            "  num_shards: 4\n"
+            "indexing:\n"
+            "  type: ivf\n"
+            "  dtype: bfloat16\n"
+            "  ivf:\n"
+            "    nlist: 64\n"
+            "    nprobe: 4\n"
+            "api:\n"
+            "  port: 9001\n"
+            "plugins:\n"
+            "  enabled: false\n"
+            "  ollama:\n"
+            "    model: mistral\n"
+        )
+        cfg = WDBXConfig.from_file(str(path))
+        assert cfg.get("VECTOR_DIMENSION") == 128
+        assert cfg.get("NUM_SHARDS") == 4
+        assert cfg.get("INDEX_TYPE") == "ivf"
+        assert cfg.get("INDEX_DTYPE") == "bfloat16"
+        assert cfg.get("IVF_NLIST") == 64
+        assert cfg.get("IVF_NPROBE") == 4
+        assert cfg.get("API_PORT") == 9001
+        assert cfg.get("PLUGINS_ENABLED") is False
+        assert cfg.get("OLLAMA_MODEL") == "mistral"
+
+    def test_overrides_win(self, tmp_path):
+        path = tmp_path / "cfg.yaml"
+        path.write_text("core:\n  vector_dimension: 128\n")
+        cfg = WDBXConfig.from_file(str(path), vector_dimension=64)
+        assert cfg.get("VECTOR_DIMENSION") == 64
+
+    def test_canonical_repo_config_loads(self):
+        cfg = WDBXConfig.from_file("config/wdbx_config.yaml")
+        assert cfg.get("VECTOR_DIMENSION") == 384
+        assert cfg.get("IVF_NLIST") == 100
+        assert cfg.get("INDEX_TYPE") == "flat"

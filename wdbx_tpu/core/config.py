@@ -88,6 +88,27 @@ def _infer(value: str) -> Any:
     return value
 
 
+#: section-qualified YAML keys → flat config keys
+_SECTION_MAP = {
+    "CORE_": "",
+    "INDEXING_IVF_": "IVF_",
+    "INDEXING_": "INDEX_",
+    "PARALLEL_MESH_AXIS": "MESH_AXIS",
+    "PARALLEL_REPLICATION_FACTOR": "DISTRIBUTED_REPLICATION_FACTOR",
+    "PLUGINS_ENABLED": "PLUGINS_ENABLED",
+    "PLUGINS_": "",
+}
+
+
+def _map_section_key(key: str) -> str:
+    for prefix, repl in _SECTION_MAP.items():
+        if key == prefix:
+            return repl
+        if key.startswith(prefix) and prefix.endswith("_"):
+            return repl + key[len(prefix):]
+    return key
+
+
 class WDBXConfig:
     """Flat key-value config with provenance tracking."""
 
@@ -169,6 +190,22 @@ class WDBXConfig:
             return type_(value)
         except (ValueError, TypeError):
             return default
+
+    @classmethod
+    def from_file(cls, path: str, **overrides: Any) -> "WDBXConfig":
+        """Build a config from a hierarchical YAML/JSON file (the
+        config/wdbx_config.yaml shape): sections flatten via
+        utils/config_loader and map onto the flat keyspace
+        (``core.vector_dimension`` → ``VECTOR_DIMENSION``,
+        ``indexing.ivf.nlist`` → ``IVF_NLIST``, ...)."""
+        from wdbx_tpu.utils.config_loader import load_config
+
+        flat = load_config(path)
+        mapped: dict[str, Any] = {}
+        for key, value in flat.items():
+            mapped[_map_section_key(key)] = value
+        mapped.update({k.upper(): v for k, v in overrides.items()})
+        return cls(mapped)
 
     def get_source(self, key: str) -> str | None:
         return self._sources.get(key.upper())
