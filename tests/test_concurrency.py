@@ -1,0 +1,119 @@
+"""Thread-safety stress tests.
+
+The reference mutates shared dicts from thread pools with no locking
+(SURVEY.md §5.2 — GIL roulette). Our store serializes mutation under an
+RLock; these tests hammer it from many threads and assert invariants.
+"""
+
+import threading
+
+import numpy as np
+
+from wdbx_tpu.core.config import WDBXConfig
+from wdbx_tpu.store.vector_store import VectorStore
+
+
+def make_store(temp_dir, dim=8, shards=2):
+    return VectorStore(
+        WDBXConfig(
+            {
+                "VECTOR_DIMENSION": dim,
+                "NUM_SHARDS": shards,
+                "DATA_DIR": temp_dir,
+                "VECTOR_STORE_AUTOSAVE_INTERVAL": 0,  # no mid-test saves
+            }
+        )
+    )
+
+
+class TestConcurrency:
+    def test_parallel_writers(self, temp_dir):
+        store = make_store(temp_dir)
+        rng = np.random.default_rng(0)
+        vecs = rng.standard_normal((200, 8)).astype(np.float32)
+        errors = []
+
+        def writer(t):
+            try:
+                for i in range(50):
+                    store.store(f"t{t}-v{i}", vecs[(t * 50 + i) % 200])
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=writer, args=(t,)) for t in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errors
+        assert store.count() == 200
+        # every id resolves and round-trips
+        for t in range(4):
+            assert store.get(f"t{t}-v49") is not None
+
+    def test_readers_during_writes(self, temp_dir):
+        store = make_store(temp_dir)
+        rng = np.random.default_rng(1)
+        vecs = rng.standard_normal((100, 8)).astype(np.float32)
+        store.batch_store({f"seed{i}": vecs[i] for i in range(50)})
+        errors = []
+        stop = threading.Event()
+
+        def reader():
+            try:
+                while not stop.is_set():
+                    hits = store.search(vecs[0], limit=5)
+                    for vid, score, meta in hits:
+                        assert isinstance(vid, str)
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        def writer():
+            try:
+                for i in range(50, 100):
+                    store.store(f"w{i}", vecs[i])
+                    if i % 7 == 0:
+                        store.delete(f"w{i}")
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        readers = [threading.Thread(target=reader) for _ in range(3)]
+        w = threading.Thread(target=writer)
+        for th in readers:
+            th.start()
+        w.start()
+        w.join()
+        stop.set()
+        for th in readers:
+            th.join()
+        assert not errors
+
+    def test_mixed_delete_add_slot_consistency(self, temp_dir):
+        store = make_store(temp_dir, shards=1)
+        rng = np.random.default_rng(2)
+        vecs = rng.standard_normal((300, 8)).astype(np.float32)
+        store.batch_store({f"v{i}": vecs[i] for i in range(100)})
+        errors = []
+
+        def deleter():
+            try:
+                for i in range(0, 100, 2):
+                    store.delete(f"v{i}")
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        def adder():
+            try:
+                for i in range(100, 200):
+                    store.store(f"v{i}", vecs[i])
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        t1, t2 = threading.Thread(target=deleter), threading.Thread(target=adder)
+        t1.start(); t2.start(); t1.join(); t2.join()
+        assert not errors
+        assert store.count() == 150
+        # slot table consistent: every surviving id searchable at top-1
+        for vid in ("v1", "v99", "v100", "v199"):
+            hits = store.search(np.asarray(store.get(vid)[0]), limit=1)
+            assert hits[0][0] == vid
