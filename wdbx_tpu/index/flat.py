@@ -129,10 +129,16 @@ class FlatIndex(VectorIndex):
             self._next_slot += fresh
         return np.asarray(slots, np.int64)
 
-    def _prep(self, vectors: np.ndarray) -> np.ndarray:
-        vectors = np.asarray(vectors, np.float32)
-        if vectors.ndim == 1:
-            vectors = vectors[None, :]
+    def _prep(self, vectors) -> np.ndarray:
+        if isinstance(vectors, jax.Array):
+            # Device arrays stay on device — no host round trip for
+            # ingest pipelines that generate/embed on the TPU.
+            if vectors.ndim == 1:
+                vectors = vectors[None, :]
+        else:
+            vectors = np.asarray(vectors, np.float32)
+            if vectors.ndim == 1:
+                vectors = vectors[None, :]
         if vectors.shape[-1] != self.dim:
             raise ValueError(
                 f"vector dimension {vectors.shape[-1]} != index dimension {self.dim}"
@@ -144,8 +150,9 @@ class FlatIndex(VectorIndex):
         pad_n = _next_pow2(max(n, 1))
         # int8 slabs quantize inside the write kernel; keep floats until then.
         staging = jnp.float32 if self._is_int8 else self._dtype
-        if pad_n != n:  # avoid a full host copy when already aligned
-            vectors = np.pad(vectors, ((0, pad_n - n), (0, 0)))
+        if pad_n != n:  # avoid a full copy when already aligned
+            pad_fn = jnp.pad if isinstance(vectors, jax.Array) else np.pad
+            vectors = pad_fn(vectors, ((0, pad_n - n), (0, 0)))
         vecs = jnp.asarray(vectors, staging)
         if self.metric == "cosine":
             vecs = l2_normalize(vecs).astype(staging)

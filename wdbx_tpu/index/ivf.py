@@ -40,7 +40,7 @@ from wdbx_tpu.ops.kmeans import kmeans
 from wdbx_tpu.ops.normalize import l2_normalize
 
 
-@partial(jax.jit, static_argnames=("k", "nprobe", "precision"))
+@partial(jax.jit, static_argnames=("k", "nprobe", "precision", "int8"))
 def _ivf_search(
     slab,
     valid,
@@ -49,10 +49,12 @@ def _ivf_search(
     bucket_valid,
     residual_slots,
     residual_count,
+    scales,
     q,
     k,
     nprobe,
     precision,
+    int8=False,
 ):
     b = q.shape[0]
     # 1. Probe selection: one small MXU matmul over the centroid table.
@@ -66,21 +68,35 @@ def _ivf_search(
     cslots = bucket_slot[probe]  # (B, P, C)
     cvalid = jnp.logical_and(bucket_valid[probe], valid[cslots])
     cand = slab[cslots]  # (B, P, C, d) — the only large HBM read
+    if int8:
+        cand = cand.astype(jnp.bfloat16)
+        qq = q.astype(jnp.bfloat16)
+    else:
+        qq = q.astype(cand.dtype)
     scores = jnp.einsum(
-        "bpcd,bd->bpc", cand.astype(jnp.float32), q,
+        "bpcd,bd->bpc", cand, qq,
         preferred_element_type=jnp.float32, precision=precision,
     )
+    if int8:
+        scores = scores * scales[cslots]
     scores = jnp.where(cvalid, scores, -jnp.inf).reshape(b, -1)
     flat_slots = cslots.reshape(b, -1)
 
     # 3. Fresh buffer: brute-scan residual (recently added) slots.
     r_cap = residual_slots.shape[0]
     if r_cap:
-        rows = slab[residual_slots].astype(jnp.float32)  # (R, d)
+        rows = slab[residual_slots]  # (R, d)
+        if int8:
+            rows = rows.astype(jnp.bfloat16)
+            rq = q.astype(jnp.bfloat16)
+        else:
+            rq = q.astype(rows.dtype)
         r_scores = jax.lax.dot_general(
-            q, rows, (((1,), (1,)), ((), ())),
+            rq, rows, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
+        if int8:
+            r_scores = r_scores * scales[residual_slots][None, :]
         live = jnp.arange(r_cap) < residual_count
         r_valid = jnp.logical_and(valid[residual_slots], live)
         r_scores = jnp.where(r_valid[None, :], r_scores, -jnp.inf)
@@ -279,6 +295,18 @@ class IVFIndex(FlatIndex):
         queries = self._prep(queries)
         b = len(queries)
         pad_b = _next_pow2(max(b, 1))
+        # Guards: (a) probing most buckets reads ~the whole slab anyway,
+        # so a flat scan is strictly better; (b) the gathered candidate
+        # tensor is B*P*C*d floats — cap it to a sane HBM budget.
+        nprobe = min(self.nprobe, int(self._bucket_slot.shape[0]))
+        cap_b = int(self._bucket_slot.shape[1])
+        if nprobe >= 0.5 * self._bucket_slot.shape[0]:
+            return super().search(queries, k, slot_mask)
+        budget = 2 << 30  # 2 GiB for the gathered candidates
+        max_probe = max(1, budget // (pad_b * cap_b * self.dim * 4))
+        if nprobe > max_probe:
+            return super().search(queries, k, slot_mask)
+
         q = jnp.asarray(np.pad(queries, ((0, pad_b - b), (0, 0))))
         if self.metric == "cosine":
             q = l2_normalize(q)
@@ -298,6 +326,9 @@ class IVFIndex(FlatIndex):
                 constant_values=self._cap,
             )
         )
+        scales = self._scales
+        if scales is None:
+            scales = jnp.ones((1,), jnp.float32)  # unused placeholder
         scores, slots = _ivf_search(
             self._slab,
             valid,
@@ -306,10 +337,12 @@ class IVFIndex(FlatIndex):
             self._bucket_valid,
             residual_slots,
             jnp.int32(r_n),
+            scales,
             q,
             k=k,
-            nprobe=self.nprobe,
+            nprobe=nprobe,
             precision=self._precision,
+            int8=self._is_int8,
         )
         scores = np.asarray(scores[:b])
         out_slots = np.asarray(slots[:b], np.int64)
