@@ -210,3 +210,48 @@ class TestVectorStore:
         store.optimize()
         hits = store.search(vecs["v42"], limit=1)
         assert hits[0][0] == "v42"
+
+
+class TestVerifyRecover:
+    def test_verify_consistent(self, temp_dir, rng):
+        store = make_store(temp_dir, dim=8)
+        vecs = {f"v{i}": rng.standard_normal(8).astype(np.float32) for i in range(20)}
+        store.batch_store(vecs)
+        store.delete("v3")
+        report = store.verify()
+        assert report["consistent"]
+        assert report["orphan_metadata"] == 0
+        assert sum(s["registry_ids"] for s in report["shards"]) == 19
+
+    def test_verify_detects_divergence(self, temp_dir, rng):
+        store = make_store(temp_dir, dim=8, shards=1)
+        store.store("a", rng.standard_normal(8).astype(np.float32))
+        # corrupt: registry entry without an index slot
+        store.registries[0].put(["ghost"], [99])
+        assert not store.verify()["consistent"]
+
+    def test_recover_from_checkpoint(self, temp_dir, rng):
+        store = make_store(temp_dir, dim=8, shards=1)
+        vecs = {f"v{i}": rng.standard_normal(8).astype(np.float32) for i in range(10)}
+        store.batch_store(vecs)
+        store.save()
+        # simulate in-memory corruption
+        store.indices[0].clear()
+        store.registries[0] = type(store.registries[0])()
+        assert store.verify()["shards"][0]["index_size"] == 0
+        assert store.recover(0)
+        assert store.count() == 10
+        hits = store.search(vecs["v5"], limit=1)
+        assert hits[0][0] == "v5"
+
+    def test_recover_without_checkpoint_clears(self, temp_dir, rng):
+        store = make_store(temp_dir, dim=8, shards=1)
+        store.store("a", rng.standard_normal(8).astype(np.float32))
+        import shutil
+
+        shutil.rmtree(f"{temp_dir}/indices")
+        import os
+
+        os.makedirs(f"{temp_dir}/indices")
+        assert not store.recover(0)
+        assert store.count() == 0

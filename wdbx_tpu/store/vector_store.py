@@ -354,6 +354,56 @@ class VectorStore:
             "indices": [index.get_stats() for index in self.indices],
         }
 
+    # -- integrity / recovery ---------------------------------------------
+    # The reference's failure story is skeleton-grade (static status flags,
+    # no heartbeats, dead failover paths — SURVEY.md §5.3). Here recovery
+    # is checkpoint-based: verify() detects registry/mask divergence and
+    # recover() rebuilds a shard from its last persisted state.
+    def verify(self) -> dict[str, Any]:
+        """Cross-check host bookkeeping against device validity masks.
+        Returns a report; 'consistent' is False if any shard diverges."""
+        report: dict[str, Any] = {"shards": [], "consistent": True}
+        with self._lock:
+            for shard, index in enumerate(self.indices):
+                reg = self.registries[shard]
+                valid_count = int(np.asarray(index._valid).sum())
+                entry = {
+                    "shard": shard,
+                    "registry_ids": reg.size(),
+                    "index_size": index.count(),
+                    "valid_slots": valid_count,
+                    "ok": reg.size() == index.count() == valid_count,
+                }
+                if not entry["ok"]:
+                    report["consistent"] = False
+                report["shards"].append(entry)
+            meta_only = set(self.metadata) - {
+                vid for reg in self.registries for vid, _ in reg.items()
+            }
+            report["orphan_metadata"] = len(meta_only)
+        return report
+
+    def recover(self, shard: int) -> bool:
+        """Rebuild one shard from its last checkpoint on disk. Returns
+        False if no usable checkpoint exists (shard is then cleared)."""
+        with self._lock:
+            index = self.indices[shard]
+            try:
+                if index.load(self._index_path(shard)):
+                    with open(self._index_path(shard) + ".ids.json") as f:
+                        id_map = json.load(f)
+                    reg = SlotRegistry()
+                    reg.put(
+                        list(id_map.keys()), [int(s) for s in id_map.values()]
+                    )
+                    self.registries[shard] = reg
+                    return True
+            except (ValueError, OSError, KeyError) as e:
+                logger.warning("recover(%d) failed: %s", shard, e)
+            index.clear()
+            self.registries[shard] = SlotRegistry()
+            return False
+
     # -- persistence ------------------------------------------------------
     def _index_path(self, shard: int) -> str:
         return os.path.join(self.data_dir, "indices", f"shard_{shard}")
