@@ -49,6 +49,14 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    try:  # persistent compile cache (env var alone may not enable it)
+        jax.config.update(
+            "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     # -- data: generated on device ---------------------------------------
     key = jax.random.PRNGKey(0)
     db32 = jax.random.normal(key, (n, dim), jnp.float32)
