@@ -492,3 +492,52 @@ class TestIVFUpdate:
         _, got_old = ivf.search(vecs[0], k=64)
         row = [int(s) for s in got_old[0]]
         assert row.count(slots[0]) <= 1
+
+
+class TestIVFScanPath:
+    """Exercise the lax.scan bucket path explicitly (small corpora would
+    otherwise hit the batch flat fallback)."""
+
+    def _make(self, rng, n=2000, d=32, nlist=64, nprobe=8):
+        ivf = IVFIndex(dim=d, nlist=nlist, nprobe=nprobe,
+                       train_threshold=10**9, capacity=n)
+        ivf.batch_flat_fallback = False
+        vecs = _normed(rng, n, d)
+        slots = ivf.add_batch(vecs)
+        ivf.build()
+        return ivf, vecs, slots
+
+    def test_scan_self_query(self, rng):
+        ivf, vecs, slots = self._make(rng)
+        scores, got = ivf.search(vecs[:4], k=1)
+        np.testing.assert_array_equal(got[:, 0], slots[:4])
+        np.testing.assert_allclose(scores[:, 0], 1.0, rtol=1e-4)
+
+    def test_scan_full_probe_is_exact(self, rng):
+        ivf, vecs, slots = self._make(rng, nprobe=64)  # probe everything
+        q = _normed(rng, 4, 32)
+        _, got = ivf.search(q, k=10)
+        exact = np.argsort(-(q @ vecs.T), axis=-1)[:, :10]
+        for a, b in zip(got, slots[exact]):
+            assert set(a.tolist()) == set(b.tolist())
+
+    def test_scan_respects_deletes(self, rng):
+        ivf, vecs, slots = self._make(rng)
+        ivf.remove_slots(slots[:1])
+        _, got = ivf.search(vecs[0], k=10)
+        assert slots[0] not in got[0]
+
+    def test_scan_sees_residual_adds(self, rng):
+        ivf, vecs, slots = self._make(rng)
+        late = _normed(rng, 3, 32)
+        late_slots = ivf.add_batch(late)
+        scores, got = ivf.search(late, k=1)
+        np.testing.assert_array_equal(got[:, 0], late_slots)
+
+    def test_scan_update_serves_new_value(self, rng):
+        ivf, vecs, slots = self._make(rng)
+        new_vec = _normed(rng, 1, 32)
+        ivf.update_slots(slots[:1], new_vec)
+        scores, got = ivf.search(new_vec, k=1)
+        assert got[0, 0] == slots[0]
+        np.testing.assert_allclose(scores[0, 0], 1.0, rtol=1e-3)
