@@ -158,6 +158,9 @@ class IVFIndex(FlatIndex):
         self.train_sample = train_sample
         #: fall back to a flat scan when batched probes cover the corpus
         self.batch_flat_fallback = True
+        # ANN context: the flat fallback uses the TPU-native approximate
+        # selector instead of the sort-based exact one.
+        self.topk_method = "approx"
         self._reset_overlay()
 
     def _reset_overlay(self) -> None:
