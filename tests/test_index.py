@@ -541,3 +541,35 @@ class TestIVFScanPath:
         scores, got = ivf.search(new_vec, k=1)
         assert got[0, 0] == slots[0]
         np.testing.assert_allclose(scores[0, 0], 1.0, rtol=1e-3)
+
+
+class TestIVFPallasKernel:
+    def test_pallas_matches_lax(self, rng):
+        ivf = IVFIndex(dim=64, nlist=16, nprobe=4, train_threshold=10**9,
+                       capacity=4096)
+        ivf.batch_flat_fallback = False
+        vecs = _normed(rng, 4000, 64)
+        slots = ivf.add_batch(vecs)
+        ivf.build()
+        q = _normed(rng, 4, 64)
+        _, got_lax = ivf.search(q, k=10)
+        ivf.ivf_kernel = "pallas"
+        _, got_pl = ivf.search(q, k=10)
+        for a, b in zip(got_lax, got_pl):
+            assert set(a.tolist()) == set(b.tolist())
+
+    def test_pallas_with_residual_and_deletes(self, rng):
+        ivf = IVFIndex(dim=32, nlist=8, nprobe=8, train_threshold=10**9,
+                       capacity=1024)
+        ivf.batch_flat_fallback = False
+        ivf.ivf_kernel = "pallas"
+        vecs = _normed(rng, 800, 32)
+        slots = ivf.add_batch(vecs)
+        ivf.build()
+        ivf.remove_slots(slots[:1])
+        late = _normed(rng, 3, 32)
+        late_slots = ivf.add_batch(late)
+        _, got = ivf.search(vecs[0], k=10)
+        assert slots[0] not in got[0]
+        scores, got = ivf.search(late, k=1)
+        np.testing.assert_array_equal(got[:, 0], late_slots)

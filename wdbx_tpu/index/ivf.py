@@ -133,6 +133,57 @@ def _ivf_search(
     return top, top_slots
 
 
+@partial(jax.jit, static_argnames=("p_eff", "precision"))
+def _select_probes(centroids, q, p_eff, precision):
+    cs = jax.lax.dot_general(
+        q, centroids, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    _, probe = jax.lax.top_k(cs, p_eff)
+    return probe.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("k", "precision", "int8"))
+def _residual_merge(
+    slab, valid, residual_slots, residual_count, scales,
+    vals, slots, q, k, precision, int8=False,
+):
+    """Merge per-probe kernel results (B, P*k) with the fresh-buffer scan."""
+    b = q.shape[0]
+    scores, flat_slots = vals, slots
+    r_cap = residual_slots.shape[0]
+    if r_cap:
+        rows = slab[residual_slots]
+        if int8:
+            rows = rows.astype(jnp.bfloat16)
+            rq = q.astype(jnp.bfloat16)
+        else:
+            rq = q.astype(rows.dtype)
+        r_scores = jax.lax.dot_general(
+            rq, rows, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        if int8:
+            r_scores = r_scores * scales[residual_slots][None, :]
+        live = jnp.arange(r_cap) < residual_count
+        r_valid = jnp.logical_and(valid[residual_slots], live)
+        r_scores = jnp.where(r_valid[None, :], r_scores, -jnp.inf)
+        scores = jnp.concatenate([scores, r_scores], axis=-1)
+        flat_slots = jnp.concatenate(
+            [flat_slots, jnp.broadcast_to(residual_slots, (b, r_cap))],
+            axis=-1,
+        )
+    k_eff = min(k, scores.shape[-1])
+    top, pos = jax.lax.top_k(scores, k_eff)
+    top_slots = jnp.take_along_axis(flat_slots, pos, axis=-1)
+    if k_eff < k:
+        top = jnp.pad(top, ((0, 0), (0, k - k_eff)), constant_values=-jnp.inf)
+        top_slots = jnp.pad(
+            top_slots, ((0, 0), (0, k - k_eff)), constant_values=0
+        )
+    return top, top_slots
+
+
 class IVFIndex(FlatIndex):
     kind = "ivf"
 
@@ -161,6 +212,9 @@ class IVFIndex(FlatIndex):
         # ANN context: the flat fallback uses the TPU-native approximate
         # selector instead of the sort-based exact one.
         self.topk_method = "approx"
+        #: bucket-scan implementation: "lax" (scan of DMAs, portable) or
+        #: "pallas" (scalar-prefetch pipelined kernel, fastest on TPU)
+        self.ivf_kernel = "lax"
         self._reset_overlay()
 
     def _reset_overlay(self) -> None:
@@ -301,7 +355,9 @@ class IVFIndex(FlatIndex):
             assign[i:end] = np.asarray(assign_fn(rows_dev[i:end], centroids))
 
         counts = np.bincount(assign, minlength=nlist)
-        cap_b = max(8, int(math.ceil(counts.max() / 8.0)) * 8)
+        # 128-aligned bucket capacity: Pallas (1, cap_b) blocks need the
+        # lane dim to be a multiple of 128; padding is a few %% at scale.
+        cap_b = max(128, int(math.ceil(counts.max() / 128.0)) * 128)
         bucket_slot = np.full((nlist, cap_b), self._cap, np.int32)  # OOB pad
         bucket_valid = np.zeros((nlist, cap_b), bool)
         # Vectorized layout: stable-sort rows by cluster, position within
@@ -406,6 +462,37 @@ class IVFIndex(FlatIndex):
         scales = self._scales
         if scales is None:
             scales = jnp.ones((1,), jnp.float32)  # unused placeholder
+        if self.ivf_kernel == "pallas":
+            from wdbx_tpu.kernels.ivf_scan import ivf_bucket_scan
+
+            p_eff = min(nprobe, nlist)
+            probe = _select_probes(
+                self._centroids, q, p_eff, self._precision
+            )  # (pad_b, P)
+            qidx = jnp.repeat(
+                jnp.arange(pad_b, dtype=jnp.int32), p_eff
+            )
+            kv, ks = ivf_bucket_scan(
+                self._bucket_rows,
+                self._bucket_slot,
+                self._bucket_valid,
+                probe.reshape(-1),
+                qidx,
+                q,
+                k=min(k, cap_b),
+                interpret=jax.default_backend() != "tpu",
+            )
+            kb = kv.shape[-1]
+            scores, slots = _residual_merge(
+                self._slab, valid, residual_slots, jnp.int32(r_n), scales,
+                kv.reshape(pad_b, p_eff * kb),
+                ks.reshape(pad_b, p_eff * kb),
+                q, k=k, precision=self._precision, int8=self._is_int8,
+            )
+            scores = np.asarray(scores[:b])
+            out_slots = np.asarray(slots[:b], np.int64)
+            out_slots[scores == -np.inf] = -1
+            return scores, out_slots
         scores, slots = _ivf_search(
             self._slab,
             valid,
