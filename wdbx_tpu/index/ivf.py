@@ -145,12 +145,15 @@ def _select_probes(centroids, q, p_eff, precision):
 
 @partial(jax.jit, static_argnames=("k", "precision", "int8"))
 def _residual_merge(
-    slab, valid, residual_slots, residual_count, scales,
-    vals, slots, q, k, precision, int8=False,
+    slab, valid, residual_slots, residual_labels, residual_count, scales,
+    vals, labels, q, k, precision, int8=False,
 ):
-    """Merge per-probe kernel results (B, P*k) with the fresh-buffer scan."""
+    """Merge per-probe kernel results (B, P*k) with the fresh-buffer scan.
+    ``labels``/``residual_labels`` are opaque candidate ids the caller
+    decodes (the pallas path encodes bucket*cap_b+pos and offset+index)."""
     b = q.shape[0]
-    scores, flat_slots = vals, slots
+    scores = jnp.where(vals <= -3.0e38, -jnp.inf, vals)
+    flat_labels = labels
     r_cap = residual_slots.shape[0]
     if r_cap:
         rows = slab[residual_slots]
@@ -169,19 +172,19 @@ def _residual_merge(
         r_valid = jnp.logical_and(valid[residual_slots], live)
         r_scores = jnp.where(r_valid[None, :], r_scores, -jnp.inf)
         scores = jnp.concatenate([scores, r_scores], axis=-1)
-        flat_slots = jnp.concatenate(
-            [flat_slots, jnp.broadcast_to(residual_slots, (b, r_cap))],
+        flat_labels = jnp.concatenate(
+            [flat_labels, jnp.broadcast_to(residual_labels, (b, r_cap))],
             axis=-1,
         )
     k_eff = min(k, scores.shape[-1])
     top, pos = jax.lax.top_k(scores, k_eff)
-    top_slots = jnp.take_along_axis(flat_slots, pos, axis=-1)
+    top_labels = jnp.take_along_axis(flat_labels, pos, axis=-1)
     if k_eff < k:
         top = jnp.pad(top, ((0, 0), (0, k - k_eff)), constant_values=-jnp.inf)
-        top_slots = jnp.pad(
-            top_slots, ((0, 0), (0, k - k_eff)), constant_values=0
+        top_labels = jnp.pad(
+            top_labels, ((0, 0), (0, k - k_eff)), constant_values=-1
         )
-    return top, top_slots
+    return top, top_labels
 
 
 class IVFIndex(FlatIndex):
@@ -224,6 +227,8 @@ class IVFIndex(FlatIndex):
         self._bucket_rows = None  # (nlist, cap_b, d) contiguous vector copy
         self._bucket_scales = None  # (nlist, cap_b) f32 (int8 slabs)
         self._slot_bucket_pos: dict[int, tuple[int, int]] = {}
+        self._bucket_slot_np = None  # host copy for pallas label decode
+        self._valid8_cache = None  # 8x-replicated int8 mask for pallas
         self._residual: list[int] = []  # slots added since last build
         self._quarantine: list[int] = []  # freed slots held until rebuild
         self._built_size = 0
@@ -276,6 +281,18 @@ class IVFIndex(FlatIndex):
             cs = jnp.asarray([c for c, _ in positions])
             ps = jnp.asarray([p for _, p in positions])
             self._bucket_valid = self._bucket_valid.at[cs, ps].set(False)
+            self._valid8_cache = None
+
+    def _valid8(self):
+        """8x-replicated int8 validity table: Mosaic rejects (1, cap_b)
+        blocks, (1, 8, cap_b) blocks are legal. ~8 bytes/vector."""
+        if self._valid8_cache is None:
+            v8 = jnp.broadcast_to(
+                self._bucket_valid[:, None, :].astype(jnp.int8),
+                (self._bucket_valid.shape[0], 8, self._bucket_valid.shape[1]),
+            )
+            self._valid8_cache = jnp.asarray(v8)
+        return self._valid8_cache
 
     def clear(self) -> None:
         super().clear()
@@ -396,6 +413,8 @@ class IVFIndex(FlatIndex):
         self._centroids = jnp.asarray(centroids)
         self._bucket_slot = jnp.asarray(bucket_slot)
         self._bucket_valid = jnp.asarray(bucket_valid)
+        self._bucket_slot_np = bucket_slot
+        self._valid8_cache = None
         self._residual = []
         self._free.extend(self._quarantine)  # safe to recycle post-rebuild
         self._quarantine = []
@@ -469,28 +488,48 @@ class IVFIndex(FlatIndex):
             probe = _select_probes(
                 self._centroids, q, p_eff, self._precision
             )  # (pad_b, P)
+            probes_flat = probe.reshape(-1)
             qidx = jnp.repeat(
                 jnp.arange(pad_b, dtype=jnp.int32), p_eff
             )
-            kv, ks = ivf_bucket_scan(
+            kv, kp = ivf_bucket_scan(
                 self._bucket_rows,
-                self._bucket_slot,
-                self._bucket_valid,
-                probe.reshape(-1),
+                self._valid8(),
+                probes_flat,
                 qidx,
                 q,
                 k=min(k, cap_b),
                 interpret=jax.default_backend() != "tpu",
             )
             kb = kv.shape[-1]
-            scores, slots = _residual_merge(
-                self._slab, valid, residual_slots, jnp.int32(r_n), scales,
+            # candidate labels: bucket*cap_b + pos; residual labels get an
+            # offset past the bucket space, both decoded on the host.
+            offset = nlist * cap_b
+            cand_labels = probes_flat[:, None] * cap_b + kp
+            residual_labels = jnp.arange(
+                residual_slots.shape[0], dtype=jnp.int32
+            ) + offset
+            scores, labels = _residual_merge(
+                self._slab, valid, residual_slots, residual_labels,
+                jnp.int32(r_n), scales,
                 kv.reshape(pad_b, p_eff * kb),
-                ks.reshape(pad_b, p_eff * kb),
+                cand_labels.reshape(pad_b, p_eff * kb),
                 q, k=k, precision=self._precision, int8=self._is_int8,
             )
             scores = np.asarray(scores[:b])
-            out_slots = np.asarray(slots[:b], np.int64)
+            labels = np.asarray(labels[:b], np.int64)
+            bucket_slot_np = self._bucket_slot_np
+            residual_np = np.asarray(self._residual, np.int64)
+            out_slots = np.full_like(labels, -1)
+            in_bucket = (labels >= 0) & (labels < offset)
+            out_slots[in_bucket] = bucket_slot_np[
+                labels[in_bucket] // cap_b, labels[in_bucket] % cap_b
+            ]
+            in_res = labels >= offset
+            if residual_np.size:
+                out_slots[in_res] = residual_np[
+                    np.clip(labels[in_res] - offset, 0, residual_np.size - 1)
+                ]
             out_slots[scores == -np.inf] = -1
             return scores, out_slots
         scores, slots = _ivf_search(
@@ -598,6 +637,8 @@ class IVFIndex(FlatIndex):
                 if rows.dtype == np.uint16:
                     rows = rows.view(jnp.bfloat16)
                 self._bucket_rows = jnp.asarray(rows)
+                self._bucket_slot_np = np.asarray(data["bucket_slot"])
+                self._valid8_cache = None
                 self._residual = [int(s) for s in data["residual"]]
                 bs = np.asarray(self._bucket_slot)
                 bv = np.asarray(self._bucket_valid)

@@ -8,9 +8,15 @@ prefetched probe ids, so Pallas pipelines bucket fetches with compute
 (automatic double buffering, pallas_guide.md 'PrefetchScalarGridSpec')
 — the next bucket streams in while the current one is scored.
 
-Each grid step scores one (query, bucket) pair on the MXU and selects a
-per-bucket top-k with k VPU max/argmax/mask passes (no sort). The tiny
-(B*P, k) results merge outside the kernel.
+Mosaic shape rules drive two quirks:
+  * single-row 2D blocks like ``(1, cap_b)`` are illegal (second-to-last
+    dim must be 8-divisible or full), so the validity mask ships as an
+    8x-replicated ``(nlist, 8, cap_b)`` int8 table whose ``(1, 8,
+    cap_b)`` blocks are legal, and per-step results accumulate in a
+    full-size VMEM scratch emitted on the last step;
+  * the kernel returns bucket-local *positions*; the caller encodes
+    ``bucket * cap_b + pos`` and decodes to slab slots on the host
+    (avoids shipping the slot table through the kernel).
 """
 
 from __future__ import annotations
@@ -25,8 +31,8 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -3.4e38
 
 
-def _kernel(probes_ref, qidx_ref, rows_ref, slot_ref, valid_ref, q_ref,
-            outv_ref, outi_ref, *, k: int):
+def _kernel(probes_ref, qidx_ref, rows_ref, valid8_ref, q_ref,
+            outv_ref, outp_ref, acc_v, acc_p, *, k: int):
     i = pl.program_id(0)
     qi = qidx_ref[i]
     qrow = q_ref[pl.ds(qi, 1), :]  # (1, d)
@@ -36,34 +42,44 @@ def _kernel(probes_ref, qidx_ref, rows_ref, slot_ref, valid_ref, q_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (1, C)
-    s = jnp.where(valid_ref[0][None, :] != 0, s, NEG)
-    slots = slot_ref[0][None, :]  # (1, C)
+    valid = valid8_ref[0][0:1, :]  # (1, C) row of the replicated mask
+    s = jnp.where(valid != 0, s, NEG)
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    k_pad = acc_v.shape[1]
+    vals = jnp.full((1, k_pad), NEG, jnp.float32)
+    poss = jnp.full((1, k_pad), 0, jnp.int32)
     for j in range(k):
         m = jnp.max(s, axis=-1)  # (1,)
         am = jnp.argmax(s, axis=-1).astype(jnp.int32)
         onehot = col == am[:, None]
-        picked = jnp.sum(jnp.where(onehot, slots, 0), axis=-1)
-        outv_ref[0, j] = m[0]
-        outi_ref[0, j] = picked[0]
+        lane = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1) == j
+        vals = jnp.where(lane, m[:, None], vals)
+        poss = jnp.where(lane, am[:, None], poss)
         s = jnp.where(onehot, NEG, s)
+    acc_v[pl.ds(i, 1), :] = vals
+    acc_p[pl.ds(i, 1), :] = poss
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _emit():
+        outv_ref[:] = acc_v[:]
+        outp_ref[:] = acc_p[:]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def ivf_bucket_scan(
     bucket_rows: jax.Array,   # (nlist, C, d)
-    bucket_slot: jax.Array,   # (nlist, C) int32
-    bucket_valid: jax.Array,  # (nlist, C) bool
+    bucket_valid8: jax.Array,  # (nlist, 8, C) int8 (replicated mask)
     probes: jax.Array,        # (S,) int32 bucket ids (flattened B*P)
     qidx: jax.Array,          # (S,) int32 owning-query row for each probe
     q: jax.Array,             # (B, d)
     k: int = 10,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Returns per-probe ``(values, slots)`` of shape ``(S, k)``."""
+    """Returns per-probe ``(values, bucket-local positions)``, each
+    ``(S, k)``."""
     nlist, c, d = bucket_rows.shape
     s_len = probes.shape[0]
-    valid_i8 = bucket_valid.astype(jnp.int8)
+    k_pad = 128  # lane-aligned result width; sliced to k on return
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # probes, qidx drive the index maps
@@ -74,28 +90,28 @@ def ivf_bucket_scan(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, c), lambda i, probes, qidx: (probes[i], 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, c), lambda i, probes, qidx: (probes[i], 0),
+                (1, 8, c), lambda i, probes, qidx: (probes[i], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # q, whole batch
         ],
         out_specs=[
-            pl.BlockSpec((1, k), lambda i, probes, qidx: (i, 0),
+            pl.BlockSpec((s_len, k_pad), lambda i, probes, qidx: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda i, probes, qidx: (i, 0),
+            pl.BlockSpec((s_len, k_pad), lambda i, probes, qidx: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((s_len, k_pad), jnp.float32),
+            pltpu.VMEM((s_len, k_pad), jnp.int32),
+        ],
     )
-    out_v, out_i = pl.pallas_call(
+    out_v, out_p = pl.pallas_call(
         functools.partial(_kernel, k=k),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((s_len, k), jnp.float32),
-            jax.ShapeDtypeStruct((s_len, k), jnp.int32),
+            jax.ShapeDtypeStruct((s_len, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((s_len, k_pad), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * s_len * c * d,
@@ -103,5 +119,5 @@ def ivf_bucket_scan(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(probes, qidx, bucket_rows, bucket_slot, valid_i8, q)
-    return out_v, out_i
+    )(probes, qidx, bucket_rows, bucket_valid8, q)
+    return out_v[:, :k], out_p[:, :k]
