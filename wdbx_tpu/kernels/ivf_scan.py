@@ -118,6 +118,9 @@ def ivf_bucket_scan(
             bytes_accessed=s_len * c * d * bucket_rows.dtype.itemsize,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
         interpret=interpret,
     )(probes, qidx, bucket_rows, bucket_valid8, q)
     return out_v[:, :k], out_p[:, :k]
