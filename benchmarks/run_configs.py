@@ -172,9 +172,9 @@ def config5(scale=1.0):
     slots = []
     for i in range(0, n, chunk):
         m = min(chunk, n - i)
-        rows = np.asarray(_device_data(m, 768, seed=10 + i // chunk), np.float32)
+        rows = _device_data(m, 768, seed=10 + i // chunk)  # stays on device
         slots.append(index.add_batch(rows))
-        q_check = rows[:4]
+        q_check = np.asarray(rows[:4], np.float32)
     build_s = t()
     slots = np.concatenate(slots)
     scores, got = index.search(q_check, k=10)
