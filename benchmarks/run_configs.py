@@ -170,7 +170,7 @@ def config5(scale=1.0):
     from wdbx_tpu.parallel import ShardedFlatIndex
 
     n = int(10_000_000 * scale)
-    chunk = 1_000_000
+    chunk = 524_288  # bounded staging temps next to the 7.7GB int8 slab
     index = ShardedFlatIndex(dim=768, dtype="int8", capacity=n)
     t = _timer()
     slots = []

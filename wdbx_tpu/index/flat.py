@@ -93,8 +93,15 @@ class FlatIndex(VectorIndex):
     # -- storage ----------------------------------------------------------
     # Padded scatter lanes target slot == capacity, which is out of
     # bounds: JAX scatters DROP out-of-bounds updates, so padding is free.
+    _CAP_CHUNK = 1 << 20
+
     def _round_cap(self, need: int) -> int:
-        return _next_pow2(need)
+        """Power-of-two below 1M rows; 1M-row granularity above (a pow2
+        cap for a 10M corpus would waste 6.7M rows of HBM). Growth calls
+        request 1.5x so recompiles stay amortized."""
+        if need <= self._CAP_CHUNK:
+            return _next_pow2(need)
+        return -(-need // self._CAP_CHUNK) * self._CAP_CHUNK
 
     @property
     def _is_int8(self) -> bool:
@@ -107,7 +114,7 @@ class FlatIndex(VectorIndex):
             self._scales = jnp.zeros((cap,), jnp.float32)
 
     def _grow(self, need: int) -> None:
-        new_cap = self._round_cap(need)
+        new_cap = self._round_cap(max(need, int(self._cap * 1.5)))
         slab = jnp.zeros((new_cap, self.dim), self._dtype)
         self._slab = slab.at[: self._cap].set(self._slab)
         valid = jnp.zeros((new_cap,), jnp.bool_)

@@ -95,7 +95,11 @@ class ShardedFlatIndex(FlatIndex):
 
     # -- sharded storage ---------------------------------------------------
     def _round_cap(self, need: int) -> int:
-        per_dev = _next_pow2(max(128, -(-need // self.n_devices)))
+        per_need = max(128, -(-need // self.n_devices))
+        if per_need <= self._CAP_CHUNK:
+            per_dev = _next_pow2(per_need)
+        else:  # 1M-row-per-device granularity past the pow2 regime
+            per_dev = -(-per_need // self._CAP_CHUNK) * self._CAP_CHUNK
         return per_dev * self.n_devices
 
     @property
@@ -128,7 +132,7 @@ class ShardedFlatIndex(FlatIndex):
         )
 
     def _grow(self, need: int) -> None:
-        new_cap = self._round_cap(need)
+        new_cap = self._round_cap(max(need, int(self._cap * 1.5)))
         pad = new_cap // self.n_devices - self.rows_per_device
         self._slab = jax.device_put(
             jnp.pad(self._slab, ((0, 0), (0, pad), (0, 0))),
