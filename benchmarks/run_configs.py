@@ -144,6 +144,7 @@ def config4(scale=1.0):
 
     n = int(100_000 * scale)
     index = ShardedFlatIndex(dim=384, capacity=n)
+    index.topk_method = "approx"
     db = np.asarray(_device_data(n, 384), np.float32)
     slots = index.add_batch(db)
     q = db[:64]
@@ -172,6 +173,7 @@ def config5(scale=1.0):
     n = int(10_000_000 * scale)
     chunk = 524_288  # bounded staging temps next to the 7.7GB int8 slab
     index = ShardedFlatIndex(dim=768, dtype="int8", capacity=n)
+    index.topk_method = "approx"  # serving selector
     t = _timer()
     slots = []
     for i in range(0, n, chunk):

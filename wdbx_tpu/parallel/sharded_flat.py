@@ -31,7 +31,8 @@ from wdbx_tpu.ops.exact_search import score_block
 from wdbx_tpu.ops.normalize import l2_normalize
 
 
-def _build_search(mesh: Mesh, axis: str, k: int, precision: str, int8: bool):
+def _build_search(mesh: Mesh, axis: str, k: int, precision: str, int8: bool,
+                  method: str = "exact"):
     def local(slab_l, valid_l, scales_l, q):
         n_dev = jax.lax.axis_size(axis)
         rows = slab_l.shape[1]
@@ -43,7 +44,12 @@ def _build_search(mesh: Mesh, axis: str, k: int, precision: str, int8: bool):
             scores = score_block(slab_l[0], q, precision=precision)  # (B, rows)
         scores = jnp.where(valid_l[0][None, :], scores, -jnp.inf)
         k_local = min(k, rows)
-        s, i = jax.lax.top_k(scores, k_local)
+        if method == "approx":
+            # TPU-native selection hardware; the sort-based lowering costs
+            # seconds at 10M rows.
+            s, i = jax.lax.approx_max_k(scores, k_local, recall_target=0.98)
+        else:
+            s, i = jax.lax.top_k(scores, k_local)
         # slot = local_row * n_dev + device_index
         gi = i.astype(jnp.int32) * n_dev + jax.lax.axis_index(axis)
         # Tiny (B, k) candidate sets ride ICI; the big slab never moves.
@@ -254,11 +260,12 @@ class ShardedFlatIndex(FlatIndex):
                     self._sharding(P(self.axis, None)),
                 ),
             )
-        key = (k, self._cap)
+        key = (k, self._cap, self.topk_method)
         fn = self._search_cache.get(key)
         if fn is None:
             fn = _build_search(
-                self.mesh, self.axis, k, self._precision, self._is_int8
+                self.mesh, self.axis, k, self._precision, self._is_int8,
+                method=self.topk_method,
             )
             self._search_cache[key] = fn
         scores, slots = fn(self._slab, valid, self._scales, q)
