@@ -36,12 +36,21 @@ def _build_search(mesh: Mesh, axis: str, k: int, precision: str, int8: bool,
     def local(slab_l, valid_l, scales_l, q):
         n_dev = jax.lax.axis_size(axis)
         rows = slab_l.shape[1]
+        # Contract against the 3D slab directly — slicing slab_l[0] first
+        # makes XLA materialize a full copy of the local slab per query
+        # batch (measured 20x slowdown at 10M x 768).
         if int8:
-            from wdbx_tpu.kernels.quant import int8_score
-
-            scores = int8_score(slab_l[0], scales_l[0], q, precision=precision)
+            qq = q.astype(jnp.bfloat16)
+            slab_t = slab_l.astype(jnp.bfloat16)
         else:
-            scores = score_block(slab_l[0], q, precision=precision)  # (B, rows)
+            qq = q.astype(slab_l.dtype)
+            slab_t = slab_l
+        scores = jax.lax.dot_general(
+            qq, slab_t, (((1,), (2,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )[:, 0, :]  # (B, 1, rows) -> (B, rows)
+        if int8:
+            scores = scores * scales_l[0][None, :]
         scores = jnp.where(valid_l[0][None, :], scores, -jnp.inf)
         k_local = min(k, rows)
         if method == "approx":
