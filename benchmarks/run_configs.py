@@ -185,9 +185,10 @@ def config5(scale=1.0):
     slots = np.concatenate(slots)
     scores, got = index.search(q_check, k=10)
     assert (got[:, 0] == slots[-m:][:4]).all()
+    q = np.asarray(_device_data(64, 768, seed=99), np.float32)
+    index.search(q, k=10)  # warm the batch-64 shape (compile)
     t = _timer()
     reps = 5
-    q = np.asarray(_device_data(64, 768, seed=99), np.float32)
     for _ in range(reps):
         index.search(q, k=10)
     qps = 64 * reps / t()

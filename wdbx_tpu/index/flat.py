@@ -237,15 +237,19 @@ class FlatIndex(VectorIndex):
         queries = self._prep(queries)
         b = len(queries)
         pad_b = _next_pow2(max(b, 1))
-        q = jnp.asarray(np.pad(queries, ((0, pad_b - b), (0, 0))))
-        if self.metric == "cosine":
-            q = l2_normalize(q)
+        if isinstance(queries, jax.Array):
+            q = jnp.pad(queries, ((0, pad_b - b), (0, 0)))
+        else:
+            q = jnp.asarray(np.pad(queries, ((0, pad_b - b), (0, 0))))
+        normalize = self.metric == "cosine"
         valid = self._valid
         if slot_mask is not None:
             mask = np.zeros(self._cap, bool)
             mask[: len(slot_mask)] = slot_mask[: self._cap]
             valid = jnp.logical_and(valid, jnp.asarray(mask))
         if self.topk_method == "fused" and not self._is_int8:
+            if normalize:
+                q = l2_normalize(q)
             from wdbx_tpu.kernels.fused_topk import fused_topk_search
 
             block_n = min(2048, self._cap)
@@ -263,6 +267,7 @@ class FlatIndex(VectorIndex):
             scores, idx = exact_search(
                 self._slab, q, k=k, valid=valid, precision=self._precision,
                 scales=self._scales, method=self.topk_method,
+                normalize=normalize,
             )
         scores = np.asarray(scores[:b])
         slots = np.asarray(idx[:b], np.int64)

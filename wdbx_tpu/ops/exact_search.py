@@ -20,7 +20,7 @@ import jax.numpy as jnp
 NEG_INF = jnp.float32(-jnp.inf)
 
 
-@partial(jax.jit, static_argnames=("k", "precision", "method"))
+@partial(jax.jit, static_argnames=("k", "precision", "method", "normalize"))
 def exact_search(
     db: jax.Array,
     queries: jax.Array,
@@ -29,6 +29,7 @@ def exact_search(
     precision: str = "highest",
     scales: jax.Array | None = None,
     method: str = "exact",
+    normalize: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Top-k inner-product search of ``queries`` against ``db``.
 
@@ -54,6 +55,12 @@ def exact_search(
     ``"default"`` (single bf16 pass, ~6x faster — fine for ANN ranking).
     bfloat16/int8 slabs are unaffected.
     """
+    if normalize:
+        # folded in so callers spend one dispatch per query batch (a
+        # separate normalize costs a full ~30ms tunnel round trip here)
+        from wdbx_tpu.ops.normalize import l2_normalize
+
+        queries = l2_normalize(queries)
     if db.dtype == jnp.int8:
         from wdbx_tpu.kernels.quant import int8_score
 

@@ -32,10 +32,12 @@ from wdbx_tpu.ops.normalize import l2_normalize
 
 
 def _build_search(mesh: Mesh, axis: str, k: int, precision: str, int8: bool,
-                  method: str = "exact"):
+                  method: str = "exact", normalize: bool = False):
     def local(slab_l, valid_l, scales_l, q):
         n_dev = jax.lax.axis_size(axis)
         rows = slab_l.shape[1]
+        if normalize:  # folded in: saves one dispatch round trip per call
+            q = l2_normalize(q)
         # Contract against the 3D slab directly — slicing slab_l[0] first
         # makes XLA materialize a full copy of the local slab per query
         # batch (measured 20x slowdown at 10M x 768).
@@ -274,7 +276,7 @@ class ShardedFlatIndex(FlatIndex):
         if fn is None:
             fn = _build_search(
                 self.mesh, self.axis, k, self._precision, self._is_int8,
-                method=self.topk_method,
+                method=self.topk_method, normalize=self.metric == "cosine",
             )
             self._search_cache[key] = fn
         scores, slots = fn(self._slab, valid, self._scales, q)
