@@ -62,6 +62,7 @@ def config1(scale=1.0):
     t = _timer()
     index.add_batch(db)
     build_s = t()
+    index.search(db[0], k=5)  # warm the single-query shape (compile)
     t = _timer()
     reps = 20
     for i in range(reps):
