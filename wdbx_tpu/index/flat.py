@@ -240,7 +240,9 @@ class FlatIndex(VectorIndex):
         if isinstance(queries, jax.Array):
             q = jnp.pad(queries, ((0, pad_b - b), (0, 0)))
         else:
-            q = jnp.asarray(np.pad(queries, ((0, pad_b - b), (0, 0))))
+            # Stay numpy: the transfer rides the jit dispatch (an explicit
+            # jnp.asarray is a separate blocking round trip).
+            q = np.pad(queries, ((0, pad_b - b), (0, 0)))
         normalize = self.metric == "cosine"
         valid = self._valid
         if slot_mask is not None:
