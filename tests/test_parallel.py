@@ -116,3 +116,35 @@ class TestShardEngine:
         stats = engine.get_stats()
         assert stats["initialized"] and len(stats["devices"]) == 8
         assert engine.is_local_shard(0)
+
+
+class TestReplicatedMesh:
+    def test_replica_groups_serve_batch_slices(self, rng):
+        from wdbx_tpu.parallel import ShardedFlatIndex
+
+        idx = ShardedFlatIndex(dim=16, replicas=2)  # 2 replicas x 4 shards
+        assert idx.replicas == 2 and idx.n_devices == 4
+        vecs = _normed(rng, 200, 16)
+        slots = idx.add_batch(vecs)
+        scores, got = idx.search(vecs[:8], k=1)
+        np.testing.assert_array_equal(got[:, 0], slots[:8])
+        np.testing.assert_allclose(scores[:, 0], 1.0, rtol=1e-4)
+
+    def test_replicated_deletes_and_growth(self, rng):
+        from wdbx_tpu.parallel import ShardedFlatIndex
+
+        idx = ShardedFlatIndex(dim=8, replicas=4, capacity=8)  # 4x2 mesh
+        vecs = _normed(rng, 600, 8)
+        slots = idx.add_batch(vecs)
+        idx.remove_slots(slots[:10])
+        _, got = idx.search(vecs[0], k=5)
+        assert slots[0] not in got[0]
+        _, got = idx.search(vecs[500:503], k=1)
+        np.testing.assert_array_equal(got[:, 0], slots[500:503])
+
+    def test_stats_report_replicas(self):
+        from wdbx_tpu.parallel import ShardedFlatIndex
+
+        idx = ShardedFlatIndex(dim=8, replicas=2)
+        s = idx.get_stats()
+        assert s["replicas"] == 2 and s["devices"] == 4

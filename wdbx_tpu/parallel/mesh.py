@@ -6,6 +6,27 @@ import jax
 from jax.sharding import Mesh
 
 
+def make_mesh2(
+    replicas: int,
+    shards: int | None = None,
+    axes: tuple[str, str] = ("replica", "shard"),
+) -> Mesh:
+    """2-D mesh for replicated serving: the corpus shards over
+    ``axes[1]`` and replicates over ``axes[0]``; query batches shard
+    over ``axes[0]`` for data-parallel throughput."""
+    devices = jax.devices()
+    if shards is None:
+        if len(devices) % replicas:
+            raise ValueError(
+                f"{len(devices)} devices not divisible by {replicas} replicas"
+            )
+        shards = len(devices) // replicas
+    need = replicas * shards
+    if need > len(devices):
+        raise ValueError(f"requested {need} devices, {len(devices)} visible")
+    return jax.make_mesh((replicas, shards), axes, devices=devices[:need])
+
+
 def make_mesh(
     n_devices: int | None = None, axis: str = "shard"
 ) -> Mesh:

@@ -32,7 +32,8 @@ from wdbx_tpu.ops.normalize import l2_normalize
 
 
 def _build_search(mesh: Mesh, axis: str, k: int, precision: str, int8: bool,
-                  method: str = "exact", normalize: bool = False):
+                  method: str = "exact", normalize: bool = False,
+                  replica_axis: str | None = None):
     def local(slab_l, valid_l, scales_l, q):
         n_dev = jax.lax.axis_size(axis)
         rows = slab_l.shape[1]
@@ -70,6 +71,11 @@ def _build_search(mesh: Mesh, axis: str, k: int, precision: str, int8: bool,
         top, pos = jax.lax.top_k(all_s, k_eff)
         return top, jnp.take_along_axis(all_i, pos, axis=1)
 
+    # With a (replica, shard) mesh the slab replicates over the replica
+    # axis (absent from its spec) while the QUERY BATCH shards over it —
+    # each replica group serves its slice of the batch independently
+    # (data-parallel serving on top of corpus sharding).
+    q_spec = P(replica_axis, None)
     return jax.jit(
         jax.shard_map(
             local,
@@ -78,9 +84,9 @@ def _build_search(mesh: Mesh, axis: str, k: int, precision: str, int8: bool,
                 P(axis, None, None),
                 P(axis, None),
                 P(axis, None),
-                P(None, None),
+                q_spec,
             ),
-            out_specs=(P(None, None), P(None, None)),
+            out_specs=(q_spec, q_spec),
             check_vma=False,  # post-all-gather merge is replicated by construction
         )
     )
@@ -97,14 +103,27 @@ class ShardedFlatIndex(FlatIndex):
         capacity: int = 1024,
         mesh: Mesh | None = None,
         axis: str = "shard",
+        replicas: int = 1,
     ):
         if mesh is None:
-            from wdbx_tpu.parallel.mesh import make_mesh
+            if replicas > 1:
+                from wdbx_tpu.parallel.mesh import make_mesh2
 
-            mesh = make_mesh(axis=axis)
+                mesh = make_mesh2(replicas, axes=("replica", axis))
+            else:
+                from wdbx_tpu.parallel.mesh import make_mesh
+
+                mesh = make_mesh(axis=axis)
         self.mesh = mesh
         self.axis = axis
-        self.n_devices = mesh.devices.size
+        self.replica_axis = (
+            "replica" if "replica" in mesh.axis_names else None
+        )
+        self.replicas = (
+            int(mesh.shape["replica"]) if self.replica_axis else 1
+        )
+        #: number of corpus shards (slot striping runs over these)
+        self.n_devices = int(mesh.shape[axis])
         self._search_cache: dict[tuple[int, int], object] = {}
         self._write_fn = None
         self._tombstone_fn = None
@@ -253,7 +272,8 @@ class ShardedFlatIndex(FlatIndex):
     ) -> tuple[np.ndarray, np.ndarray]:
         queries = self._prep(queries)
         b = len(queries)
-        pad_b = _next_pow2(max(b, 1))
+        # batch shards over the replica axis; keep it divisible
+        pad_b = max(_next_pow2(max(b, 1)), self.replicas)
         q = jnp.asarray(np.pad(queries, ((0, pad_b - b), (0, 0))))
         if self.metric == "cosine":
             q = l2_normalize(q)
@@ -277,11 +297,14 @@ class ShardedFlatIndex(FlatIndex):
             fn = _build_search(
                 self.mesh, self.axis, k, self._precision, self._is_int8,
                 method=self.topk_method, normalize=self.metric == "cosine",
+                replica_axis=self.replica_axis,
             )
             self._search_cache[key] = fn
         scores, slots = fn(self._slab, valid, self._scales, q)
-        scores = np.asarray(scores[:b])
-        out = np.asarray(slots[:b], np.int64)
+        # full host gather, then slice: partial slices of replica-sharded
+        # outputs are ambiguous for the partitioner
+        scores = np.asarray(scores)[:b]
+        out = np.asarray(slots, np.int64)[:b]
         if scores.shape[1] < k:  # fewer than k candidates exist mesh-wide
             pad = k - scores.shape[1]
             scores = np.pad(scores, ((0, 0), (0, pad)), constant_values=-np.inf)
@@ -354,6 +377,7 @@ class ShardedFlatIndex(FlatIndex):
         stats.update(
             devices=self.n_devices,
             mesh_axis=self.axis,
+            replicas=self.replicas,
             rows_per_device=self.rows_per_device,
         )
         return stats
