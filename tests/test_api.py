@@ -145,3 +145,52 @@ class TestAPI:
         )
         assert resp.status == 400  # dim mismatch → ValueError → 400
         await client.close()
+
+
+class TestQueryBatching:
+    async def test_concurrent_requests_coalesce(self, temp_dir):
+        import asyncio
+
+        client, db = await make_client(temp_dir)
+        for i in range(4):
+            vec = [0.0] * 4
+            vec[i] = 1.0
+            db.vector_store(vec, id=f"b{i}")
+
+        async def one(i):
+            vec = [0.0] * 4
+            vec[i % 4] = 1.0
+            resp = await client.post(
+                "/api/v1/vectors/search",
+                json={"query_vector": vec, "limit": 1},
+            )
+            return (await resp.json())["results"][0]["vector_id"]
+
+        results = await asyncio.gather(*(one(i) for i in range(16)))
+        assert results == [f"b{i % 4}" for i in range(16)]
+        resp = await client.get("/api/v1/stats")
+        batching = (await resp.json())["query_batching"]
+        assert batching["requests"] == 16
+        assert batching["batches"] < 16  # actually coalesced
+        await client.close()
+
+    async def test_batching_respects_param_groups(self, temp_dir):
+        import asyncio
+
+        client, db = await make_client(temp_dir)
+        for i in range(8):
+            db.vector_store(
+                np.eye(4)[i % 4].tolist(), id=f"p{i}", metadata={"v": i}
+            )
+
+        async def q(limit, flt):
+            body = {"query_vector": [1, 0, 0, 0], "limit": limit}
+            if flt:
+                body["filter_metadata"] = flt
+            resp = await client.post("/api/v1/vectors/search", json=body)
+            return (await resp.json())["results"]
+
+        r1, r2 = await asyncio.gather(q(1, None), q(5, {"v": {"$lt": 4}}))
+        assert len(r1) == 1
+        assert all(h["metadata"]["v"] < 4 for h in r2)
+        await client.close()

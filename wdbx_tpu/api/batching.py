@@ -1,0 +1,110 @@
+"""Dynamic query batching for online serving.
+
+A TPU answers a 64-query batch in roughly the time it answers one query
+(the scan is bandwidth-bound and shared), so an online server should
+coalesce concurrent requests into device batches. ``QueryBatcher``
+collects submissions for up to ``max_wait_ms`` or until ``max_batch``
+queries accumulate, issues ONE ``search_batch`` per compatible group
+(same limit/threshold/filter), and resolves each caller's future with
+its own row.
+
+The reference has nothing like this — its per-request path is one
+hnswlib call per query per shard (reference wdbx/api/server.py:141-152
+straight into VectorStore.search).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+from typing import Any
+
+import numpy as np
+
+logger = logging.getLogger("wdbx_tpu.api.batching")
+
+
+class QueryBatcher:
+    def __init__(
+        self,
+        store: Any,
+        max_batch: int = 64,
+        max_wait_ms: float = 3.0,
+    ):
+        self.store = store
+        self.max_batch = max_batch
+        self.max_wait_ms = max_wait_ms
+        self._pending: list[tuple[str, np.ndarray, dict, asyncio.Future]] = []
+        self._flush_task: asyncio.Task | None = None
+        self._lock = asyncio.Lock()
+        self.stats = {"requests": 0, "batches": 0, "batched_queries": 0}
+
+    async def search(
+        self,
+        query_vector: Any,
+        limit: int = 10,
+        threshold: float = 0.0,
+        filter_metadata: dict | None = None,
+    ) -> list:
+        """Submit one query; resolves when its batch completes."""
+        params = {
+            "limit": limit,
+            "threshold": threshold,
+            "filter_metadata": filter_metadata,
+        }
+        group = json.dumps(
+            [limit, threshold, filter_metadata], sort_keys=True, default=str
+        )
+        future: asyncio.Future = asyncio.get_running_loop().create_future()
+        query = np.asarray(query_vector, np.float32)
+        async with self._lock:
+            self._pending.append((group, query, params, future))
+            self.stats["requests"] += 1
+            if len(self._pending) >= self.max_batch:
+                await self._flush_locked()
+            elif self._flush_task is None or self._flush_task.done():
+                self._flush_task = asyncio.ensure_future(self._flush_later())
+        return await future
+
+    async def _flush_later(self) -> None:
+        await asyncio.sleep(self.max_wait_ms / 1000.0)
+        async with self._lock:
+            await self._flush_locked()
+
+    async def _flush_locked(self) -> None:
+        if not self._pending:
+            return
+        pending, self._pending = self._pending, []
+        groups: dict[str, list[tuple[np.ndarray, dict, asyncio.Future]]] = {}
+        for group, query, params, future in pending:
+            groups.setdefault(group, []).append((query, params, future))
+        for members in groups.values():
+            queries = np.stack([q for q, _, _ in members])
+            params = members[0][1]
+            self.stats["batches"] += 1
+            self.stats["batched_queries"] += len(members)
+            try:
+                results = await asyncio.to_thread(
+                    self.store.search_batch,
+                    queries,
+                    params["limit"],
+                    params["threshold"],
+                    params["filter_metadata"],
+                )
+            except Exception as e:  # resolve every waiter with the error
+                for _, _, future in members:
+                    if not future.done():
+                        future.set_exception(e)
+                continue
+            for (_, _, future), hits in zip(members, results):
+                if not future.done():
+                    future.set_result(hits)
+
+    def get_stats(self) -> dict[str, Any]:
+        out = dict(self.stats)
+        if out["batches"]:
+            out["avg_batch_size"] = round(
+                out["batched_queries"] / out["batches"], 2
+            )
+        return out

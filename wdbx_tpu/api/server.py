@@ -59,6 +59,15 @@ class WDBXAPIServer:
             if cors_origins is not None
             else cfg.get_typed("API_CORS_ORIGINS", list, default=None)
         )
+        self.batcher = None
+        if cfg.get("API_BATCHING", True):
+            from wdbx_tpu.api.batching import QueryBatcher
+
+            self.batcher = QueryBatcher(
+                wdbx.store,
+                max_batch=int(cfg.get("API_BATCH_MAX", 64)),
+                max_wait_ms=float(cfg.get("API_BATCH_WAIT_MS", 3.0)),
+            )
         self.app = self._build_app()
         self._runner: web.AppRunner | None = None
         self._thread: threading.Thread | None = None
@@ -128,12 +137,26 @@ class WDBXAPIServer:
         data = await request.json()
         if "query_vector" not in data:
             return _json_error(422, "field 'query_vector' is required")
-        results = await self.wdbx.vector_search_async(
-            data["query_vector"],
-            data.get("limit", 10),
-            data.get("threshold", 0.0),
-            data.get("filter_metadata"),
-        )
+        if len(data["query_vector"]) != self.wdbx.vector_dim:
+            return _json_error(
+                400,
+                f"Vector dimension mismatch: expected {self.wdbx.vector_dim}",
+            )
+        if self.batcher is not None:
+            # coalesce concurrent requests into one device batch
+            results = await self.batcher.search(
+                data["query_vector"],
+                data.get("limit", 10),
+                data.get("threshold", 0.0),
+                data.get("filter_metadata"),
+            )
+        else:
+            results = await self.wdbx.vector_search_async(
+                data["query_vector"],
+                data.get("limit", 10),
+                data.get("threshold", 0.0),
+                data.get("filter_metadata"),
+            )
         return web.json_response(
             {
                 "results": [
@@ -191,7 +214,10 @@ class WDBXAPIServer:
         return web.json_response({"success": True})
 
     async def get_stats(self, request: web.Request) -> web.Response:
-        return web.json_response(self.wdbx.get_stats())
+        stats = self.wdbx.get_stats()
+        if self.batcher is not None:
+            stats["query_batching"] = self.batcher.get_stats()
+        return web.json_response(stats)
 
     async def clear_database(self, request: web.Request) -> web.Response:
         count = await self.wdbx.clear_async()
