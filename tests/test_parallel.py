@@ -148,3 +148,14 @@ class TestReplicatedMesh:
         idx = ShardedFlatIndex(dim=8, replicas=2)
         s = idx.get_stats()
         assert s["replicas"] == 2 and s["devices"] == 4
+
+
+def test_shard_engine_health_check(temp_dir):
+    from wdbx_tpu.core.config import WDBXConfig
+
+    engine = ShardEngine(WDBXConfig({"DATA_DIR": temp_dir}))
+    asyncio.run(engine.initialize())
+    report = engine.health_check()
+    assert report["healthy"]
+    assert len(report["devices"]) == 8
+    assert all(v == "ok" for v in report["devices"].values())

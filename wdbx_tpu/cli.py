@@ -58,6 +58,8 @@ class WDBXCLI:
             ("plugins", self._cmd_plugins, "List loaded plugins"),
             ("plugin-info", self._cmd_plugin_info, "Show plugin details"),
             ("serve", self._cmd_serve, "Start the REST API server"),
+            ("import", self._cmd_import, "Bulk-load vectors from CSV/JSONL"),
+            ("optimize", self._cmd_optimize, "Compact and retrain indexes"),
             ("exit", self._cmd_exit, "Exit interactive mode"),
         ]
         for name, handler, desc in b:
@@ -262,6 +264,44 @@ class WDBXCLI:
         except (KeyboardInterrupt, asyncio.CancelledError):
             await server.stop()
         return 0
+
+    async def _cmd_import(self, args: list[str]) -> int:
+        p = argparse.ArgumentParser(prog="import", exit_on_error=False)
+        p.add_argument("path", help="CSV or JSONL file")
+        p.add_argument("--id-field", default="id")
+        p.add_argument("--vector-field", default="vector")
+        p.add_argument("--batch-size", type=int, default=4096)
+        try:
+            ns = p.parse_args(args)
+        except (argparse.ArgumentError, SystemExit):
+            return 1
+        from wdbx_tpu.utils.data_utils import (
+            load_vectors_from_csv,
+            load_vectors_from_jsonl,
+        )
+
+        if ns.path.endswith((".jsonl", ".ndjson")):
+            vectors, metadata = load_vectors_from_jsonl(
+                ns.path, id_field=ns.id_field, vector_field=ns.vector_field
+            )
+        else:
+            vectors, metadata = load_vectors_from_csv(
+                ns.path, id_column=ns.id_field, vector_column=ns.vector_field
+            )
+        ids = list(vectors)
+        total = 0
+        for i in range(0, len(ids), ns.batch_size):
+            chunk = ids[i : i + ns.batch_size]
+            total += await self.wdbx.batch_store_async(
+                {vid: vectors[vid] for vid in chunk},
+                {vid: metadata.get(vid, {}) for vid in chunk},
+            )
+        print(f"imported {total} vectors from {ns.path}")
+        return 0
+
+    async def _cmd_optimize(self, args: list[str]) -> None:
+        await self.wdbx.optimize_async()
+        print("optimized")
 
     def _cmd_exit(self, args: list[str]) -> None:
         self.running = False

@@ -110,6 +110,28 @@ class ShardEngine:
         device = devices[shard % len(devices)]
         return device.process_index == jax.process_index()
 
+    def health_check(self) -> dict[str, Any]:
+        """Per-device liveness: run a trivial computation on each mesh
+        device. Replaces the reference's static status flags (reference
+        wdbx/core/distributed.py:555-557 — no heartbeats at all)."""
+        import jax.numpy as jnp
+
+        mesh = self.mesh or make_mesh(axis=self.axis)
+        statuses = {}
+        for device in mesh.devices.flat:
+            try:
+                out = jax.device_put(jnp.ones((8, 8)), device) @ jnp.ones(
+                    (8, 8)
+                )
+                ok = bool(out[0, 0] == 8.0)
+            except Exception as e:
+                ok = False
+                statuses[str(device)] = f"error: {e}"
+                continue
+            statuses[str(device)] = "ok" if ok else "bad-result"
+        healthy = all(v == "ok" for v in statuses.values())
+        return {"healthy": healthy, "devices": statuses}
+
     def get_stats(self) -> dict[str, Any]:
         mesh = self.mesh
         return {
