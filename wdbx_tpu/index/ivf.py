@@ -40,7 +40,10 @@ from wdbx_tpu.ops.kmeans import kmeans
 from wdbx_tpu.ops.normalize import l2_normalize
 
 
-@partial(jax.jit, static_argnames=("k", "nprobe", "precision", "int8"))
+@partial(
+    jax.jit,
+    static_argnames=("k", "nprobe", "precision", "int8", "normalize"),
+)
 def _ivf_search(
     slab,
     valid,
@@ -56,6 +59,7 @@ def _ivf_search(
     nprobe,
     precision,
     int8=False,
+    normalize=False,
 ):
     """Scan-based IVF query.
 
@@ -70,6 +74,8 @@ def _ivf_search(
     gathers from the global valid mask.
     """
     b = q.shape[0]
+    if normalize:
+        q = l2_normalize(q)
     # 1. Probe selection: one small MXU matmul over the centroid table.
     cs = jax.lax.dot_general(
         q, centroids, (((1,), (1,)), ((), ())),
@@ -131,6 +137,51 @@ def _ivf_search(
         top = jnp.pad(top, ((0, 0), (0, k - k_eff)), constant_values=-jnp.inf)
         top_slots = jnp.pad(top_slots, ((0, 0), (0, k - k_eff)), constant_values=0)
     return top, top_slots
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "nprobe", "precision", "int8", "interpret",
+                     "normalize"),
+)
+def _ivf_query_pallas(
+    centroids, bucket_rows, valid8, slab, valid,
+    residual_slots, residual_count, scales, q,
+    k, nprobe, precision, int8=False, interpret=False, normalize=True,
+):
+    """One-dispatch pallas IVF query: probe selection, the
+    scalar-prefetch bucket kernel, and the residual merge all inline in
+    a single compiled program (three separate dispatches cost ~3 tunnel
+    round trips per query batch here)."""
+    from wdbx_tpu.kernels.ivf_scan import ivf_bucket_scan
+
+    if normalize:
+        q = l2_normalize(q)
+    b = q.shape[0]
+    nlist, cap_b, _ = bucket_rows.shape
+    p_eff = min(nprobe, nlist)
+    cs = jax.lax.dot_general(
+        q, centroids, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    _, probe = jax.lax.top_k(cs, p_eff)
+    probes_flat = probe.reshape(-1).astype(jnp.int32)
+    qidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p_eff)
+    kv, kp = ivf_bucket_scan(
+        bucket_rows, valid8, probes_flat, qidx, q,
+        k=min(k, cap_b), interpret=interpret,
+    )
+    kb = kv.shape[-1]
+    offset = nlist * cap_b
+    cand_labels = probes_flat[:, None] * cap_b + kp
+    residual_labels = (
+        jnp.arange(residual_slots.shape[0], dtype=jnp.int32) + offset
+    )
+    return _residual_merge(
+        slab, valid, residual_slots, residual_labels, residual_count,
+        scales, kv.reshape(b, p_eff * kb), cand_labels.reshape(b, p_eff * kb),
+        q, k=k, precision=precision, int8=int8,
+    )
 
 
 @partial(jax.jit, static_argnames=("p_eff", "precision"))
@@ -459,9 +510,12 @@ class IVFIndex(FlatIndex):
         ):
             return super().search(queries, k, slot_mask)
 
-        q = jnp.asarray(np.pad(queries, ((0, pad_b - b), (0, 0))))
-        if self.metric == "cosine":
-            q = l2_normalize(q)
+        # transfer rides the dispatch; normalization folds into the query
+        # program (pallas path) or happens below (lax path)
+        if isinstance(queries, jax.Array):
+            q = jnp.pad(queries, ((0, pad_b - b), (0, 0)))
+        else:
+            q = np.pad(queries, ((0, pad_b - b), (0, 0)))
 
         valid = self._valid
         if slot_mask is not None:
@@ -482,42 +536,18 @@ class IVFIndex(FlatIndex):
         if scales is None:
             scales = jnp.ones((1,), jnp.float32)  # unused placeholder
         if self.ivf_kernel == "pallas":
-            from wdbx_tpu.kernels.ivf_scan import ivf_bucket_scan
-
             p_eff = min(nprobe, nlist)
-            probe = _select_probes(
-                self._centroids, q, p_eff, self._precision
-            )  # (pad_b, P)
-            probes_flat = probe.reshape(-1)
-            qidx = jnp.repeat(
-                jnp.arange(pad_b, dtype=jnp.int32), p_eff
-            )
-            kv, kp = ivf_bucket_scan(
-                self._bucket_rows,
-                self._valid8(),
-                probes_flat,
-                qidx,
-                q,
-                k=min(k, cap_b),
+            scores, labels = _ivf_query_pallas(
+                self._centroids, self._bucket_rows, self._valid8(),
+                self._slab, valid, residual_slots, jnp.int32(r_n), scales, q,
+                k=k, nprobe=nprobe, precision=self._precision,
+                int8=self._is_int8,
                 interpret=jax.default_backend() != "tpu",
-            )
-            kb = kv.shape[-1]
-            # candidate labels: bucket*cap_b + pos; residual labels get an
-            # offset past the bucket space, both decoded on the host.
-            offset = nlist * cap_b
-            cand_labels = probes_flat[:, None] * cap_b + kp
-            residual_labels = jnp.arange(
-                residual_slots.shape[0], dtype=jnp.int32
-            ) + offset
-            scores, labels = _residual_merge(
-                self._slab, valid, residual_slots, residual_labels,
-                jnp.int32(r_n), scales,
-                kv.reshape(pad_b, p_eff * kb),
-                cand_labels.reshape(pad_b, p_eff * kb),
-                q, k=k, precision=self._precision, int8=self._is_int8,
+                normalize=self.metric == "cosine",
             )
             scores = np.asarray(scores[:b])
             labels = np.asarray(labels[:b], np.int64)
+            offset = nlist * cap_b
             bucket_slot_np = self._bucket_slot_np
             residual_np = np.asarray(self._residual, np.int64)
             out_slots = np.full_like(labels, -1)
@@ -547,6 +577,7 @@ class IVFIndex(FlatIndex):
             nprobe=nprobe,
             precision=self._precision,
             int8=self._is_int8,
+            normalize=self.metric == "cosine",
         )
         scores = np.asarray(scores[:b])
         out_slots = np.asarray(slots[:b], np.int64)
