@@ -525,21 +525,21 @@ class IVFIndex(FlatIndex):
 
         r_n = len(self._residual)
         r_cap = _next_pow2(max(r_n, 1)) if r_n else 0
-        residual_slots = jnp.asarray(
-            np.pad(
-                np.asarray(self._residual, np.int32),
-                (0, r_cap - r_n),
-                constant_values=self._cap,
-            )
+        # numpy operands: their transfers ride the jit dispatch instead of
+        # costing a blocking device_put round trip each
+        residual_slots = np.pad(
+            np.asarray(self._residual, np.int32),
+            (0, r_cap - r_n),
+            constant_values=self._cap,
         )
         scales = self._scales
         if scales is None:
-            scales = jnp.ones((1,), jnp.float32)  # unused placeholder
+            scales = np.ones((1,), np.float32)  # unused placeholder
         if self.ivf_kernel == "pallas":
             p_eff = min(nprobe, nlist)
             scores, labels = _ivf_query_pallas(
                 self._centroids, self._bucket_rows, self._valid8(),
-                self._slab, valid, residual_slots, jnp.int32(r_n), scales, q,
+                self._slab, valid, residual_slots, np.int32(r_n), scales, q,
                 k=k, nprobe=nprobe, precision=self._precision,
                 int8=self._is_int8,
                 interpret=jax.default_backend() != "tpu",
@@ -570,7 +570,7 @@ class IVFIndex(FlatIndex):
             self._bucket_valid,
             self._bucket_rows,
             residual_slots,
-            jnp.int32(r_n),
+            np.int32(r_n),
             scales,
             q,
             k=k,
