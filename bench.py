@@ -75,10 +75,10 @@ def main() -> None:
         )
 
     # -- recall oracle: exact f32 top-k on device -------------------------
-    # 4 batches (256 queries) is plenty for a recall estimate; f32/HIGHEST
+    # 2 batches (128 queries) is plenty for a recall estimate; f32/HIGHEST
     # is ~6 MXU passes so keeping this slice small keeps bench wall-time
     # bounded.
-    n_oracle = min(4, nb)
+    n_oracle = min(2, nb)
 
     @jax.jit
     def oracle(dbx, qs):
