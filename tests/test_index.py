@@ -573,3 +573,50 @@ class TestIVFPallasKernel:
         assert slots[0] not in got[0]
         scores, got = ivf.search(late, k=1)
         np.testing.assert_array_equal(got[:, 0], late_slots)
+
+
+class TestMultiAssignment:
+    def test_soar_improves_recall_at_fixed_nprobe(self, rng):
+        n, d, k = 20_000, 64, 10
+        db = _normed(rng, n, d)  # uniform random: hardest case
+        queries = _normed(rng, 32, d)
+        exact = np.argsort(-(queries @ db.T), axis=-1)[:, :k]
+
+        recalls = {}
+        for a in (1, 2):
+            ivf = IVFIndex(dim=d, nlist=64, nprobe=8, train_threshold=10**9,
+                           capacity=n, assignments=a)
+            ivf.batch_flat_fallback = False
+            slots = ivf.add_batch(db)
+            ivf.build()
+            _, got = ivf.search(queries, k=k)
+            es = slots[exact]
+            recalls[a] = np.mean(
+                [len(set(x.tolist()) & set(y.tolist())) / k
+                 for x, y in zip(got, es)]
+            )
+        assert recalls[2] > recalls[1]
+
+    def test_no_duplicates_with_multi_assignment(self, rng):
+        ivf = IVFIndex(dim=16, nlist=4, nprobe=4, train_threshold=10**9,
+                       assignments=2)
+        ivf.batch_flat_fallback = False
+        vecs = _normed(rng, 300, 16)
+        slots = ivf.add_batch(vecs)
+        ivf.build()
+        _, got = ivf.search(vecs[:8], k=10)
+        for row in got:
+            live = [s for s in row if s >= 0]
+            assert len(live) == len(set(live))
+        assert (got[:, 0] == slots[:8]).all()
+
+    def test_multi_assign_delete_removes_all_copies(self, rng):
+        ivf = IVFIndex(dim=16, nlist=4, nprobe=4, train_threshold=10**9,
+                       assignments=2)
+        ivf.batch_flat_fallback = False
+        vecs = _normed(rng, 200, 16)
+        slots = ivf.add_batch(vecs)
+        ivf.build()
+        ivf.remove_slots(slots[:1])
+        _, got = ivf.search(vecs[0], k=20)
+        assert slots[0] not in got[0]

@@ -238,6 +238,27 @@ def _residual_merge(
     return top, top_labels
 
 
+def _dedup_rows(scores: np.ndarray, slots: np.ndarray, k: int):
+    """Keep the first (best) occurrence of each slot per row; needed when
+    multi-assignment lets the same slot surface from two buckets."""
+    b = scores.shape[0]
+    out_s = np.full((b, k), -np.inf, np.float32)
+    out_i = np.full((b, k), -1, np.int64)
+    for r in range(b):
+        seen = set()
+        j = 0
+        for score, slot in zip(scores[r], slots[r]):
+            if j >= k:
+                break
+            if slot < 0 or score == -np.inf or slot in seen:
+                continue
+            seen.add(int(slot))
+            out_s[r, j] = score
+            out_i[r, j] = slot
+            j += 1
+    return out_s, out_i
+
+
 class IVFIndex(FlatIndex):
     kind = "ivf"
 
@@ -253,10 +274,15 @@ class IVFIndex(FlatIndex):
         rebuild_fraction: float = 0.2,
         kmeans_iters: int = 15,
         train_sample: int = 262_144,
+        assignments: int = 1,
     ):
         super().__init__(dim, metric=metric, dtype=dtype, capacity=capacity)
         self.nlist = nlist
         self.nprobe = nprobe
+        #: clusters each vector joins (2 = SOAR-style spilled assignment:
+        #: boundary vectors become findable from their runner-up cluster,
+        #: buying recall at fixed nprobe for 2x bucket-table memory)
+        self.assignments = max(1, int(assignments))
         self.train_threshold = train_threshold
         self.rebuild_fraction = rebuild_fraction
         self.kmeans_iters = kmeans_iters
@@ -325,9 +351,9 @@ class IVFIndex(FlatIndex):
     def _invalidate_bucket_entries(self, slots) -> None:
         positions = []
         for s in slots:
-            pos = self._slot_bucket_pos.pop(int(s), None)
-            if pos is not None:
-                positions.append(pos)
+            pos_list = self._slot_bucket_pos.pop(int(s), None)
+            if pos_list:
+                positions.extend(pos_list)
         if positions:
             cs = jnp.asarray([c for c, _ in positions])
             ps = jnp.asarray([p for _, p in positions])
@@ -407,20 +433,29 @@ class IVFIndex(FlatIndex):
             train, num_clusters=nlist, iters=self.kmeans_iters
         )
 
+        n_assign = min(self.assignments, nlist)
         assign_fn = jax.jit(
-            lambda r, c: jnp.argmax(
+            lambda r, c: jax.lax.top_k(
                 jax.lax.dot_general(
                     r, c, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ),
-                axis=-1,
-            ).astype(jnp.int32)
+                n_assign,
+            )[1].astype(jnp.int32)
         )
         chunk = 131_072
-        assign = np.empty(n_live, np.int32)
+        assign_multi = np.empty((n_live, n_assign), np.int32)
         for i in range(0, n_live, chunk):
             end = min(i + chunk, n_live)
-            assign[i:end] = np.asarray(assign_fn(rows_dev[i:end], centroids))
+            assign_multi[i:end] = np.asarray(
+                assign_fn(rows_dev[i:end], centroids)
+            )
+        # flatten (row, copy) pairs so the layout below treats each
+        # assignment as its own entry
+        assign = assign_multi.reshape(-1)
+        live_slots = np.repeat(live_slots, n_assign)
+        row_pos = np.repeat(np.arange(n_live), n_assign)
+        n_entries = len(assign)
 
         counts = np.bincount(assign, minlength=nlist)
         # 128-aligned bucket capacity: Pallas (1, cap_b) blocks need the
@@ -433,7 +468,7 @@ class IVFIndex(FlatIndex):
         order = np.argsort(assign, kind="stable")
         sorted_assign = assign[order]
         starts = np.searchsorted(sorted_assign, np.arange(nlist))
-        pos_within = np.arange(n_live) - starts[sorted_assign]
+        pos_within = np.arange(n_entries) - starts[sorted_assign]
         bucket_slot[sorted_assign, pos_within] = live_slots[order]
         bucket_valid[sorted_assign, pos_within] = True
         centroids = np.asarray(centroids)
@@ -450,16 +485,15 @@ class IVFIndex(FlatIndex):
         c_dev = jnp.asarray(sorted_assign)
         p_dev = jnp.asarray(pos_within)
         bucket_rows = scatter_rows(
-            rows_dev[jnp.asarray(order)], c_dev, p_dev
+            rows_dev[jnp.asarray(row_pos[order])], c_dev, p_dev
         )
         self._bucket_rows = bucket_rows
         self._bucket_scales = None  # rows stored pre-scaled (bf16) for int8
-        self._slot_bucket_pos = {
-            int(s): (int(c), int(pp))
-            for s, c, pp in zip(
-                live_slots[order], sorted_assign, pos_within
+        self._slot_bucket_pos = {}
+        for s, c, pp in zip(live_slots[order], sorted_assign, pos_within):
+            self._slot_bucket_pos.setdefault(int(s), []).append(
+                (int(c), int(pp))
             )
-        }
 
         self._centroids = jnp.asarray(centroids)
         self._bucket_slot = jnp.asarray(bucket_slot)
@@ -535,12 +569,15 @@ class IVFIndex(FlatIndex):
         scales = self._scales
         if scales is None:
             scales = np.ones((1,), np.float32)  # unused placeholder
+        # multi-assignment can surface one slot from two buckets; fetch
+        # extra candidates, dedup host-side, truncate back to k
+        k_fetch = k * min(self.assignments, 2)
         if self.ivf_kernel == "pallas":
             p_eff = min(nprobe, nlist)
             scores, labels = _ivf_query_pallas(
                 self._centroids, self._bucket_rows, self._valid8(),
                 self._slab, valid, residual_slots, np.int32(r_n), scales, q,
-                k=k, nprobe=nprobe, precision=self._precision,
+                k=k_fetch, nprobe=nprobe, precision=self._precision,
                 int8=self._is_int8,
                 interpret=jax.default_backend() != "tpu",
                 normalize=self.metric == "cosine",
@@ -561,7 +598,9 @@ class IVFIndex(FlatIndex):
                     np.clip(labels[in_res] - offset, 0, residual_np.size - 1)
                 ]
             out_slots[scores == -np.inf] = -1
-            return scores, out_slots
+            if self.assignments > 1:
+                return _dedup_rows(scores, out_slots, k)
+            return scores[:, :k], out_slots[:, :k]
         scores, slots = _ivf_search(
             self._slab,
             valid,
@@ -573,7 +612,7 @@ class IVFIndex(FlatIndex):
             np.int32(r_n),
             scales,
             q,
-            k=k,
+            k=k_fetch,
             nprobe=nprobe,
             precision=self._precision,
             int8=self._is_int8,
@@ -582,7 +621,9 @@ class IVFIndex(FlatIndex):
         scores = np.asarray(scores[:b])
         out_slots = np.asarray(slots[:b], np.int64)
         out_slots[scores == -np.inf] = -1
-        return scores, out_slots
+        if self.assignments > 1:
+            return _dedup_rows(scores, out_slots, k)
+        return scores[:, :k], out_slots[:, :k]
 
     def tune(
         self,
@@ -674,9 +715,11 @@ class IVFIndex(FlatIndex):
                 bs = np.asarray(self._bucket_slot)
                 bv = np.asarray(self._bucket_valid)
                 cs, ps = np.nonzero(bv)
-                self._slot_bucket_pos = {
-                    int(bs[c, p]): (int(c), int(p)) for c, p in zip(cs, ps)
-                }
+                self._slot_bucket_pos = {}
+                for c, p in zip(cs, ps):
+                    self._slot_bucket_pos.setdefault(int(bs[c, p]), []).append(
+                        (int(c), int(p))
+                    )
         return True
 
     def get_stats(self) -> dict:

@@ -289,12 +289,16 @@ class VectorStore:
                         cands.append((vid, float(score)))
                 cands.sort(key=lambda t: -t[1])
                 hits: list[SearchHit] = []
+                seen: set[str] = set()  # indexes may yield an id twice
                 for vid, score in cands:
+                    if vid in seen:
+                        continue
                     if threshold is not None and score < threshold:
                         continue
                     meta = self.metadata.get(vid, {})
                     if post is not None and not post(meta):
                         continue
+                    seen.add(vid)
                     hits.append((vid, score, meta))
                     if len(hits) >= limit:
                         break
