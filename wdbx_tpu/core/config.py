@@ -39,6 +39,7 @@ DEFAULTS: dict[str, Any] = {
     "IVF_NPROBE": 8,
     "IVF_TRAIN_THRESHOLD": 4096,
     "IVF_REBUILD_FRACTION": 0.2,
+    "IVF_ASSIGNMENTS": 1,  # 2 = SOAR-style spilled assignment
     # parallel / mesh
     "MESH_AXIS": "shard",
     "DISTRIBUTED_ENABLED": False,

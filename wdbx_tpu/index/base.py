@@ -118,6 +118,7 @@ def create_index(kind: str, dim: int, config: Any = None) -> "VectorIndex":
             kwargs["rebuild_fraction"] = float(
                 config.get("IVF_REBUILD_FRACTION", 0.2)
             )
+            kwargs["assignments"] = int(config.get("IVF_ASSIGNMENTS", 1))
         return IVFIndex(dim, **kwargs)
     if kind == "sharded_flat":
         from wdbx_tpu.parallel.sharded_flat import ShardedFlatIndex
