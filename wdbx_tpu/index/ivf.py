@@ -184,16 +184,6 @@ def _ivf_query_pallas(
     )
 
 
-@partial(jax.jit, static_argnames=("p_eff", "precision"))
-def _select_probes(centroids, q, p_eff, precision):
-    cs = jax.lax.dot_general(
-        q, centroids, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision,
-    )
-    _, probe = jax.lax.top_k(cs, p_eff)
-    return probe.astype(jnp.int32)
-
-
 @partial(jax.jit, static_argnames=("k", "precision", "int8"))
 def _residual_merge(
     slab, valid, residual_slots, residual_labels, residual_count, scales,
@@ -302,7 +292,6 @@ class IVFIndex(FlatIndex):
         self._bucket_slot = None  # (nlist, cap_b) int32 → slab rows
         self._bucket_valid = None  # (nlist, cap_b) bool
         self._bucket_rows = None  # (nlist, cap_b, d) contiguous vector copy
-        self._bucket_scales = None  # (nlist, cap_b) f32 (int8 slabs)
         self._slot_bucket_pos: dict[int, tuple[int, int]] = {}
         self._bucket_slot_np = None  # host copy for pallas label decode
         self._valid8_cache = None  # 8x-replicated int8 mask for pallas
@@ -488,7 +477,6 @@ class IVFIndex(FlatIndex):
             rows_dev[jnp.asarray(row_pos[order])], c_dev, p_dev
         )
         self._bucket_rows = bucket_rows
-        self._bucket_scales = None  # rows stored pre-scaled (bf16) for int8
         self._slot_bucket_pos = {}
         for s, c, pp in zip(live_slots[order], sorted_assign, pos_within):
             self._slot_bucket_pos.setdefault(int(s), []).append(
