@@ -111,3 +111,19 @@ class TestFacade:
         queries = np.stack([vecs["v1"], vecs["v5"]])
         res = db.vector_search_batch(queries, limit=1)
         assert [r[0][0] for r in res] == ["v1", "v5"]
+
+
+class TestDropInAttributes:
+    def test_version_and_plugins_attrs(self, db):
+        # reference users read wdbx.version and wdbx.plugins directly
+        assert isinstance(db.version, str) and db.version
+        assert db.plugins == {}
+        from wdbx_tpu.plugins import WDBXPlugin
+
+        class P(WDBXPlugin):
+            name = "p1"
+            description = "d"
+            version = "1"
+
+        db.register_plugin(P(db))
+        assert "p1" in db.plugins

@@ -247,6 +247,23 @@ class WDBX:
     async def optimize_async(self) -> bool:
         return await self.store.optimize_async()
 
+    # -- drop-in attributes --------------------------------------------------
+    @property
+    def version(self) -> str:
+        """Parity: reference exposes ``wdbx.version`` (reference
+        wdbx/core/wdbx.py:62, used by its API server)."""
+        from wdbx_tpu import __version__
+
+        return __version__
+
+    @property
+    def plugins(self) -> dict:
+        """Parity: reference exposes ``wdbx.plugins`` as a name→plugin
+        dict (reference wdbx/core/wdbx.py:82)."""
+        if self.plugin_manager is None:
+            return {}
+        return dict(self.plugin_manager.plugins)
+
     # -- plugins ------------------------------------------------------------
     def get_plugin(self, name: str):
         if self.plugin_manager is None:
