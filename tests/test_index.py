@@ -620,3 +620,22 @@ class TestMultiAssignment:
         ivf.remove_slots(slots[:1])
         _, got = ivf.search(vecs[0], k=20)
         assert slots[0] not in got[0]
+
+
+class TestIVFInt8:
+    def test_ivf_int8_end_to_end(self, rng):
+        ivf = IVFIndex(dim=32, dtype="int8", nlist=8, nprobe=8,
+                       train_threshold=10**9)
+        ivf.batch_flat_fallback = False
+        vecs = _normed(rng, 600, 32)
+        slots = ivf.add_batch(vecs)
+        ivf.build()
+        scores, got = ivf.search(vecs[:8], k=1)
+        np.testing.assert_array_equal(got[:, 0], slots[:8])
+        np.testing.assert_allclose(scores[:, 0], 1.0, atol=0.03)
+        # residual adds on an int8 slab get scale-corrected scores
+        late = _normed(rng, 2, 32)
+        late_slots = ivf.add_batch(late)
+        scores, got = ivf.search(late, k=1)
+        np.testing.assert_array_equal(got[:, 0], late_slots)
+        np.testing.assert_allclose(scores[:, 0], 1.0, atol=0.03)
