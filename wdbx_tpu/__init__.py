@@ -18,16 +18,25 @@ Public surface mirrors the reference facade (reference wdbx/core/wdbx.py:21):
 
 __version__ = "0.1.0"
 
-__all__ = ["WDBX", "WDBXConfig", "__version__"]
+__all__ = [
+    "WDBX", "WDBXConfig", "VectorStore", "FlatIndex", "IVFIndex",
+    "ShardedFlatIndex", "__version__",
+]
+
+_LAZY = {
+    "WDBX": ("wdbx_tpu.core.wdbx", "WDBX"),
+    "WDBXConfig": ("wdbx_tpu.core.config", "WDBXConfig"),
+    "VectorStore": ("wdbx_tpu.store.vector_store", "VectorStore"),
+    "FlatIndex": ("wdbx_tpu.index.flat", "FlatIndex"),
+    "IVFIndex": ("wdbx_tpu.index.ivf", "IVFIndex"),
+    "ShardedFlatIndex": ("wdbx_tpu.parallel.sharded_flat", "ShardedFlatIndex"),
+}
 
 
 def __getattr__(name):  # lazy: keep `import wdbx_tpu.ops` light
-    if name == "WDBX":
-        from wdbx_tpu.core.wdbx import WDBX
+    if name in _LAZY:
+        import importlib
 
-        return WDBX
-    if name == "WDBXConfig":
-        from wdbx_tpu.core.config import WDBXConfig
-
-        return WDBXConfig
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
     raise AttributeError(f"module 'wdbx_tpu' has no attribute {name!r}")
