@@ -42,6 +42,7 @@ DEFAULTS: dict[str, Any] = {
     "IVF_ASSIGNMENTS": 1,  # 2 = SOAR-style spilled assignment
     # parallel / mesh
     "MESH_AXIS": "shard",
+    "MESH_REPLICAS": 1,  # >1 = (replica, shard) mesh, batch shards over replicas
     "DISTRIBUTED_ENABLED": False,
     "DISTRIBUTED_REPLICATION_FACTOR": 1,
     "DISTRIBUTED_HOST": "localhost",

@@ -125,5 +125,6 @@ def create_index(kind: str, dim: int, config: Any = None) -> "VectorIndex":
 
         if config is not None:
             kwargs["axis"] = config.get("MESH_AXIS", "shard")
+            kwargs["replicas"] = int(config.get("MESH_REPLICAS", 1))
         return ShardedFlatIndex(dim, **kwargs)
     raise ValueError(f"unknown index type: {kind}")
