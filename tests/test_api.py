@@ -137,6 +137,39 @@ class TestAPI:
         assert resp.status == 200
         await client.close()
 
+    async def test_cors_preflight(self, temp_dir):
+        client, _ = await make_client(
+            temp_dir, api_key="sekrit", cors_origins=["http://app.example"]
+        )
+        # preflight is unauthenticated and answers Allow-* headers
+        resp = await client.options(
+            "/api/v1/vectors/v1/metadata",
+            headers={
+                "Origin": "http://app.example",
+                "Access-Control-Request-Method": "PUT",
+                "Access-Control-Request-Headers": "X-API-Key",
+            },
+        )
+        assert resp.status == 204
+        assert (
+            resp.headers["Access-Control-Allow-Origin"] == "http://app.example"
+        )
+        assert "PUT" in resp.headers["Access-Control-Allow-Methods"]
+        assert "X-API-Key" in resp.headers["Access-Control-Allow-Headers"]
+        # disallowed origin gets no CORS headers
+        resp = await client.options(
+            "/api/v1/stats", headers={"Origin": "http://evil.example"}
+        )
+        assert resp.status == 204
+        assert "Access-Control-Allow-Origin" not in resp.headers
+        # actual responses still carry Allow-Origin
+        resp = await client.get(
+            "/api/v1/stats",
+            headers={"X-API-Key": "sekrit", "Origin": "http://app.example"},
+        )
+        assert resp.headers["Access-Control-Allow-Origin"] == "http://app.example"
+        await client.close()
+
     async def test_validation_errors(self, temp_dir):
         client, _ = await make_client(temp_dir)
         assert (await client.post("/api/v1/vectors", json={})).status == 422

@@ -227,6 +227,51 @@ class TestIVFIndex:
         assert len(ivf._residual) == 0
         assert ivf._built_size == 96
 
+    @pytest.mark.parametrize("kernel", ["lax", "pallas"])
+    def test_slot_mask_filters_bucket_rows(self, rng, kernel):
+        """Pre-filter masks must apply to bucket-resident rows, not just
+        the fresh buffer (advisor finding r1: filtered searches returned
+        trained-in vectors whose metadata failed the filter)."""
+        ivf = IVFIndex(dim=16, nlist=4, train_threshold=32)
+        ivf.batch_flat_fallback = False  # force the bucket-scan path
+        ivf.ivf_kernel = kernel
+        vecs = _normed(rng, 64, 16)
+        slots = ivf.add_batch(vecs)
+        ivf.build()
+        assert ivf.is_trained
+        mask = np.zeros(ivf.capacity, bool)
+        allowed = set(int(s) for s in slots[::2])
+        mask[list(allowed)] = True
+        ivf.nprobe = 4  # probe everything: max chance to surface masked rows
+        _, got = ivf.search(vecs[:16], k=8, slot_mask=mask)
+        for row in got:
+            for s in row:
+                assert s < 0 or int(s) in allowed, f"masked slot {s} returned"
+        # self-queries of allowed rows still rank first
+        _, got_self = ivf.search(vecs[::2][:4], k=1, slot_mask=mask)
+        np.testing.assert_array_equal(got_self[:, 0], slots[::2][:4])
+
+    def test_int8_ip_bucket_residual_consistent(self, rng):
+        """With metric='ip' + int8, bucketed and fresh-buffer candidates
+        must rank on the same (dequantized, unnormalized) scale."""
+        ivf = IVFIndex(dim=16, metric="ip", dtype="int8", nlist=2,
+                       train_threshold=16)
+        ivf.batch_flat_fallback = False
+        base = _normed(rng, 48, 16)
+        mags = rng.uniform(0.5, 2.0, size=(48, 1)).astype(np.float32)
+        vecs = base * mags  # distinct magnitudes matter for ip
+        slots = ivf.add_batch(vecs)
+        ivf.build()
+        fresh = ivf.add_batch(vecs[:4] * 3.0)  # same directions, bigger
+        ivf.nprobe = 2
+        scores, got = ivf.search(base[:4], k=2)
+        # the 3x fresh copy must beat its bucketed original on raw ip
+        for qi in range(4):
+            assert got[qi, 0] == fresh[qi], (
+                f"q{qi}: fresh (3x magnitude) copy should win ip ranking, "
+                f"got slot {got[qi, 0]} scores {scores[qi]}"
+            )
+
     def test_persistence_roundtrip(self, rng, temp_dir):
         ivf = IVFIndex(dim=16, nlist=4, train_threshold=32)
         vecs = _normed(rng, 64, 16)

@@ -91,10 +91,38 @@ class WDBXAPIServer:
         r.add_post(f"{p}/embeddings/batch", self.create_embeddings_batch)
         r.add_get(f"{p}/plugins", self.list_plugins)
         r.add_get(f"{p}/plugins/{{plugin_name}}", self.get_plugin_info)
+        if self.cors_origins:
+            # Browser preflight: aiohttp 405s unrouted OPTIONS, which
+            # breaks clients sending X-API-Key or using PUT/DELETE.
+            r.add_route("OPTIONS", "/{tail:.*}", self._preflight)
         return app
+
+    def _cors_allowed(self, request: web.Request) -> str | None:
+        if not self.cors_origins:
+            return None
+        if "*" in self.cors_origins:
+            return "*"
+        origin = request.headers.get("Origin")
+        return origin if origin in self.cors_origins else None
+
+    async def _preflight(self, request: web.Request) -> web.Response:
+        resp = web.Response(status=204)
+        allowed = self._cors_allowed(request)
+        if allowed:
+            resp.headers["Access-Control-Allow-Origin"] = allowed
+            resp.headers["Access-Control-Allow-Methods"] = (
+                "GET, POST, PUT, DELETE, OPTIONS"
+            )
+            resp.headers["Access-Control-Allow-Headers"] = (
+                "Content-Type, X-API-Key"
+            )
+            resp.headers["Access-Control-Max-Age"] = "600"
+        return resp
 
     @web.middleware
     async def _auth_middleware(self, request: web.Request, handler):
+        if request.method == "OPTIONS":
+            return await handler(request)  # preflight is unauthenticated
         if self.api_key and request.path != "/api/v1/health":
             if request.headers.get("X-API-Key") != self.api_key:
                 return _json_error(401, "Invalid or missing API key")
@@ -107,15 +135,9 @@ class WDBXAPIServer:
         except Exception as e:
             logger.exception("unhandled API error")
             response = _json_error(500, str(e))
-        if self.cors_origins:
-            origin = request.headers.get("Origin")
-            allowed = (
-                "*"
-                if "*" in self.cors_origins
-                else (origin if origin in self.cors_origins else None)
-            )
-            if allowed:
-                response.headers["Access-Control-Allow-Origin"] = allowed
+        allowed = self._cors_allowed(request)
+        if allowed:
+            response.headers["Access-Control-Allow-Origin"] = allowed
         return response
 
     # -- handlers ----------------------------------------------------------

@@ -228,6 +228,28 @@ def _residual_merge(
     return top, top_labels
 
 
+@jax.jit
+def _mask_bucket_valid(bucket_valid, bucket_slot, mask):
+    """AND a per-slot filter mask into the bucket validity table.
+
+    ``bucket_slot`` pads empty entries with ``cap`` (one past the slab),
+    so the mask is padded with a trailing False to keep them invalid.
+    """
+    mask_pad = jnp.concatenate([mask, jnp.zeros((1,), bool)])
+    idx = jnp.minimum(bucket_slot, mask.shape[0])
+    return jnp.logical_and(bucket_valid, mask_pad[idx])
+
+
+@partial(jax.jit, static_argnames=())
+def _valid8_of(bucket_valid):
+    """8x-replicated int8 validity table for the pallas kernel (Mosaic
+    rejects (1, cap_b) blocks; (1, 8, cap_b) is legal)."""
+    return jnp.broadcast_to(
+        bucket_valid[:, None, :].astype(jnp.int8),
+        (bucket_valid.shape[0], 8, bucket_valid.shape[1]),
+    )
+
+
 def _dedup_rows(scores: np.ndarray, slots: np.ndarray, k: int):
     """Keep the first (best) occurrence of each slot per row; needed when
     multi-assignment lets the same slot surface from two buckets."""
@@ -353,11 +375,7 @@ class IVFIndex(FlatIndex):
         """8x-replicated int8 validity table: Mosaic rejects (1, cap_b)
         blocks, (1, 8, cap_b) blocks are legal. ~8 bytes/vector."""
         if self._valid8_cache is None:
-            v8 = jnp.broadcast_to(
-                self._bucket_valid[:, None, :].astype(jnp.int8),
-                (self._bucket_valid.shape[0], 8, self._bucket_valid.shape[1]),
-            )
-            self._valid8_cache = jnp.asarray(v8)
+            self._valid8_cache = _valid8_of(self._bucket_valid)
         return self._valid8_cache
 
     def clear(self) -> None:
@@ -407,9 +425,13 @@ class IVFIndex(FlatIndex):
         rows_dev = gather_rows(self._slab, live_dev)  # stays on device
         if self._is_int8:
             rows_dev = rows_dev * self._scales[live_dev][:, None]
-            rows_dev = rows_dev / jnp.maximum(
-                jnp.linalg.norm(rows_dev, axis=-1, keepdims=True), 1e-12
-            )
+            if self.metric == "cosine":
+                # Renormalize only for cosine; for 'ip' the dequantized
+                # magnitudes must survive into bucket_rows so bucketed
+                # and residual/flat candidates rank on the same scale.
+                rows_dev = rows_dev / jnp.maximum(
+                    jnp.linalg.norm(rows_dev, axis=-1, keepdims=True), 1e-12
+                )
 
         nlist = min(self.nlist, n_live)
         train = rows_dev
@@ -540,10 +562,18 @@ class IVFIndex(FlatIndex):
             q = np.pad(queries, ((0, pad_b - b), (0, 0)))
 
         valid = self._valid
+        bucket_valid = self._bucket_valid
         if slot_mask is not None:
             mask = np.zeros(self._cap, bool)
             mask[: len(slot_mask)] = slot_mask[: self._cap]
-            valid = jnp.logical_and(valid, jnp.asarray(mask))
+            mask_dev = jnp.asarray(mask)
+            valid = jnp.logical_and(valid, mask_dev)
+            # Bucket-resident rows are filtered by the bucket tables, not
+            # the global mask — AND the mask in (pad slot == cap → False)
+            # so pre-filtered searches never return masked-out vectors.
+            bucket_valid = _mask_bucket_valid(
+                bucket_valid, self._bucket_slot, mask_dev
+            )
 
         r_n = len(self._residual)
         r_cap = _next_pow2(max(r_n, 1)) if r_n else 0
@@ -562,8 +592,13 @@ class IVFIndex(FlatIndex):
         k_fetch = k * min(self.assignments, 2)
         if self.ivf_kernel == "pallas":
             p_eff = min(nprobe, nlist)
+            v8 = (
+                self._valid8()
+                if slot_mask is None
+                else _valid8_of(bucket_valid)
+            )
             scores, labels = _ivf_query_pallas(
-                self._centroids, self._bucket_rows, self._valid8(),
+                self._centroids, self._bucket_rows, v8,
                 self._slab, valid, residual_slots, np.int32(r_n), scales, q,
                 k=k_fetch, nprobe=nprobe, precision=self._precision,
                 int8=self._is_int8,
@@ -594,7 +629,7 @@ class IVFIndex(FlatIndex):
             valid,
             self._centroids,
             self._bucket_slot,
-            self._bucket_valid,
+            bucket_valid,
             self._bucket_rows,
             residual_slots,
             np.int32(r_n),

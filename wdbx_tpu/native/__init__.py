@@ -113,9 +113,12 @@ def _load_native():
 
 _native_mod = _load_native()
 
-# Self-bootstrap: compile on first import when a toolchain is present
-# (set WDBX_NO_NATIVE_BUILD=1 to keep the pure-Python registry).
-if _native_mod is None and not os.environ.get("WDBX_NO_NATIVE_BUILD"):
+# Opt-in self-bootstrap: compiling on import surprises read-only installs
+# and adds up to 120s of import latency, so it only happens when
+# WDBX_NATIVE_BUILD=1 is set. The supported paths are an explicit
+# ``build()`` call or a build at install/image time (the Dockerfile and
+# Makefile both do this); otherwise the pure-Python registry is used.
+if _native_mod is None and os.environ.get("WDBX_NATIVE_BUILD") == "1":
     if build():
         _native_mod = _load_native()
 
@@ -125,3 +128,20 @@ if _native_mod is not None:
 else:
     SlotRegistry = PySlotRegistry
     HAVE_NATIVE = False
+
+
+def use_native(force_build: bool = False) -> bool:
+    """Explicitly build (if needed) and switch to the native registry.
+
+    Returns True when the native extension is active. New registries
+    created after this call use the native class; existing instances
+    are unaffected.
+    """
+    global _native_mod, SlotRegistry, HAVE_NATIVE
+    if _native_mod is None or force_build:
+        if build(force=force_build):
+            _native_mod = _load_native()
+    if _native_mod is not None:
+        SlotRegistry = _native_mod.SlotRegistry
+        HAVE_NATIVE = True
+    return HAVE_NATIVE

@@ -203,15 +203,18 @@ class VectorStore:
 
     # -- read -------------------------------------------------------------
     def get(self, vector_id: str) -> tuple[list[float], dict[str, Any]] | None:
-        shard = self._shard_for(vector_id)
-        slot = self.registries[shard].lookup(vector_id)
-        if slot is None:
-            return None
-        if vector_id in self.raw_vectors:
-            vec = self.raw_vectors[vector_id]
-        else:
-            vec = self.indices[shard].get_vectors(np.asarray([slot]))[0]
-        return vec.tolist(), self.metadata.get(vector_id, {})
+        # Locked: optimize()'s compact+registry remap can reallocate slots
+        # mid-lookup, so an unlocked read could fetch the wrong slab row.
+        with self._lock:
+            shard = self._shard_for(vector_id)
+            slot = self.registries[shard].lookup(vector_id)
+            if slot is None:
+                return None
+            if vector_id in self.raw_vectors:
+                vec = self.raw_vectors[vector_id]
+            else:
+                vec = self.indices[shard].get_vectors(np.asarray([slot]))[0]
+            return vec.tolist(), self.metadata.get(vector_id, {})
 
     def count(self) -> int:
         return sum(reg.size() for reg in self.registries)
