@@ -421,6 +421,55 @@ class TestTopkMethods:
         with pytest.raises(ValueError):
             FlatIndex(dim=8, topk_method="magic")
 
+    def test_auto_resolves_by_backend(self):
+        import jax
+
+        from wdbx_tpu.index import FlatIndex
+
+        idx = FlatIndex(dim=8)  # default is auto
+        expected = "fused" if jax.default_backend() == "tpu" else "exact"
+        assert idx._resolve_topk() == expected
+
+    def test_fused_int8_scales(self, rng):
+        """int8 slabs go through the fused kernel with per-row scales;
+        ip ranking must respect magnitudes (not just directions)."""
+        from wdbx_tpu.index import FlatIndex
+
+        idx = FlatIndex(dim=32, metric="ip", dtype="int8", capacity=1024,
+                        topk_method="fused")
+        base = np.eye(32, dtype=np.float32)  # orthogonal: no cross-talk
+        vecs = base * rng.uniform(0.5, 2.0, size=(32, 1)).astype(np.float32)
+        slots = idx.add_batch(vecs)
+        big = idx.add_batch(vecs[:4] * 3.0)  # same direction, 3x magnitude
+        scores, got = idx.search(base[:4], k=2)
+        np.testing.assert_array_equal(got[:, 0], big)
+        np.testing.assert_array_equal(got[:, 1], slots[:4])
+
+    def test_search_pipelined_matches_search(self, rng):
+        from wdbx_tpu.index import FlatIndex
+
+        idx = FlatIndex(dim=16, capacity=1024)
+        vecs = _normed(rng, 300, 16)
+        slots = idx.add_batch(vecs)
+        idx.remove_slots(slots[:10])
+        qstack = _normed(rng, 24, 16).reshape(3, 8, 16)
+        s3, i3 = idx.search_pipelined(qstack, k=5)
+        assert s3.shape == (3, 8, 5) and i3.shape == (3, 8, 5)
+        for nb in range(3):
+            s1, i1 = idx.search(qstack[nb], k=5)
+            np.testing.assert_array_equal(i3[nb], i1)
+            np.testing.assert_allclose(s3[nb], s1, rtol=1e-5)
+
+    def test_search_pipelined_fused_interpret(self, rng):
+        from wdbx_tpu.index import FlatIndex
+
+        idx = FlatIndex(dim=16, capacity=256, topk_method="fused")
+        vecs = _normed(rng, 100, 16)
+        slots = idx.add_batch(vecs)
+        qstack = vecs[:8].reshape(2, 4, 16)
+        _, i3 = idx.search_pipelined(qstack, k=1)
+        np.testing.assert_array_equal(i3.reshape(-1), slots[:8])
+
 
 class TestCompaction:
     def test_compact_repacks_live_rows(self, rng):

@@ -311,9 +311,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="wdbx-tpu", description="TPU-native vector database CLI"
     )
-    p.add_argument("--data-dir", default="./wdbx_data")
-    p.add_argument("--dimension", type=int, default=384)
-    p.add_argument("--shards", type=int, default=1)
+    # Defaults are None so omitted flags defer to WDBX_* env vars /
+    # config files instead of silently overriding them.
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--dimension", type=int, default=None)
+    p.add_argument("--shards", type=int, default=None)
     p.add_argument("--no-plugins", action="store_true")
     p.add_argument("--log-level", default="INFO")
     p.add_argument("command", nargs="?", help="command to run (omit for REPL)")

@@ -35,9 +35,9 @@ class WDBX:
 
     def __init__(
         self,
-        vector_dimension: int = 384,
-        num_shards: int = 1,
-        data_dir: str = "./wdbx_data",
+        vector_dimension: int | None = 384,
+        num_shards: int | None = 1,
+        data_dir: str | None = "./wdbx_data",
         config: dict[str, Any] | WDBXConfig | None = None,
         enable_plugins: bool = True,
         enable_distributed: bool = False,
@@ -49,14 +49,21 @@ class WDBX:
             self.config = config
         else:
             self.config = WDBXConfig(config)
-        # Constructor args override config-file/env values (runtime wins,
-        # reference precedence wdbx/core/config.py:61-81).
-        self.config.set("VECTOR_DIMENSION", vector_dimension)
-        self.config.set("NUM_SHARDS", num_shards)
-        self.config.set("DATA_DIR", data_dir)
-        self.vector_dim = vector_dimension
-        self.num_shards = num_shards
-        self.data_dir = data_dir
+        # Explicit constructor args override config-file/env values
+        # (runtime wins, reference precedence wdbx/core/config.py:61-81);
+        # pass None to defer to env/file config (the CLI does this so
+        # WDBX_VECTOR_DIMENSION et al. are honored when flags are
+        # omitted).
+        if vector_dimension is not None:
+            self.config.set("VECTOR_DIMENSION", vector_dimension)
+        if num_shards is not None:
+            self.config.set("NUM_SHARDS", num_shards)
+        if data_dir is not None:
+            self.config.set("DATA_DIR", data_dir)
+        self.vector_dim = int(self.config.get("VECTOR_DIMENSION", 384))
+        self.num_shards = int(self.config.get("NUM_SHARDS", 1))
+        self.data_dir = str(self.config.get("DATA_DIR", "./wdbx_data"))
+        data_dir = self.data_dir
         self.device = device
         self.enable_distributed = enable_distributed
 

@@ -16,6 +16,8 @@ from typing import Any
 
 import numpy as np
 
+from wdbx_tpu.utils.rwlock import RWLock
+
 
 class VectorIndex(abc.ABC):
     """Batched, slot-addressed similarity index."""
@@ -28,6 +30,12 @@ class VectorIndex(abc.ABC):
             raise ValueError(f"unsupported metric: {metric}")
         self.dim = dim
         self.metric = metric
+        #: readers-writer lock: searches hold ``_mu.read()`` through their
+        #: device compute (mutators donate buffers to XLA, so a mutation
+        #: would invalidate a snapshot mid-flight); mutators hold
+        #: ``_mu.write()``. Concurrent searches overlap; mutations
+        #: serialize with in-flight searches only.
+        self._mu = RWLock()
 
     # -- mutation ---------------------------------------------------------
     @abc.abstractmethod
@@ -108,7 +116,7 @@ def create_index(kind: str, dim: int, config: Any = None) -> "VectorIndex":
         kwargs["dtype"] = config.get("INDEX_DTYPE", "float32")
     if kind == "flat":
         if config is not None:
-            kwargs["topk_method"] = config.get("INDEX_TOPK", "exact")
+            kwargs["topk_method"] = config.get("INDEX_TOPK", "auto")
         return FlatIndex(dim, **kwargs)
     if kind == "ivf":
         if config is not None:

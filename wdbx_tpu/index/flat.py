@@ -61,6 +61,22 @@ def _tombstone(valid, slots):
     return valid.at[slots].set(False)
 
 
+@partial(jax.jit, static_argnames=("k", "precision"))
+def _exact_pipelined(slab, qstack, valid, scales, k, precision):
+    """lax.scan of exact_search over a (NB, B, d) query stack — the
+    non-Pallas pipelined path (CPU mesh tests, f32 oracles)."""
+
+    def step(carry, q):
+        s, i = exact_search(
+            slab, q, k=k, valid=valid, precision=precision,
+            scales=scales, method="exact", normalize=False,
+        )
+        return carry, (s, i)
+
+    _, (scores, idx) = jax.lax.scan(step, 0, qstack)
+    return scores, idx
+
+
 class FlatIndex(VectorIndex):
     kind = "flat"
 
@@ -70,13 +86,16 @@ class FlatIndex(VectorIndex):
         metric: str = "cosine",
         dtype: str = "float32",
         capacity: int = 1024,
-        topk_method: str = "exact",
+        topk_method: str = "auto",
     ):
         super().__init__(dim, metric)
         if dtype not in _DTYPES:
             raise ValueError(f"unsupported slab dtype: {dtype}")
-        if topk_method not in ("exact", "approx", "fused"):
+        if topk_method not in ("auto", "exact", "approx", "fused"):
             raise ValueError(f"unsupported topk method: {topk_method}")
+        #: "auto" resolves per search: the fused Pallas kernel on TPU
+        #: (exact fold, no HBM score matrix — the roofline path), the
+        #: XLA exact path elsewhere (Mosaic interpret mode is debug-only).
         self.topk_method = topk_method
         #: "npz" (host gather, portable) or "orbax" (sharded device I/O)
         self.persist_backend = "npz"
@@ -206,27 +225,30 @@ class FlatIndex(VectorIndex):
 
     # -- VectorIndex ------------------------------------------------------
     def add_batch(self, vectors: np.ndarray) -> np.ndarray:
-        vectors = self._prep(vectors)
-        slots = self._take_slots(len(vectors))
-        self._scatter(slots, vectors, True)
-        self._size += len(vectors)
-        return slots
+        with self._mu.write():
+            vectors = self._prep(vectors)
+            slots = self._take_slots(len(vectors))
+            self._scatter(slots, vectors, True)
+            self._size += len(vectors)
+            return slots
 
     def update_slots(self, slots: np.ndarray, vectors: np.ndarray) -> None:
-        vectors = self._prep(vectors)
-        self._scatter(np.asarray(slots, np.int64), vectors, True)
+        with self._mu.write():
+            vectors = self._prep(vectors)
+            self._scatter(np.asarray(slots, np.int64), vectors, True)
 
     def remove_slots(self, slots: np.ndarray) -> None:
         slots = np.asarray(slots, np.int64)
         if len(slots) == 0:
             return
-        pad_n = _next_pow2(len(slots))
-        pslots = jnp.asarray(
-            np.pad(slots, (0, pad_n - len(slots)), constant_values=self._cap)
-        )
-        self._valid = self._tombstone_arrays(pslots)
-        self._size -= len(slots)
-        self._free.extend(int(s) for s in slots)
+        with self._mu.write():
+            pad_n = _next_pow2(len(slots))
+            pslots = jnp.asarray(
+                np.pad(slots, (0, pad_n - len(slots)), constant_values=self._cap)
+            )
+            self._valid = self._tombstone_arrays(pslots)
+            self._size -= len(slots)
+            self._free.extend(int(s) for s in slots)
 
     def search(
         self,
@@ -244,43 +266,102 @@ class FlatIndex(VectorIndex):
             # jnp.asarray is a separate blocking round trip).
             q = np.pad(queries, ((0, pad_b - b), (0, 0)))
         normalize = self.metric == "cosine"
-        valid = self._valid
-        if slot_mask is not None:
-            mask = np.zeros(self._cap, bool)
-            mask[: len(slot_mask)] = slot_mask[: self._cap]
-            valid = jnp.logical_and(valid, jnp.asarray(mask))
-        if self.topk_method == "fused" and not self._is_int8:
-            if normalize:
-                q = l2_normalize(q)
-            from wdbx_tpu.kernels.fused_topk import fused_topk_search
+        # Read lock held through materialization: mutators donate the old
+        # slab buffer to XLA, which would invalidate it under an
+        # in-flight search. Concurrent searches share the read side.
+        with self._mu.read():
+            slab, valid, scales, cap = (
+                self._slab, self._valid, self._scales, self._cap,
+            )
+            if slot_mask is not None:
+                mask = np.zeros(cap, bool)
+                mask[: len(slot_mask)] = slot_mask[:cap]
+                valid = jnp.logical_and(valid, jnp.asarray(mask))
+            method = self._resolve_topk()
+            if method == "fused":
+                if normalize:
+                    q = l2_normalize(q)
+                from wdbx_tpu.kernels.fused_topk import fused_topk_search
 
-            block_n = min(2048, self._cap)
-            scores, idx = fused_topk_search(
-                self._slab, q, valid, k=min(k, self._cap), block_n=block_n,
-                interpret=jax.default_backend() != "tpu",  # Mosaic is TPU-only
+                scores, idx = fused_topk_search(
+                    slab, q, valid, k=min(k, cap),
+                    block_n=min(2048, cap),
+                    interpret=jax.default_backend() != "tpu",  # Mosaic: TPU-only
+                    scales=scales if self._is_int8 else None,
+                )
+                if scores.shape[1] < k:
+                    pad = k - scores.shape[1]
+                    scores = jnp.pad(scores, ((0, 0), (0, pad)),
+                                     constant_values=-jnp.inf)
+                    idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
+                scores = jnp.where(scores <= -3.0e38, -jnp.inf, scores)
+            else:
+                scores, idx = exact_search(
+                    slab, q, k=k, valid=valid, precision=self._precision,
+                    scales=scales, method=method,
+                    normalize=normalize,
+                )
+            scores = np.asarray(scores[:b])
+            slots = np.asarray(idx[:b], np.int64)
+        slots[scores == -np.inf] = -1
+        return scores, slots
+
+    def _resolve_topk(self) -> str:
+        if self.topk_method != "auto":
+            return self.topk_method
+        return "fused" if jax.default_backend() == "tpu" else "exact"
+
+    def search_pipelined(
+        self, qstack: np.ndarray, k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Serve a (NB, B, d) stack of query batches in ONE device
+        dispatch: `lax.scan` of the fused kernel (TPU) or the exact XLA
+        path (elsewhere). This is the throughput-serving entry — each
+        dispatch costs a host round trip (~30 ms on tunneled devices),
+        so batches are pipelined device-side and materialized once.
+        Returns (NB, B, k) scores/slots with tombstones already -1.
+        """
+        qstack = np.asarray(qstack, np.float32) if not isinstance(
+            qstack, jax.Array
+        ) else qstack
+        assert qstack.ndim == 3 and qstack.shape[-1] == self.dim
+        if self.metric == "cosine":
+            flat = l2_normalize(qstack.reshape(-1, self.dim))
+            qstack = flat.reshape(qstack.shape)
+        with self._mu.read():  # held through materialization (donation)
+            slab, valid, scales, cap = (
+                self._slab, self._valid, self._scales, self._cap,
             )
-            if scores.shape[1] < k:
-                pad = k - scores.shape[1]
-                scores = jnp.pad(scores, ((0, 0), (0, pad)),
-                                 constant_values=-jnp.inf)
-                idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
-            scores = jnp.where(scores <= -3.0e38, -jnp.inf, scores)
-        else:
-            scores, idx = exact_search(
-                self._slab, q, k=k, valid=valid, precision=self._precision,
-                scales=self._scales, method=self.topk_method,
-                normalize=normalize,
-            )
-        scores = np.asarray(scores[:b])
-        slots = np.asarray(idx[:b], np.int64)
+            if self._resolve_topk() == "fused":
+                from wdbx_tpu.kernels.fused_topk import (
+                    fused_topk_search_batched,
+                )
+
+                scores, idx = fused_topk_search_batched(
+                    slab, qstack, valid, k=min(k, cap),
+                    block_n=min(2048, cap),
+                    interpret=jax.default_backend() != "tpu",
+                    scales=scales if self._is_int8 else None,
+                )
+                scores = jnp.where(scores <= -3.0e38, -jnp.inf, scores)
+            else:
+                scores, idx = _exact_pipelined(
+                    slab, qstack, valid, scales,
+                    k=min(k, cap), precision=self._precision,
+                )
+            scores = np.asarray(scores)
+            slots = np.asarray(idx, np.int64)
         slots[scores == -np.inf] = -1
         return scores, slots
 
     def get_vectors(self, slots: np.ndarray) -> np.ndarray:
         slots = np.asarray(slots, np.int64)
-        host = np.asarray(self._slab[slots], np.float32)
-        if self._is_int8:
-            host = host * np.asarray(self._scales[slots], np.float32)[:, None]
+        with self._mu.read():  # exclude buffer donation mid-gather
+            host = np.asarray(self._slab[slots], np.float32)
+            if self._is_int8:
+                host = host * np.asarray(
+                    self._scales[slots], np.float32
+                )[:, None]
         return host
 
     def compact(self) -> tuple[np.ndarray, np.ndarray]:
@@ -290,31 +371,33 @@ class FlatIndex(VectorIndex):
         ``(old_slots, new_slots)`` so the caller can remap its id table;
         rows are moved with one device gather + scatter.
         """
-        valid = np.asarray(self._valid)
-        live = np.nonzero(valid)[0]
-        n = len(live)
-        old_slots = live.astype(np.int64)
-        new_slots = np.arange(n, dtype=np.int64)
-        moved = old_slots[old_slots != new_slots]
-        if len(moved) == 0:
+        with self._mu.write():
+            valid = np.asarray(self._valid)
+            live = np.nonzero(valid)[0]
+            n = len(live)
+            old_slots = live.astype(np.int64)
+            new_slots = np.arange(n, dtype=np.int64)
+            moved = old_slots[old_slots != new_slots]
+            if len(moved) == 0:
+                self._free = []
+                self._next_slot = n
+                return old_slots, new_slots
+            rows = self.get_vectors(old_slots)  # dequantized f32 (n, dim)
+            self._alloc(self._cap)
+            self._size = 0
             self._free = []
-            self._next_slot = n
+            self._next_slot = 0
+            if n:
+                re_slots = self.add_batch(rows)
+                assert (re_slots == new_slots).all()
             return old_slots, new_slots
-        rows = self.get_vectors(old_slots)  # dequantized f32 (n, dim)
-        self._alloc(self._cap)
-        self._size = 0
-        self._free = []
-        self._next_slot = 0
-        if n:
-            re_slots = self.add_batch(rows)
-            assert (re_slots == new_slots).all()
-        return old_slots, new_slots
 
     def clear(self) -> None:
-        self._alloc(self._cap)
-        self._size = 0
-        self._free = []
-        self._next_slot = 0
+        with self._mu.write():
+            self._alloc(self._cap)
+            self._size = 0
+            self._free = []
+            self._next_slot = 0
 
     def count(self) -> int:
         return self._size
@@ -329,6 +412,10 @@ class FlatIndex(VectorIndex):
     # <path>.bin + <path>.mapping scheme (reference
     # wdbx/core/indexing.py:317-344) without pickle.
     def save(self, path: str) -> None:
+        with self._mu.read():  # consistent slab/valid view vs. donation
+            self._save_locked(path)
+
+    def _save_locked(self, path: str) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         if self.persist_backend == "orbax":
             from wdbx_tpu.store import persist
@@ -365,6 +452,10 @@ class FlatIndex(VectorIndex):
         }
 
     def load(self, path: str) -> bool:
+        with self._mu.write():
+            return self._load_locked(path)
+
+    def _load_locked(self, path: str) -> bool:
         if not os.path.exists(path + ".meta.json"):
             return False
         with open(path + ".meta.json") as f:

@@ -327,23 +327,25 @@ class IVFIndex(FlatIndex):
 
     # -- mutation: fresh buffer bookkeeping ---------------------------------
     def add_batch(self, vectors: np.ndarray) -> np.ndarray:
-        slots = super().add_batch(vectors)
-        if self.is_trained:
-            self._residual.extend(int(s) for s in slots)
-        return slots
+        with self._mu.write():
+            slots = super().add_batch(vectors)
+            if self.is_trained:
+                self._residual.extend(int(s) for s in slots)
+            return slots
 
     def update_slots(self, slots: np.ndarray, vectors: np.ndarray) -> None:
         """In-place vector update: the slab row changes but the bucket
         table's contiguous copy would go stale, so the bucket entry is
         invalidated and the slot re-enters through the fresh buffer."""
-        super().update_slots(slots, vectors)
-        if not self.is_trained:
-            return
-        slot_list = [int(s) for s in np.asarray(slots, np.int64)]
-        self._invalidate_bucket_entries(slot_list)
-        for s in slot_list:
-            if s not in self._residual:
-                self._residual.append(s)
+        with self._mu.write():
+            super().update_slots(slots, vectors)
+            if not self.is_trained:
+                return
+            slot_list = [int(s) for s in np.asarray(slots, np.int64)]
+            self._invalidate_bucket_entries(slot_list)
+            for s in slot_list:
+                if s not in self._residual:
+                    self._residual.append(s)
 
     def remove_slots(self, slots: np.ndarray) -> None:
         """Tombstone, but quarantine the slots instead of recycling them:
@@ -352,12 +354,13 @@ class IVFIndex(FlatIndex):
         slots return to the free list at the next build(). The bucket
         entry is invalidated directly — the scan trusts bucket_valid and
         never re-checks the global mask for bucketed rows."""
-        super().remove_slots(slots)
-        if self.is_trained:
-            freed = set(int(s) for s in np.asarray(slots, np.int64))
-            self._free = [s for s in self._free if s not in freed]
-            self._quarantine.extend(freed)
-            self._invalidate_bucket_entries(freed)
+        with self._mu.write():
+            super().remove_slots(slots)
+            if self.is_trained:
+                freed = set(int(s) for s in np.asarray(slots, np.int64))
+                self._free = [s for s in self._free if s not in freed]
+                self._quarantine.extend(freed)
+                self._invalidate_bucket_entries(freed)
 
     def _invalidate_bucket_entries(self, slots) -> None:
         positions = []
@@ -379,20 +382,22 @@ class IVFIndex(FlatIndex):
         return self._valid8_cache
 
     def clear(self) -> None:
-        super().clear()
-        self._reset_overlay()
+        with self._mu.write():
+            super().clear()
+            self._reset_overlay()
 
     def optimize(self) -> None:
         if self._size > 0:
             self.build()
 
     def compact(self):
-        old, new = super().compact()
-        # Bucket tables and fresh buffer reference pre-compaction slots.
-        self._reset_overlay()
-        if self._size >= self.train_threshold:
-            self.build()
-        return old, new
+        with self._mu.write():
+            old, new = super().compact()
+            # Bucket tables and fresh buffer reference pre-compaction slots.
+            self._reset_overlay()
+            if self._size >= self.train_threshold:
+                self.build()
+            return old, new
 
     # -- build ---------------------------------------------------------------
     def build(self) -> None:
@@ -403,7 +408,15 @@ class IVFIndex(FlatIndex):
         only sees the (N,) assignment vector and does a vectorized
         argsort to lay the bucket table out. (An earlier host-side
         version cost minutes at 1M x 384 on gather + matmul alone.)
+
+        Holds ``_mu`` throughout: searches snapshot a consistent overlay
+        and block during a rebuild (rebuilds are rare and triggered by
+        ``rebuild_fraction``, so this is a bounded pause).
         """
+        with self._mu.write():
+            self._build_locked()
+
+    def _build_locked(self) -> None:
         hwm = self._next_slot
         if self._size == 0 or hwm == 0:
             self._reset_overlay()
@@ -515,14 +528,15 @@ class IVFIndex(FlatIndex):
         self._quarantine = []
         self._built_size = self._size
 
-    def _maybe_build(self) -> None:
+    def _needs_build(self) -> bool:
         if not self.is_trained:
-            if self._size >= self.train_threshold:
-                self.build()
-            return
-        if self._built_size and (
+            return self._size >= self.train_threshold
+        return bool(self._built_size) and (
             len(self._residual) > self.rebuild_fraction * self._built_size
-        ):
+        )
+
+    def _maybe_build(self) -> None:
+        if self._needs_build():
             self.build()
 
     # -- query -----------------------------------------------------------------
@@ -532,12 +546,31 @@ class IVFIndex(FlatIndex):
         k: int,
         slot_mask: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        self._maybe_build()
+        # Build-if-stale needs the write lock (it swaps the overlay);
+        # the search itself runs under read so concurrent queries overlap.
+        if self._needs_build():
+            with self._mu.write():
+                self._maybe_build()
+        with self._mu.read():
+            return self._search_read_locked(queries, k, slot_mask)
+
+    def _search_read_locked(self, queries, k, slot_mask):
         if not self.is_trained:
-            # Below the training threshold a flat scan is both exact and
-            # cheap — same spirit as FAISS buffering pre-train adds
-            # (reference wdbx/core/indexing.py:874-882).
+            # Below the training threshold a flat scan is both exact
+            # and cheap — same spirit as FAISS buffering pre-train
+            # adds (reference wdbx/core/indexing.py:874-882).
             return super().search(queries, k, slot_mask)
+        slab, g_valid, g_scales, cap = (
+            self._slab, self._valid, self._scales, self._cap,
+        )
+        centroids = self._centroids
+        bucket_slot = self._bucket_slot
+        bucket_valid = self._bucket_valid
+        bucket_rows = self._bucket_rows
+        bucket_slot_np = self._bucket_slot_np
+        residual = list(self._residual)
+        size = self._size
+        v8_cached = self._valid8() if self.ivf_kernel == "pallas" else None
 
         queries = self._prep(queries)
         b = len(queries)
@@ -546,11 +579,11 @@ class IVFIndex(FlatIndex):
         # for the whole batch. When the probes would touch more than the
         # corpus, stream it instead. (batch_flat_fallback=False forces
         # the scan path — used by tests and latency-critical callers.)
-        nlist = int(self._bucket_slot.shape[0])
-        cap_b = int(self._bucket_slot.shape[1])
+        nlist = int(bucket_slot.shape[0])
+        cap_b = int(bucket_slot.shape[1])
         nprobe = min(self.nprobe, nlist)
         if self.batch_flat_fallback and (
-            pad_b * nprobe * cap_b >= max(1, self._size)
+            pad_b * nprobe * cap_b >= max(1, size)
         ):
             return super().search(queries, k, slot_mask)
 
@@ -561,45 +594,39 @@ class IVFIndex(FlatIndex):
         else:
             q = np.pad(queries, ((0, pad_b - b), (0, 0)))
 
-        valid = self._valid
-        bucket_valid = self._bucket_valid
+        valid = g_valid
         if slot_mask is not None:
-            mask = np.zeros(self._cap, bool)
-            mask[: len(slot_mask)] = slot_mask[: self._cap]
+            mask = np.zeros(cap, bool)
+            mask[: len(slot_mask)] = slot_mask[:cap]
             mask_dev = jnp.asarray(mask)
             valid = jnp.logical_and(valid, mask_dev)
             # Bucket-resident rows are filtered by the bucket tables, not
             # the global mask — AND the mask in (pad slot == cap → False)
             # so pre-filtered searches never return masked-out vectors.
             bucket_valid = _mask_bucket_valid(
-                bucket_valid, self._bucket_slot, mask_dev
+                bucket_valid, bucket_slot, mask_dev
             )
 
-        r_n = len(self._residual)
+        r_n = len(residual)
         r_cap = _next_pow2(max(r_n, 1)) if r_n else 0
         # numpy operands: their transfers ride the jit dispatch instead of
         # costing a blocking device_put round trip each
         residual_slots = np.pad(
-            np.asarray(self._residual, np.int32),
+            np.asarray(residual, np.int32),
             (0, r_cap - r_n),
-            constant_values=self._cap,
+            constant_values=cap,
         )
-        scales = self._scales
+        scales = g_scales
         if scales is None:
             scales = np.ones((1,), np.float32)  # unused placeholder
         # multi-assignment can surface one slot from two buckets; fetch
         # extra candidates, dedup host-side, truncate back to k
         k_fetch = k * min(self.assignments, 2)
         if self.ivf_kernel == "pallas":
-            p_eff = min(nprobe, nlist)
-            v8 = (
-                self._valid8()
-                if slot_mask is None
-                else _valid8_of(bucket_valid)
-            )
+            v8 = v8_cached if slot_mask is None else _valid8_of(bucket_valid)
             scores, labels = _ivf_query_pallas(
-                self._centroids, self._bucket_rows, v8,
-                self._slab, valid, residual_slots, np.int32(r_n), scales, q,
+                centroids, bucket_rows, v8,
+                slab, valid, residual_slots, np.int32(r_n), scales, q,
                 k=k_fetch, nprobe=nprobe, precision=self._precision,
                 int8=self._is_int8,
                 interpret=jax.default_backend() != "tpu",
@@ -608,8 +635,7 @@ class IVFIndex(FlatIndex):
             scores = np.asarray(scores[:b])
             labels = np.asarray(labels[:b], np.int64)
             offset = nlist * cap_b
-            bucket_slot_np = self._bucket_slot_np
-            residual_np = np.asarray(self._residual, np.int64)
+            residual_np = np.asarray(residual, np.int64)
             out_slots = np.full_like(labels, -1)
             in_bucket = (labels >= 0) & (labels < offset)
             out_slots[in_bucket] = bucket_slot_np[
@@ -625,12 +651,12 @@ class IVFIndex(FlatIndex):
                 return _dedup_rows(scores, out_slots, k)
             return scores[:, :k], out_slots[:, :k]
         scores, slots = _ivf_search(
-            self._slab,
+            slab,
             valid,
-            self._centroids,
-            self._bucket_slot,
+            centroids,
+            bucket_slot,
             bucket_valid,
-            self._bucket_rows,
+            bucket_rows,
             residual_slots,
             np.int32(r_n),
             scales,
@@ -660,7 +686,8 @@ class IVFIndex(FlatIndex):
         (the oracle the reference never had; SURVEY.md §7 'hard parts'
         calls for exactly this loop). Returns the achieved recall.
         """
-        self._maybe_build()
+        with self._mu.write():
+            self._maybe_build()
         if not self.is_trained:
             return 1.0
         queries = self._prep(queries)
@@ -686,6 +713,10 @@ class IVFIndex(FlatIndex):
 
     # -- persistence -------------------------------------------------------
     def save(self, path: str) -> None:
+        with self._mu.read():
+            self._ivf_save_locked(path)
+
+    def _ivf_save_locked(self, path: str) -> None:
         super().save(path)
         if self.is_trained:
             rows = np.asarray(self._bucket_rows)
@@ -713,6 +744,10 @@ class IVFIndex(FlatIndex):
             )
 
     def load(self, path: str) -> bool:
+        with self._mu.write():
+            return self._ivf_load_locked(path)
+
+    def _ivf_load_locked(self, path: str) -> bool:
         if not super().load(path):
             return False
         self._reset_overlay()

@@ -16,6 +16,14 @@ init on the first step, emit on the last.
 Selection is K passes of max+argmax+mask on the VPU (K*B*BLOCK_N ops per
 tile — noise next to the matmul); ``lax.top_k``'s sort lowering is
 avoided inside the kernel.
+
+int8 slabs are supported by an optional per-row scale operand: the tile
+is scored in int8->f32 on the MXU and the scale applied to the (B, C)
+score tile (one VPU multiply — the dequantized slab never materializes).
+
+``fused_topk_search_batched`` scans the kernel over a (NB, B, d) query
+stack in ONE dispatch: the serving pipeline for a remote/tunnel device
+where each dispatch costs a round trip.
 """
 
 from __future__ import annotations
@@ -79,42 +87,59 @@ def _kernel(q_ref, db_ref, valid_ref, out_v_ref, out_i_ref, tv, ti, *, k: int,
         out_i_ref[:] = ti[:]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "block_n", "interpret")
-)
-def fused_topk_search(
-    db: jax.Array,
-    queries: jax.Array,
-    valid: jax.Array,
-    k: int = 10,
-    block_n: int = 2048,
-    interpret: bool = False,
-) -> tuple[jax.Array, jax.Array]:
-    """Top-k inner products of ``queries`` (B, d) against ``db`` (N, d).
+def _kernel_int8(q_ref, db_ref, valid_ref, scales_ref, out_v_ref, out_i_ref,
+                 tv, ti, *, k: int, block_n: int):
+    i = pl.program_id(0)
 
-    ``N`` must be a multiple of ``block_n`` (capacity slabs are powers of
-    two, so this holds by construction). Returns ``(values, indices)``
-    of shape ``(B, k)``; sorted descending because the fold fills ranks
-    in order. Invalid rows surface as ``-3.4e38``/whatever index — mask
-    them by score like the exact_search contract.
-    """
+    @pl.when(i == 0)
+    def _init():
+        tv[:] = jnp.full_like(tv, NEG)
+        ti[:] = jnp.full_like(ti, -1)
+
+    scores = jax.lax.dot_general(
+        q_ref[:], db_ref[:].astype(q_ref.dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, BLOCK_N)
+    scores = scores * scales_ref[:]  # dequantize the score tile (VPU)
+    valid = valid_ref[:]  # (1, BLOCK_N) int8 mask
+    scores = jnp.where(valid != 0, scores, NEG)
+    _fold_topk(scores, i * block_n, tv, ti, k)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _emit():
+        out_v_ref[:] = tv[:]
+        out_i_ref[:] = ti[:]
+
+
+def _pallas_topk(db, queries, valid_i8, scales, k, block_n, interpret):
+    """Single-batch pallas_call; traceable, so callers may scan it."""
     n, d = db.shape
     b = queries.shape[0]
-    assert n % block_n == 0, (n, block_n)
     grid = (n // block_n,)
-    valid_i8 = valid.astype(jnp.int8).reshape(1, n)
-    queries = queries.astype(db.dtype)
-
-    out_v, out_i = pl.pallas_call(
-        functools.partial(_kernel, k=k, block_n=block_n),
+    in_specs = [
+        pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec((1, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    operands = [queries, db, valid_i8]
+    if scales is not None:
+        kern = functools.partial(_kernel_int8, k=k, block_n=block_n)
+        in_specs.append(
+            pl.BlockSpec((1, block_n), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(scales)
+        slab_bytes = n * d  # int8
+    else:
+        kern = functools.partial(_kernel, k=k, block_n=block_n)
+        slab_bytes = n * d * db.dtype.itemsize
+    return pl.pallas_call(
+        kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((1, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((b, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -129,9 +154,74 @@ def fused_topk_search(
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * d,
-            bytes_accessed=n * d * db.dtype.itemsize + b * d * 4 + n,
+            bytes_accessed=slab_bytes + b * d * 4 + n,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(queries, db, valid_i8)
-    return out_v, out_i
+    )(*operands)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_n", "interpret")
+)
+def fused_topk_search(
+    db: jax.Array,
+    queries: jax.Array,
+    valid: jax.Array,
+    k: int = 10,
+    block_n: int = 2048,
+    interpret: bool = False,
+    scales: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k inner products of ``queries`` (B, d) against ``db`` (N, d).
+
+    ``N`` must be a multiple of ``block_n`` (capacity slabs are powers of
+    two, so this holds by construction). Returns ``(values, indices)``
+    of shape ``(B, k)``; sorted descending because the fold fills ranks
+    in order. Invalid rows surface as ``-3.4e38``/whatever index — mask
+    them by score like the exact_search contract. For int8 slabs pass
+    per-row ``scales`` (N,) f32; queries then stay bf16/f32.
+    """
+    n, d = db.shape
+    assert n % block_n == 0, (n, block_n)
+    valid_i8 = valid.astype(jnp.int8).reshape(1, n)
+    if scales is not None:
+        scales = scales.astype(jnp.float32).reshape(1, n)
+        queries = queries.astype(jnp.bfloat16)
+    else:
+        queries = queries.astype(db.dtype)
+    return _pallas_topk(db, queries, valid_i8, scales, k, block_n, interpret)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_n", "interpret")
+)
+def fused_topk_search_batched(
+    db: jax.Array,
+    qstack: jax.Array,
+    valid: jax.Array,
+    k: int = 10,
+    block_n: int = 2048,
+    interpret: bool = False,
+    scales: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Scan the fused kernel over a (NB, B, d) query stack in ONE
+    dispatch. Returns (NB, B, k) values/indices. This is the serving
+    pipeline: dispatch overhead (a ~30 ms round trip on tunneled
+    devices) amortizes over NB batches while the kernel streams the
+    slab once per batch at HBM speed."""
+    n, d = db.shape
+    assert n % block_n == 0, (n, block_n)
+    valid_i8 = valid.astype(jnp.int8).reshape(1, n)
+    if scales is not None:
+        scales = scales.astype(jnp.float32).reshape(1, n)
+        qstack = qstack.astype(jnp.bfloat16)
+    else:
+        qstack = qstack.astype(db.dtype)
+
+    def step(carry, q):
+        v, i = _pallas_topk(db, q, valid_i8, scales, k, block_n, interpret)
+        return carry, (v, i)
+
+    _, (vals, idx) = jax.lax.scan(step, 0, qstack)
+    return vals, idx

@@ -279,32 +279,40 @@ class ShardedFlatIndex(FlatIndex):
             q = l2_normalize(q)
         if self._dtype == jnp.bfloat16:
             q = q.astype(jnp.bfloat16)  # int8 slabs keep float queries
-        valid = self._valid
-        if slot_mask is not None:
-            mask = np.zeros(self._cap, bool)
-            mask[: len(slot_mask)] = slot_mask[: self._cap]
-            mask2 = mask.reshape(self.rows_per_device, self.n_devices).T
-            valid = jnp.logical_and(
-                valid,
-                jax.device_put(
-                    jnp.asarray(np.ascontiguousarray(mask2)),
-                    self._sharding(P(self.axis, None)),
-                ),
+        method = self.topk_method
+        if method == "auto":
+            # per-shard selector inside shard_map: approx_max_k is the
+            # TPU selection hardware; sort-based top_k elsewhere
+            method = (
+                "approx" if jax.default_backend() == "tpu" else "exact"
             )
-        key = (k, self._cap, self.topk_method)
-        fn = self._search_cache.get(key)
-        if fn is None:
-            fn = _build_search(
-                self.mesh, self.axis, k, self._precision, self._is_int8,
-                method=self.topk_method, normalize=self.metric == "cosine",
-                replica_axis=self.replica_axis,
-            )
-            self._search_cache[key] = fn
-        scores, slots = fn(self._slab, valid, self._scales, q)
-        # full host gather, then slice: partial slices of replica-sharded
-        # outputs are ambiguous for the partitioner
-        scores = np.asarray(scores)[:b]
-        out = np.asarray(slots, np.int64)[:b]
+        with self._mu.read():  # exclude slab donation during compute
+            valid = self._valid
+            if slot_mask is not None:
+                mask = np.zeros(self._cap, bool)
+                mask[: len(slot_mask)] = slot_mask[: self._cap]
+                mask2 = mask.reshape(self.rows_per_device, self.n_devices).T
+                valid = jnp.logical_and(
+                    valid,
+                    jax.device_put(
+                        jnp.asarray(np.ascontiguousarray(mask2)),
+                        self._sharding(P(self.axis, None)),
+                    ),
+                )
+            key = (k, self._cap, method)
+            fn = self._search_cache.get(key)
+            if fn is None:
+                fn = _build_search(
+                    self.mesh, self.axis, k, self._precision, self._is_int8,
+                    method=method, normalize=self.metric == "cosine",
+                    replica_axis=self.replica_axis,
+                )
+                self._search_cache[key] = fn
+            scores, slots = fn(self._slab, valid, self._scales, q)
+            # full host gather, then slice: partial slices of
+            # replica-sharded outputs are ambiguous for the partitioner
+            scores = np.asarray(scores)[:b]
+            out = np.asarray(slots, np.int64)[:b]
         if scores.shape[1] < k:  # fewer than k candidates exist mesh-wide
             pad = k - scores.shape[1]
             scores = np.pad(scores, ((0, 0), (0, pad)), constant_values=-np.inf)
@@ -314,11 +322,12 @@ class ShardedFlatIndex(FlatIndex):
 
     def get_vectors(self, slots: np.ndarray) -> np.ndarray:
         slots = np.asarray(slots, np.int64)
-        slab, _ = self._host_slot_view()
-        rows = slab[slots].astype(np.float32)
-        if self._is_int8:
-            scales = np.asarray(self._scales).T.reshape(-1)
-            rows = rows * scales[slots][:, None]
+        with self._mu.read():
+            slab, _ = self._host_slot_view()
+            rows = slab[slots].astype(np.float32)
+            if self._is_int8:
+                scales = np.asarray(self._scales).T.reshape(-1)
+                rows = rows * scales[slots][:, None]
         return rows
 
     # -- persistence -------------------------------------------------------

@@ -75,6 +75,10 @@ class VectorStore:
         self._mutations_since_save = 0
         self._lock = threading.RLock()
         self.metrics = LatencyRecorder()
+        # Search-path snapshots, invalidated on mutation: per-shard
+        # slot->id object tables and pre-filter mask cache.
+        self._slot_ids_cache: list[np.ndarray | None] = []
+        self._mask_cache: dict[tuple[str, int], np.ndarray] = {}
 
         index_type = config.get("INDEX_TYPE", "flat")
         persist_backend = str(config.get("PERSIST_BACKEND", "npz"))
@@ -84,6 +88,7 @@ class VectorStore:
             self.indices.append(index)
             self.registries.append(SlotRegistry())
 
+        self._slot_ids_cache = [None] * len(self.indices)
         self._create_dirs()
         self._load()
 
@@ -112,6 +117,7 @@ class VectorStore:
         return stable_shard(vector_id, self.num_shards)
 
     def _after_mutation(self, count: int = 1) -> None:
+        self._invalidate_snapshots()
         self._mutations_since_save += count
         if self.save_immediately:
             self.save()
@@ -241,9 +247,16 @@ class VectorStore:
         threshold: float = 0.0,
         filter_metadata: dict[str, Any] | None = None,
     ) -> list[list[SearchHit]]:
-        """Batched shard fan-out + merge. All shards are scored with
-        asynchronously dispatched device programs; merging happens on tiny
-        (B, shards*k) candidate sets."""
+        """Batched shard fan-out + merge.
+
+        The store lock covers only host bookkeeping (filter-mask build,
+        id-table snapshot); device compute runs lock-free so concurrent
+        searches overlap — each index snapshots its immutable device
+        arrays internally (index/base.py ``_mu``). The merge is
+        vectorized numpy over the tiny (B, shards*k) candidate set and
+        id resolution is one fancy-index per shard, replacing the
+        per-candidate ``id_of`` loop that burned host ms under the lock.
+        """
         queries = np.asarray(query_vectors, np.float32)
         if queries.ndim == 1:
             queries = queries[None, :]
@@ -256,57 +269,108 @@ class VectorStore:
         use_pre = self._use_prefilter(filter_metadata)
         fetch_k = limit if (use_pre or not filter_metadata) else max(limit * 4, 50)
 
-        per_shard: list[tuple[np.ndarray, np.ndarray, int]] = []
-        with self.metrics.timed("search_batch" if b > 1 else "search"), self._lock:
-            for shard, index in enumerate(self.indices):
-                mask = None
-                if use_pre:
-                    mask = build_slot_mask(
-                        index.capacity,
-                        (
-                            (slot, vid)
-                            for vid, slot in self.registries[shard].items()
-                        ),
-                        self.metadata,
-                        filter_metadata,
-                    )
-                scores, slots = index.search(queries, fetch_k, slot_mask=mask)
-                per_shard.append((scores, slots, shard))
+        with self.metrics.timed("search_prep"), self._lock:
+            indices = list(self.indices)
+            masks = [
+                self._filter_mask(shard, filter_metadata) if use_pre else None
+                for shard in range(len(indices))
+            ]
+            id_tables = [self._ids_for(s) for s in range(len(indices))]
 
-            results: list[list[SearchHit]] = []
+        with self.metrics.timed("search_batch" if b > 1 else "search"):
+            per_shard = [
+                index.search(queries, fetch_k, slot_mask=masks[shard])
+                for shard, index in enumerate(indices)
+            ]
+
+            n_shards = len(per_shard)
+            all_scores = np.concatenate([s for s, _ in per_shard], axis=1)
+            all_slots = np.concatenate([sl for _, sl in per_shard], axis=1)
+            all_shard = np.concatenate(
+                [np.full_like(sl, i) for i, (_, sl) in enumerate(per_shard)],
+                axis=1,
+            )
+            order = np.argsort(-all_scores, axis=1, kind="stable")
+            all_scores = np.take_along_axis(all_scores, order, axis=1)
+            all_slots = np.take_along_axis(all_slots, order, axis=1)
+            all_shard = np.take_along_axis(all_shard, order, axis=1)
+
+            # Vectorized slot -> id: one fancy-index per shard over the
+            # cached object table.
+            ids = np.full(all_slots.shape, None, dtype=object)
+            for s in range(n_shards):
+                table = id_tables[s]
+                sel = (all_shard == s) & (all_slots >= 0)
+                sel &= all_slots < len(table)
+                if sel.any():
+                    ids[sel] = table[all_slots[sel]]
+            keep = np.isfinite(all_scores)
+            if threshold is not None:
+                keep &= all_scores >= threshold
+
             post = (
                 compile_filter(filter_metadata)
                 if (filter_metadata and not use_pre)
                 else None
             )
+            results: list[list[SearchHit]] = []
             for qi in range(b):
-                cands: list[tuple[str, float]] = []
-                for scores, slots, shard in per_shard:
-                    reg = self.registries[shard]
-                    for score, slot in zip(scores[qi], slots[qi]):
-                        if slot < 0 or score == -np.inf:
-                            continue
-                        vid = reg.id_of(int(slot))
-                        if vid is None:
-                            continue
-                        cands.append((vid, float(score)))
-                cands.sort(key=lambda t: -t[1])
                 hits: list[SearchHit] = []
                 seen: set[str] = set()  # indexes may yield an id twice
-                for vid, score in cands:
-                    if vid in seen:
-                        continue
-                    if threshold is not None and score < threshold:
+                row_keep = keep[qi]
+                for ci in np.nonzero(row_keep)[0]:
+                    vid = ids[qi, ci]
+                    if vid is None or vid in seen:
                         continue
                     meta = self.metadata.get(vid, {})
                     if post is not None and not post(meta):
                         continue
                     seen.add(vid)
-                    hits.append((vid, score, meta))
+                    hits.append((vid, float(all_scores[qi, ci]), meta))
                     if len(hits) >= limit:
                         break
                 results.append(hits)
         return results
+
+    def _ids_for(self, shard: int) -> np.ndarray:
+        """Slot -> id object table for one shard, cached until the next
+        mutation (vectorizes id resolution in the search merge)."""
+        table = self._slot_ids_cache[shard]
+        if table is None:
+            items = self.registries[shard].items()
+            n = 1 + max((int(slot) for _, slot in items), default=-1)
+            table = np.full(n, None, dtype=object)
+            for vid, slot in items:
+                table[int(slot)] = vid
+            self._slot_ids_cache[shard] = table
+        return table
+
+    def _filter_mask(
+        self, shard: int, flt: dict[str, Any] | None
+    ) -> np.ndarray | None:
+        """Per-shard pre-filter mask, cached by filter key and
+        invalidated on mutation (SURVEY §7 filter ABI: rebuilding the
+        O(N) mask per query is the selective-filter recall trap)."""
+        if not flt:
+            return None
+        key = (json.dumps(flt, sort_keys=True, default=str), shard)
+        mask = self._mask_cache.get(key)
+        if mask is None:
+            index = self.indices[shard]
+            mask = build_slot_mask(
+                index.capacity,
+                ((slot, vid) for vid, slot in self.registries[shard].items()),
+                self.metadata,
+                flt,
+            )
+            self._mask_cache[key] = mask
+        return mask
+
+    def _invalidate_snapshots(self) -> None:
+        """Drop cached id tables + filter masks; call on any mutation
+        that changes slots, registry contents, or metadata."""
+        self._slot_ids_cache = [None] * len(self.indices)
+        self._mask_cache.clear()
 
     def _use_prefilter(self, flt: dict[str, Any] | None) -> bool:
         if not flt:
@@ -315,8 +379,11 @@ class VectorStore:
             return True
         if self.filter_mode == "post":
             return False
-        # auto: predicate evaluation is host-side Python, so cap the work.
-        return self.count() <= 100_000
+        # auto: the mask build walks every entry in host Python, but the
+        # result is cached until the next mutation (_filter_mask), so the
+        # ceiling is about worst-case first-query latency, not steady
+        # state.
+        return self.count() <= 1_000_000
 
     # -- maintenance ------------------------------------------------------
     def clear(self) -> int:
@@ -327,6 +394,7 @@ class VectorStore:
             self.registries = [SlotRegistry() for _ in self.indices]
             self.metadata.clear()
             self.raw_vectors.clear()
+            self._invalidate_snapshots()
             self.save()
         return n
 
@@ -348,6 +416,7 @@ class VectorStore:
                     )
                     self.registries[shard] = reg
                 index.optimize()
+            self._invalidate_snapshots()
         return True
 
     def get_stats(self) -> dict[str, Any]:
@@ -404,11 +473,13 @@ class VectorStore:
                         list(id_map.keys()), [int(s) for s in id_map.values()]
                     )
                     self.registries[shard] = reg
+                    self._invalidate_snapshots()
                     return True
             except (ValueError, OSError, KeyError) as e:
                 logger.warning("recover(%d) failed: %s", shard, e)
             index.clear()
             self.registries[shard] = SlotRegistry()
+            self._invalidate_snapshots()
             return False
 
     # -- persistence ------------------------------------------------------
@@ -466,6 +537,7 @@ class VectorStore:
                     self.raw_vectors[str(vid)] = np.asarray(vec, np.float32)
             except (ValueError, OSError) as e:
                 logger.warning("failed to load raw vectors: %s", e)
+        self._invalidate_snapshots()
 
     # -- async twins ------------------------------------------------------
     async def store_async(self, vector_id, vector, metadata=None) -> bool:
