@@ -21,7 +21,8 @@ Methodology notes (this sandbox):
     the baseline if anything).
 
 Env knobs: BENCH_N (default 1_048_576), BENCH_DIM (384), BENCH_BATCH
-(64), BENCH_NB (16 batches/dispatch), BENCH_REPS (3), BENCH_CPU_N.
+(64), BENCH_NB (64 kernel batches/dispatch), BENCH_COALESCE (2 client
+batches per kernel batch), BENCH_REPS (3), BENCH_CPU_N.
 """
 
 from __future__ import annotations
@@ -41,7 +42,11 @@ def main() -> None:
     n = int(os.environ.get("BENCH_N", 1_048_576))
     dim = int(os.environ.get("BENCH_DIM", 384))
     batch = int(os.environ.get("BENCH_BATCH", 64))
-    nb = int(os.environ.get("BENCH_NB", 16))
+    # serving pipeline: `coalesce` client batches ride one kernel batch
+    # (the QueryBatcher's job) and `nb` kernel batches ride one dispatch
+    # (amortizes the ~30 ms tunnel round trip of this sandbox)
+    coalesce = int(os.environ.get("BENCH_COALESCE", 2))
+    nb = int(os.environ.get("BENCH_NB", 64))
     reps = int(os.environ.get("BENCH_REPS", 3))
     cpu_n = min(n, int(os.environ.get("BENCH_CPU_N", 65_536)))
     k = 10
@@ -61,9 +66,9 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
     db32 = jax.random.normal(key, (n, dim), jnp.float32)
     db32 = db32 / jnp.linalg.norm(db32, axis=-1, keepdims=True)
-    db16 = db32.astype(jnp.bfloat16)
+    kb = batch * coalesce  # kernel batch width
     qkey = jax.random.PRNGKey(1)
-    qstack = jax.random.normal(qkey, (nb, batch, dim), jnp.float32)
+    qstack = jax.random.normal(qkey, (nb, kb, dim), jnp.float32)
     qstack = (qstack / jnp.linalg.norm(qstack, axis=-1, keepdims=True)).astype(
         jnp.bfloat16
     )
@@ -75,10 +80,10 @@ def main() -> None:
         )
 
     # -- recall oracle: exact f32 top-k on device -------------------------
-    # 2 batches (128 queries) is plenty for a recall estimate; f32/HIGHEST
-    # is ~6 MXU passes so keeping this slice small keeps bench wall-time
-    # bounded.
-    n_oracle = min(2, nb)
+    # 1 kernel batch (128 queries) is plenty for a recall estimate;
+    # f32/HIGHEST is ~6 MXU passes so keeping this slice small keeps
+    # bench wall-time bounded.
+    n_oracle = 1
 
     @jax.jit
     def oracle(dbx, qs):
@@ -91,33 +96,30 @@ def main() -> None:
     exact_idx = np.asarray(oracle(db32, qstack[:n_oracle]))
     oracle_s = time.perf_counter() - t0
 
-    # -- flagship path: bf16 slab + approximate top-k, scan-pipelined ----
-    @jax.jit
-    def serve(dbx, qs):
-        def step(c, q):
-            s = mm(dbx, q, "default")
-            return c, jax.lax.approx_max_k(s, k, recall_target=0.98)
-        return jax.lax.scan(step, 0, qs)[1]
+    # -- flagship path: the real index engine (bf16 slab + fused Pallas
+    # kernel, grouped fold, scan-pipelined) -------------------------------
+    from wdbx_tpu.index.flat import FlatIndex
 
-    out = serve(db16, qstack)
-    got_idx = np.asarray(out[1])  # warm + compile; forces completion
+    index = FlatIndex(dim=dim, dtype="bfloat16", capacity=n)
+    t0 = time.perf_counter()
+    index.add_batch(db32)  # device-resident ingest: one batched scatter
+    jax.block_until_ready(index._slab)
+    np.asarray(index._valid[:1])  # host-force (tunnel can lie)
+    ingest_s = time.perf_counter() - t0
+
+    got = index.search_pipelined(qstack, k=k)  # warm + compile
+    got_idx = got[1]
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = serve(db16, qstack)
-        np.asarray(out[0])  # host materialization forces completion
+        out = index.search_pipelined(qstack, k=k)
     per_dispatch = (time.perf_counter() - t0) / reps
-    tpu_qps = nb * batch / per_dispatch
+    tpu_qps = nb * kb / per_dispatch
 
     # single-batch round-trip latency (includes ~30ms tunnel overhead)
-    @jax.jit
-    def serve_one(dbx, q):
-        return jax.lax.approx_max_k(mm(dbx, q, "default"), k)
-
-    single = serve_one(db16, qstack[0])
-    np.asarray(single[0])
+    single = index.search(np.asarray(qstack[0], np.float32), k=k)
     t0 = time.perf_counter()
     for i in range(4):
-        np.asarray(serve_one(db16, qstack[i % nb])[0])
+        index.search(np.asarray(qstack[i % nb], np.float32), k=k)
     single_ms = (time.perf_counter() - t0) / 4 * 1000
 
     recall = float(
@@ -131,17 +133,7 @@ def main() -> None:
             ]
         )
     )
-
-    # -- index build time: batched scatter through the real index class --
-    from wdbx_tpu.index.flat import FlatIndex
-
-    build_n = min(n, 262_144)
-    build_rows = np.asarray(db32[:build_n], np.float32)
-    t0 = time.perf_counter()
-    index = FlatIndex(dim=dim, dtype="bfloat16", capacity=build_n)
-    index.add_batch(build_rows)
-    jax.block_until_ready(index._slab)
-    build_s = (time.perf_counter() - t0) * (n / build_n)
+    build_s = ingest_s  # real 1M-row device ingest, measured above
 
     # -- CPU reference baseline -------------------------------------------
     cpu_db = np.asarray(db32[:cpu_n], np.float32)
@@ -159,7 +151,7 @@ def main() -> None:
     cpu_reps = 3
     for _ in range(cpu_reps):
         cpu_search(cpu_q)
-    cpu_qps_small = batch * cpu_reps / (time.perf_counter() - t0)
+    cpu_qps_small = kb * cpu_reps / (time.perf_counter() - t0)
     cpu_qps = cpu_qps_small * (cpu_n / n)  # linear O(N) scaling
 
     result = {
@@ -171,8 +163,9 @@ def main() -> None:
         "single_batch_latency_ms": round(single_ms, 2),
         "cpu_baseline_qps": round(cpu_qps, 2),
         "cpu_baseline_note": f"numpy brute force measured at N={cpu_n}, scaled x{n/cpu_n:.0f}",
-        "index_build_s_extrapolated": round(build_s, 2),
+        "index_build_s": round(build_s, 2),
         "oracle_s": round(oracle_s, 2),
+        "operating_point": f"fused kernel, B={kb} ({coalesce}x{batch} coalesced), NB={nb}/dispatch",
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -695,11 +695,16 @@ class IVFIndex(FlatIndex):
         exact_sets = [set(int(s) for s in row if s >= 0) or {-1} for row in exact]
         nlist = int(self._centroids.shape[0])
         max_probe = max(1, int(nlist * max_scan_fraction))
-        nprobe, recall = 1, 0.0
-        while True:
+
+        def recall_at(nprobe: int) -> float:
             self.nprobe = nprobe
-            _, got = self.search(queries, k)
-            recall = float(
+            fallback = self.batch_flat_fallback
+            self.batch_flat_fallback = False  # measure the real scan path
+            try:
+                _, got = self.search(queries, k)
+            finally:
+                self.batch_flat_fallback = fallback
+            return float(
                 np.mean(
                     [
                         len(e & set(int(s) for s in g)) / len(e)
@@ -707,9 +712,30 @@ class IVFIndex(FlatIndex):
                     ]
                 )
             )
-            if recall >= target_recall or nprobe >= max_probe:
-                return recall
-            nprobe = min(max_probe, max(nprobe + 1, int(nprobe * 1.5)))
+
+        # Phase 1: geometric climb to bracket the target.
+        lo, hi = 0, 1
+        recall = recall_at(hi)
+        while recall < target_recall and hi < max_probe:
+            lo = hi
+            hi = min(max_probe, hi * 2)
+            recall = recall_at(hi)
+        if recall < target_recall:
+            self.nprobe = hi
+            return recall  # even max_probe misses the target; be honest
+        # Phase 2: binary-search DOWN to the smallest passing nprobe —
+        # the r1 tuner overshot (e.g. recall 1.0 at nprobe 63 where 0.95
+        # was requested), paying ~2x QPS for unasked-for recall.
+        best_probe, best_recall = hi, recall
+        while lo + 1 < hi:
+            mid = (lo + hi) // 2
+            r = recall_at(mid)
+            if r >= target_recall:
+                hi, best_probe, best_recall = mid, mid, r
+            else:
+                lo = mid
+        self.nprobe = best_probe
+        return best_recall
 
     # -- persistence -------------------------------------------------------
     def save(self, path: str) -> None:

@@ -38,16 +38,48 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -3.4e38  # effective -inf as a Python float (kernels can't capture arrays)
 
 
-def _fold_topk(scores, base_idx, tv, ti, k: int):
+def _group_reduce(scores, base_idx, group: int):
+    """One-pass segmented max: fold the (B, C) tile into (B, group)
+    per-group maxima + their global indices. Groups are INTERLEAVED
+    (group g holds columns g, g+group, g+2*group, ...) so each pass
+    step is a contiguous (B, group) static slice — Mosaic-friendly.
+
+    This is the de-facto approx-top-k trick (same shape as
+    lax.approx_max_k's reduction): at most one candidate survives per
+    group per tile, so two true top-k rows landing in the same group of
+    the same tile lose one — with T tiles the expected recall@k is
+    ~1 - C(k,2)/(T*group*k), i.e. >=0.999 for k=10 at 64+ tiles.
+    VPU cost drops from k passes over (B, C) to ~2."""
+    b, c = scores.shape
+    steps = c // group
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (b, group), 1)
+    m = scores[:, :group]
+    mi = col_iota + base_idx
+    for s in range(1, steps):
+        chunk = scores[:, s * group:(s + 1) * group]
+        upd = chunk > m
+        mi = jnp.where(upd, col_iota + (s * group + base_idx), mi)
+        m = jnp.where(upd, chunk, m)
+    return m, mi
+
+
+def _fold_topk(scores, base_idx, tv, ti, k: int, group: int = 0):
     """Merge a (B, C) score tile into the running (B, k) scratch REFS:
     tile and running candidates side by side, then k passes of
     max/argmax/mask on the VPU extract the new descending top-k.
     Writes go straight to the refs with static column indices (Mosaic
-    has no scatter/dynamic_update_slice on values)."""
+    has no scatter/dynamic_update_slice on values). With ``group`` > 0
+    the tile is first segment-max-reduced to (B, group) in one pass —
+    the k passes then run over ~group instead of C columns (the
+    difference between VPU-bound and HBM-bound at 1M+ rows)."""
     b, c = scores.shape
-    tile_idx = (
-        jax.lax.broadcasted_iota(jnp.int32, (b, c), 1) + base_idx
-    )
+    if group and group < c:
+        scores, tile_idx = _group_reduce(scores, base_idx, group)
+        c = group
+    else:
+        tile_idx = (
+            jax.lax.broadcasted_iota(jnp.int32, (b, c), 1) + base_idx
+        )
     work_v = jnp.concatenate([scores, tv[:]], axis=1)  # (B, C+k)
     work_i = jnp.concatenate([tile_idx, ti[:]], axis=1)
     col = jax.lax.broadcasted_iota(jnp.int32, (b, c + k), 1)
@@ -64,7 +96,7 @@ def _fold_topk(scores, base_idx, tv, ti, k: int):
 
 
 def _kernel(q_ref, db_ref, valid_ref, out_v_ref, out_i_ref, tv, ti, *, k: int,
-            block_n: int):
+            block_n: int, group: int = 0):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -79,7 +111,7 @@ def _kernel(q_ref, db_ref, valid_ref, out_v_ref, out_i_ref, tv, ti, *, k: int,
     )  # (B, BLOCK_N)
     valid = valid_ref[:]  # (1, BLOCK_N) int8 mask
     scores = jnp.where(valid != 0, scores, NEG)
-    _fold_topk(scores, i * block_n, tv, ti, k)
+    _fold_topk(scores, i * block_n, tv, ti, k, group=group)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _emit():
@@ -88,7 +120,7 @@ def _kernel(q_ref, db_ref, valid_ref, out_v_ref, out_i_ref, tv, ti, *, k: int,
 
 
 def _kernel_int8(q_ref, db_ref, valid_ref, scales_ref, out_v_ref, out_i_ref,
-                 tv, ti, *, k: int, block_n: int):
+                 tv, ti, *, k: int, block_n: int, group: int = 0):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -104,7 +136,7 @@ def _kernel_int8(q_ref, db_ref, valid_ref, scales_ref, out_v_ref, out_i_ref,
     scores = scores * scales_ref[:]  # dequantize the score tile (VPU)
     valid = valid_ref[:]  # (1, BLOCK_N) int8 mask
     scores = jnp.where(valid != 0, scores, NEG)
-    _fold_topk(scores, i * block_n, tv, ti, k)
+    _fold_topk(scores, i * block_n, tv, ti, k, group=group)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _emit():
@@ -112,7 +144,15 @@ def _kernel_int8(q_ref, db_ref, valid_ref, scales_ref, out_v_ref, out_i_ref,
         out_i_ref[:] = ti[:]
 
 
-def _pallas_topk(db, queries, valid_i8, scales, k, block_n, interpret):
+def _default_group(n: int, block_n: int, k: int) -> int:
+    """Grouped pre-reduction kicks in only when the corpus has enough
+    tiles that per-group collisions are negligible (expected recall@10
+    >= 0.999 at 64+ tiles); small slabs keep the exact fold."""
+    return 128 if (n // block_n) >= 64 and block_n >= 256 else 0
+
+
+def _pallas_topk(db, queries, valid_i8, scales, k, block_n, interpret,
+                 group):
     """Single-batch pallas_call; traceable, so callers may scan it."""
     n, d = db.shape
     b = queries.shape[0]
@@ -126,7 +166,8 @@ def _pallas_topk(db, queries, valid_i8, scales, k, block_n, interpret):
     ]
     operands = [queries, db, valid_i8]
     if scales is not None:
-        kern = functools.partial(_kernel_int8, k=k, block_n=block_n)
+        kern = functools.partial(_kernel_int8, k=k, block_n=block_n,
+                                 group=group)
         in_specs.append(
             pl.BlockSpec((1, block_n), lambda i: (0, i),
                          memory_space=pltpu.VMEM)
@@ -134,7 +175,7 @@ def _pallas_topk(db, queries, valid_i8, scales, k, block_n, interpret):
         operands.append(scales)
         slab_bytes = n * d  # int8
     else:
-        kern = functools.partial(_kernel, k=k, block_n=block_n)
+        kern = functools.partial(_kernel, k=k, block_n=block_n, group=group)
         slab_bytes = n * d * db.dtype.itemsize
     return pl.pallas_call(
         kern,
@@ -162,7 +203,8 @@ def _pallas_topk(db, queries, valid_i8, scales, k, block_n, interpret):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "block_n", "interpret")
+    jax.jit, static_argnames=("k", "block_n", "interpret", "group",
+                              "normalize")
 )
 def fused_topk_search(
     db: jax.Array,
@@ -172,6 +214,8 @@ def fused_topk_search(
     block_n: int = 2048,
     interpret: bool = False,
     scales: jax.Array | None = None,
+    group: int | None = None,
+    normalize: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Top-k inner products of ``queries`` (B, d) against ``db`` (N, d).
 
@@ -184,17 +228,28 @@ def fused_topk_search(
     """
     n, d = db.shape
     assert n % block_n == 0, (n, block_n)
+    if group is None:
+        group = _default_group(n, block_n, k)
+    if normalize:
+        from wdbx_tpu.ops.normalize import l2_normalize
+
+        queries = l2_normalize(queries)
     valid_i8 = valid.astype(jnp.int8).reshape(1, n)
     if scales is not None:
         scales = scales.astype(jnp.float32).reshape(1, n)
         queries = queries.astype(jnp.bfloat16)
     else:
         queries = queries.astype(db.dtype)
-    return _pallas_topk(db, queries, valid_i8, scales, k, block_n, interpret)
+    v, i = _pallas_topk(db, queries, valid_i8, scales, k, block_n, interpret,
+                        group)
+    # -inf rewrite stays inside this program: a separate jnp.where
+    # dispatch costs one blocking round trip per call on tunneled devices
+    return jnp.where(v <= NEG, -jnp.inf, v), i
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "block_n", "interpret")
+    jax.jit, static_argnames=("k", "block_n", "interpret", "group",
+                              "normalize")
 )
 def fused_topk_search_batched(
     db: jax.Array,
@@ -204,6 +259,8 @@ def fused_topk_search_batched(
     block_n: int = 2048,
     interpret: bool = False,
     scales: jax.Array | None = None,
+    group: int | None = None,
+    normalize: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Scan the fused kernel over a (NB, B, d) query stack in ONE
     dispatch. Returns (NB, B, k) values/indices. This is the serving
@@ -212,6 +269,13 @@ def fused_topk_search_batched(
     slab once per batch at HBM speed."""
     n, d = db.shape
     assert n % block_n == 0, (n, block_n)
+    if group is None:
+        group = _default_group(n, block_n, k)
+    if normalize:
+        from wdbx_tpu.ops.normalize import l2_normalize
+
+        nb_, b_, _ = qstack.shape
+        qstack = l2_normalize(qstack.reshape(-1, d)).reshape(nb_, b_, d)
     valid_i8 = valid.astype(jnp.int8).reshape(1, n)
     if scales is not None:
         scales = scales.astype(jnp.float32).reshape(1, n)
@@ -220,8 +284,9 @@ def fused_topk_search_batched(
         qstack = qstack.astype(db.dtype)
 
     def step(carry, q):
-        v, i = _pallas_topk(db, q, valid_i8, scales, k, block_n, interpret)
+        v, i = _pallas_topk(db, q, valid_i8, scales, k, block_n, interpret,
+                            group)
         return carry, (v, i)
 
     _, (vals, idx) = jax.lax.scan(step, 0, qstack)
-    return vals, idx
+    return jnp.where(vals <= NEG, -jnp.inf, vals), idx
