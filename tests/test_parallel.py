@@ -159,3 +159,78 @@ def test_shard_engine_health_check(temp_dir):
     assert report["healthy"]
     assert len(report["devices"]) == 8
     assert all(v == "ok" for v in report["devices"].values())
+
+
+class TestShardedIVF:
+    def _mk(self, rng, n=2048, d=32, nlist=16, nprobe=4):
+        from wdbx_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+        idx = ShardedIVFIndex(dim=d, nlist=nlist, nprobe=nprobe,
+                              train_threshold=256)
+        vecs = rng.standard_normal((n, d)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=-1, keepdims=True)
+        slots = idx.add_batch(vecs)
+        idx.build()
+        return idx, vecs, slots
+
+    def test_build_shards_tables(self, rng):
+        idx, vecs, slots = self._mk(rng)
+        assert idx.is_trained
+        assert idx._bucket_rows.shape[0] % idx.n_devices == 0
+        # bucket tables live sharded over the mesh axis
+        spec = idx._bucket_rows.sharding.spec
+        assert spec[0] == idx.axis, spec
+
+    def test_self_query_and_recall(self, rng):
+        idx, vecs, slots = self._mk(rng)
+        idx.batch_flat_fallback = False
+        idx.nprobe = 16  # probe everything: exact
+        scores, got = idx.search(vecs[:32], k=1)
+        np.testing.assert_array_equal(got[:, 0], slots[:32])
+        # tuned recall vs the sharded exact oracle
+        idx.nprobe = 4
+        achieved = idx.tune(vecs[100:164], k=10, target_recall=0.9)
+        assert achieved >= 0.9, achieved
+
+    def test_fresh_adds_visible(self, rng):
+        idx, vecs, slots = self._mk(rng)
+        idx.batch_flat_fallback = False
+        late = rng.standard_normal((5, 32)).astype(np.float32)
+        late /= np.linalg.norm(late, axis=-1, keepdims=True)
+        late_slots = idx.add_batch(late)
+        _, got = idx.search(late, k=1)
+        np.testing.assert_array_equal(got[:, 0], late_slots)
+
+    def test_delete_after_build_invisible(self, rng):
+        idx, vecs, slots = self._mk(rng)
+        idx.batch_flat_fallback = False
+        idx.nprobe = 16
+        idx.remove_slots(slots[:4])
+        _, got = idx.search(vecs[:4], k=5)
+        for qi in range(4):
+            assert slots[qi] not in got[qi]
+
+    def test_candidates_span_devices(self, rng):
+        idx, vecs, slots = self._mk(rng, n=4096, nlist=32, nprobe=32)
+        idx.batch_flat_fallback = False
+        _, got = idx.search(vecs[:64], k=10)
+        owners = {int(s) % idx.n_devices for s in got.flatten() if s >= 0}
+        assert len(owners) == idx.n_devices, owners
+
+    def test_masked_search_falls_to_exact(self, rng):
+        idx, vecs, slots = self._mk(rng)
+        mask = np.zeros(idx.capacity, bool)
+        allowed = slots[::3]
+        mask[allowed] = True
+        _, got = idx.search(vecs[:8], k=5, slot_mask=mask)
+        allowed_set = set(int(s) for s in allowed)
+        for row in got:
+            for s in row:
+                assert s < 0 or int(s) in allowed_set
+
+    def test_factory(self):
+        from wdbx_tpu.index import create_index
+        from wdbx_tpu.core.config import WDBXConfig
+
+        idx = create_index("sharded_ivf", 16, WDBXConfig({"IVF_NLIST": 8}))
+        assert idx.kind == "sharded_ivf" and idx.nlist == 8

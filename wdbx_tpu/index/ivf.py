@@ -691,7 +691,7 @@ class IVFIndex(FlatIndex):
         if not self.is_trained:
             return 1.0
         queries = self._prep(queries)
-        _, exact = FlatIndex.search(self, queries, k)
+        _, exact = self._oracle_search(queries, k)
         exact_sets = [set(int(s) for s in row if s >= 0) or {-1} for row in exact]
         nlist = int(self._centroids.shape[0])
         max_probe = max(1, int(nlist * max_scan_fraction))
@@ -736,6 +736,11 @@ class IVFIndex(FlatIndex):
                 lo = mid
         self.nprobe = best_probe
         return best_recall
+
+    def _oracle_search(self, queries, k):
+        """Exact scan used as tune()'s recall oracle (subclasses swap in
+        their own exact path)."""
+        return FlatIndex.search(self, queries, k)
 
     # -- persistence -------------------------------------------------------
     def save(self, path: str) -> None:

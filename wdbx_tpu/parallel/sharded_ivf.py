@@ -1,0 +1,398 @@
+"""Mesh-sharded IVF: bucket tables partitioned over devices, centroids
+replicated, probe scan + merge as ONE shard_map program.
+
+This is the multi-chip form of ``IVFIndex`` (the reference's distributed
+answer is TCP forwarding to per-node HNSW indexes, reference
+wdbx/core/distributed.py:698-834 — never wired; here the whole cluster
+query is one compiled XLA program):
+
+  * the base slab is the ``ShardedFlatIndex`` striped layout — mutation,
+    tombstones, persistence, growth and the fresh/residual buffer all
+    inherit unchanged;
+  * the IVF overlay shards ``bucket_rows (nlist, cap_b, d)`` /
+    ``bucket_slot`` / ``bucket_valid`` over the mesh axis in nlist-major
+    blocks (device d owns buckets [d*L, (d+1)*L)); centroids are tiny
+    and replicate;
+  * a query batch runs replicated probe selection (every device scores
+    all centroids — one small matmul, no comm), then each device
+    QUOTA-COMPACTS the probed buckets it owns: the (B*P,) probe list is
+    ranked local-first with `top_k` and the first Q = ~2*B*P/n_dev
+    entries are scanned (`lax.scan` of dynamic-sliced buckets — fixed
+    trip count keeps XLA happy; overflow beyond the 2x slack drops the
+    lowest-ranked probes, a bounded recall cost that vanishes as probes
+    spread across devices);
+  * per-device candidates mask-reduce to (B, k) local top-k, all-gather
+    over ICI (tiny (B, k) sets — the tables never move), and merge with
+    the residual brute-scan of fresh adds, all inside the same program.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from wdbx_tpu.index.flat import _next_pow2
+from wdbx_tpu.index.ivf import IVFIndex
+from wdbx_tpu.ops.kmeans import kmeans
+from wdbx_tpu.ops.normalize import l2_normalize
+from wdbx_tpu.parallel.sharded_flat import ShardedFlatIndex
+
+
+def _build_ivf_search(mesh, axis, *, k, k_bucket, nprobe, quota, nlist,
+                      cap_b, precision, int8, normalize, n_dev):
+    """shard_map'd cluster query: probe-select -> local quota scan ->
+    residual scan -> all-gather merge. Bucket tables are sharded on
+    ``axis``; centroids/queries/residual metadata are replicated."""
+    local_n = nlist // n_dev
+
+    def local(centroids, b_rows_l, b_slot_l, b_valid_l,
+              slab_l, valid_l, scales_l, residual_slots, residual_count, q):
+        me = jax.lax.axis_index(axis)
+        b = q.shape[0]
+        if normalize:
+            q = l2_normalize(q)
+
+        # 1. Replicated probe selection (centroids are replicated).
+        cs = jax.lax.dot_general(
+            q, centroids, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        _, probe = jax.lax.top_k(cs, nprobe)  # (B, P) global bucket ids
+        flat = probe.reshape(-1)  # (B*P,)
+        bp = flat.shape[0]
+        qidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), nprobe)
+
+        # 2. Quota compaction: rank my buckets first, keep Q of them.
+        is_local = (flat >= me * local_n) & (flat < (me + 1) * local_n)
+        prio = jnp.where(is_local, bp - jnp.arange(bp, dtype=jnp.int32), 0)
+        _, sel = jax.lax.top_k(prio, quota)  # indices into flat
+        sel_bucket = jnp.take(flat, sel) - me * local_n
+        sel_ok = jnp.take(is_local, sel)
+        sel_q = jnp.take(qidx, sel)
+        sel_bucket = jnp.clip(sel_bucket, 0, local_n - 1)
+
+        # 3. Fixed-trip scan over the quota (sequential DMAs; the
+        # batched 3D gather lowers pathologically on TPU).
+        def step(carry, x):
+            bucket, qi, ok = x
+            blk = jax.lax.dynamic_index_in_dim(b_rows_l, bucket, 0, False)
+            bslots = jax.lax.dynamic_index_in_dim(b_slot_l, bucket, 0, False)
+            bvalid = jax.lax.dynamic_index_in_dim(b_valid_l, bucket, 0, False)
+            qrow = jax.lax.dynamic_index_in_dim(q, qi, 0, False)
+            s = jax.lax.dot_general(
+                qrow[None, :].astype(blk.dtype), blk,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )[0]
+            s = jnp.where(bvalid & ok, s, -jnp.inf)
+            v, i = jax.lax.top_k(s, k_bucket)
+            return carry, (v, jnp.take(bslots, i))
+
+        _, (vals, slots) = jax.lax.scan(
+            step, 0, (sel_bucket, sel_q, sel_ok)
+        )  # (Q, k_b)
+
+        # 4. Regroup per query: (B, Q*k_b) via a one-hot query mask.
+        qmask = sel_q[None, :] == jnp.arange(b, dtype=jnp.int32)[:, None]
+        cand_v = jnp.where(
+            qmask[:, :, None], vals[None, :, :], -jnp.inf
+        ).reshape(b, -1)
+        cand_s = jnp.broadcast_to(
+            slots[None, :, :], (b,) + slots.shape
+        ).reshape(b, -1)
+
+        # 5. Residual (fresh-buffer) scan over MY slots of the slab.
+        r_cap = residual_slots.shape[0]
+        if r_cap:
+            rows = slab_l[0][residual_slots // n_dev]  # (R, d) local rows
+            if int8:
+                rows = rows.astype(jnp.bfloat16)
+                rq = q.astype(jnp.bfloat16)
+            else:
+                rq = q.astype(rows.dtype)
+            r_scores = jax.lax.dot_general(
+                rq, rows, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            if int8:
+                r_scores = r_scores * scales_l[0][residual_slots // n_dev][None, :]
+            mine = (residual_slots % n_dev) == me
+            live = jnp.arange(r_cap) < residual_count
+            r_valid = valid_l[0][residual_slots // n_dev] & mine & live
+            r_scores = jnp.where(r_valid[None, :], r_scores, -jnp.inf)
+            cand_v = jnp.concatenate([cand_v, r_scores], axis=-1)
+            cand_s = jnp.concatenate(
+                [cand_s,
+                 jnp.broadcast_to(residual_slots[None, :], (b, r_cap))],
+                axis=-1,
+            )
+
+        # 6. Local top-k, then tiny (B, k) sets ride ICI.
+        k_local = min(k, cand_v.shape[-1])
+        lv, lp = jax.lax.top_k(cand_v, k_local)
+        ls = jnp.take_along_axis(cand_s, lp, axis=-1)
+        all_v = jax.lax.all_gather(lv, axis, axis=1, tiled=True)
+        all_s = jax.lax.all_gather(ls, axis, axis=1, tiled=True)
+        k_eff = min(k, all_v.shape[-1])
+        top, pos = jax.lax.top_k(all_v, k_eff)
+        return top, jnp.take_along_axis(all_s, pos, axis=1)
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(),              # centroids (replicated)
+                P(axis, None, None),  # bucket_rows
+                P(axis, None),    # bucket_slot
+                P(axis, None),    # bucket_valid
+                P(axis, None, None),  # slab (striped)
+                P(axis, None),    # valid
+                P(axis, None),    # scales
+                P(),              # residual_slots
+                P(),              # residual_count
+                P(),              # queries (replicated batch)
+            ),
+            out_specs=(P(), P()),
+            check_vma=False,  # post-all-gather merge replicated by construction
+        )
+    )
+
+
+class ShardedIVFIndex(IVFIndex, ShardedFlatIndex):
+    """IVF overlay on the mesh-striped slab. MRO: IVF bookkeeping
+    (residual/quarantine/rebuild triggers) runs above ShardedFlatIndex
+    storage; build() and search() are overridden for the sharded
+    layout."""
+
+    kind = "sharded_ivf"
+
+    def __init__(self, dim, metric="cosine", dtype="float32",
+                 capacity=1024, mesh=None, axis="shard", nlist=128,
+                 nprobe=8, train_threshold=4096, rebuild_fraction=0.2,
+                 kmeans_iters=15, train_sample=262_144, quota_slack=2.0):
+        # ShardedFlatIndex.__init__ consumes mesh/axis then calls up to
+        # FlatIndex through the MRO; IVF knobs are set after.
+        ShardedFlatIndex.__init__(
+            self, dim, metric=metric, dtype=dtype, capacity=capacity,
+            mesh=mesh, axis=axis,
+        )
+        self.nlist = nlist
+        self.nprobe = nprobe
+        self.assignments = 1
+        self.train_threshold = train_threshold
+        self.rebuild_fraction = rebuild_fraction
+        self.kmeans_iters = kmeans_iters
+        self.train_sample = train_sample
+        #: per-device probe quota = slack * B*P/n_dev (2.0 keeps the
+        #: drop probability negligible for hash-uniform bucket loads)
+        self.quota_slack = quota_slack
+        self.batch_flat_fallback = True
+        self.topk_method = "auto"
+        self.ivf_kernel = "lax"
+        self._ivf_search_cache: dict[tuple, object] = {}
+        self._reset_overlay()
+
+    # -- build --------------------------------------------------------------
+    def build(self) -> None:
+        with self._mu.write():
+            self._sharded_build_locked()
+
+    def _sharded_build_locked(self) -> None:
+        hwm = self._next_slot
+        if self._size == 0 or hwm == 0:
+            self._reset_overlay()
+            return
+        slab_h, valid_h = self._host_slot_view()
+        valid_h = valid_h[:hwm].copy()
+        live_slots = np.nonzero(valid_h)[0].astype(np.int32)
+        n_live = len(live_slots)
+        rows = slab_h[live_slots].astype(np.float32)
+        if self._is_int8:
+            scales = np.asarray(self._scales).T.reshape(-1)
+            rows = rows * scales[live_slots][:, None]
+        if self.metric == "cosine":
+            rows = rows / np.maximum(
+                np.linalg.norm(rows, axis=-1, keepdims=True), 1e-12
+            )
+        rows_dev = jnp.asarray(rows)
+
+        # nlist must split evenly over the mesh axis.
+        nlist = min(self.nlist, max(self.n_devices, n_live))
+        nlist = max(self.n_devices,
+                    (nlist // self.n_devices) * self.n_devices)
+        train = rows_dev
+        if n_live > self.train_sample:
+            sel = np.random.default_rng(0).choice(
+                n_live, self.train_sample, replace=False
+            )
+            train = rows_dev[jnp.asarray(np.sort(sel))]
+        centroids, _ = kmeans(train, num_clusters=nlist,
+                              iters=self.kmeans_iters)
+
+        assign_fn = jax.jit(
+            lambda r, c: jnp.argmax(
+                jax.lax.dot_general(
+                    r, c, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ), axis=-1,
+            ).astype(jnp.int32)
+        )
+        chunk = 131_072
+        assign = np.empty((n_live,), np.int32)
+        for i in range(0, n_live, chunk):
+            end = min(i + chunk, n_live)
+            assign[i:end] = np.asarray(assign_fn(rows_dev[i:end], centroids))
+
+        counts = np.bincount(assign, minlength=nlist)
+        cap_b = max(128, int(math.ceil(counts.max() / 128.0)) * 128)
+        bucket_slot = np.full((nlist, cap_b), self._cap, np.int32)
+        bucket_valid = np.zeros((nlist, cap_b), bool)
+        order = np.argsort(assign, kind="stable")
+        sorted_assign = assign[order]
+        starts = np.searchsorted(sorted_assign, np.arange(nlist))
+        pos_within = np.arange(n_live) - starts[sorted_assign]
+        bucket_slot[sorted_assign, pos_within] = live_slots[order]
+        bucket_valid[sorted_assign, pos_within] = True
+
+        store_dtype = jnp.bfloat16 if self._is_int8 else self._dtype
+        table_s = self._sharding(P(self.axis, None, None))
+        flag_s = self._sharding(P(self.axis, None))
+        scatter_rows = jax.jit(
+            lambda r, c_idx, p_idx: jnp.zeros(
+                (nlist, cap_b, self.dim), store_dtype
+            ).at[c_idx, p_idx].set(r.astype(store_dtype)),
+            out_shardings=table_s,
+        )
+        bucket_rows = scatter_rows(
+            rows_dev[jnp.asarray(order)],
+            jnp.asarray(sorted_assign), jnp.asarray(pos_within),
+        )
+        self._bucket_rows = bucket_rows
+        self._centroids = jnp.asarray(np.asarray(centroids))
+        self._bucket_slot = jax.device_put(
+            jnp.asarray(bucket_slot), flag_s
+        )
+        self._bucket_valid = jax.device_put(
+            jnp.asarray(bucket_valid), flag_s
+        )
+        self._bucket_slot_np = bucket_slot
+        self._slot_bucket_pos = {
+            int(s): [(int(c), int(p))]
+            for s, c, p in zip(live_slots[order], sorted_assign, pos_within)
+        }
+        self._valid8_cache = None
+        self._residual = []
+        self._free.extend(self._quarantine)
+        self._quarantine = []
+        self._built_size = self._size
+        self._ivf_search_cache.clear()
+
+    def _invalidate_bucket_entries(self, slots) -> None:
+        positions = []
+        for s in slots:
+            pos_list = self._slot_bucket_pos.pop(int(s), None)
+            if pos_list:
+                positions.extend(pos_list)
+        if positions:
+            flag_s = self._sharding(P(self.axis, None))
+            cs = jnp.asarray([c for c, _ in positions])
+            ps = jnp.asarray([p for _, p in positions])
+            upd = jax.jit(
+                lambda bv, c, p: bv.at[c, p].set(
+                    False, out_sharding=flag_s
+                ),
+                out_shardings=flag_s,
+            )
+            self._bucket_valid = upd(self._bucket_valid, cs, ps)
+            self._valid8_cache = None
+
+    # -- query ----------------------------------------------------------------
+    def search(self, queries, k, slot_mask=None):
+        if self._needs_build():
+            with self._mu.write():
+                self._maybe_build()
+        with self._mu.read():
+            return self._sharded_ivf_search(queries, k, slot_mask)
+
+    def _sharded_ivf_search(self, queries, k, slot_mask):
+        if not self.is_trained or slot_mask is not None:
+            # Masked searches take the exact sharded flat path (the mask
+            # ANDs into the striped validity there); unmasked bucket-scan
+            # is the common serving case.
+            return ShardedFlatIndex.search(self, queries, k, slot_mask)
+        queries = self._prep(queries)
+        b = len(queries)
+        pad_b = _next_pow2(max(b, 1))
+        nlist = int(self._bucket_slot.shape[0])
+        cap_b = int(self._bucket_slot.shape[1])
+        nprobe = min(self.nprobe, nlist)
+        if self.batch_flat_fallback and (
+            pad_b * nprobe * cap_b >= max(1, self._size)
+        ):
+            return ShardedFlatIndex.search(self, queries, k, slot_mask)
+        q = np.pad(np.asarray(queries, np.float32),
+                   ((0, pad_b - b), (0, 0)))
+
+        r_n = len(self._residual)
+        r_cap = _next_pow2(max(r_n, 1)) if r_n else 0
+        residual_slots = np.pad(
+            np.asarray(self._residual, np.int32), (0, r_cap - r_n),
+            constant_values=self._cap - self.n_devices,  # in-range dummy
+        )
+        bp = pad_b * nprobe
+        quota = min(bp, max(
+            8, int(math.ceil(bp / self.n_devices * self.quota_slack))
+        ))
+        k_bucket = min(k, cap_b)
+        key = (k, k_bucket, nprobe, quota, nlist, cap_b, r_cap, pad_b)
+        fn = self._ivf_search_cache.get(key)
+        if fn is None:
+            fn = _build_ivf_search(
+                self.mesh, self.axis, k=k, k_bucket=k_bucket,
+                nprobe=nprobe, quota=quota, nlist=nlist, cap_b=cap_b,
+                precision=self._precision, int8=self._is_int8,
+                normalize=self.metric == "cosine",
+                n_dev=self.n_devices,
+            )
+            self._ivf_search_cache[key] = fn
+        scales = self._scales
+        scores, slots = fn(
+            self._centroids, self._bucket_rows, self._bucket_slot,
+            self._bucket_valid, self._slab, self._valid, scales,
+            residual_slots, np.int32(r_n), q,
+        )
+        scores, slots = jax.device_get((scores[:b], slots[:b]))
+        scores = np.asarray(scores)
+        out = np.asarray(slots, np.int64)
+        if scores.shape[1] < k:
+            pad = k - scores.shape[1]
+            scores = np.pad(scores, ((0, 0), (0, pad)),
+                            constant_values=-np.inf)
+            out = np.pad(out, ((0, 0), (0, pad)), constant_values=-1)
+        out[scores == -np.inf] = -1
+        return scores, out
+
+    def _oracle_search(self, queries, k):
+        return ShardedFlatIndex.search(self, queries, k)
+
+    # -- persistence ----------------------------------------------------------
+    # Inherits IVFIndex.save/load; the bucket tables round-trip through
+    # host npz (small indexes) — large deployments should rebuild() from
+    # the slab checkpoint instead (the slab uses the orbax backend).
+    def load(self, path: str) -> bool:
+        ok = super().load(path)
+        if ok and self.is_trained:
+            # re-place host-loaded tables with mesh shardings
+            flag_s = self._sharding(P(self.axis, None))
+            table_s = self._sharding(P(self.axis, None, None))
+            self._bucket_slot = jax.device_put(self._bucket_slot, flag_s)
+            self._bucket_valid = jax.device_put(self._bucket_valid, flag_s)
+            self._bucket_rows = jax.device_put(self._bucket_rows, table_s)
+            self._ivf_search_cache.clear()
+        return ok
