@@ -259,3 +259,204 @@ class TestSocialMedia:
         out = await plugin.search_posts("q", platforms=["twitter", "myspace"])
         assert "error" in out["myspace"]
         assert isinstance(out["twitter"], list)
+
+
+class TestSocialMediaSDKPaths:
+    """Real SDK paths exercised with fake modules injected into
+    sys.modules — the reference's own test style (reference
+    tests/test_plugins.py:108-131 mocks network the same way)."""
+
+    def _twitter_plugin(self, db):
+        db.config.set("SOCIAL_MEDIA_TWITTER_BEARER_TOKEN", "tok")
+        return SocialMediaPlugin(db)
+
+    async def test_twitter_search_normalizes(self, db):
+        import sys
+        from types import SimpleNamespace as NS
+        import datetime
+
+        created = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+        tweets = [
+            NS(id=11, text="hello jax", author_id=7,
+               public_metrics={"like_count": 3}, created_at=created),
+        ]
+        users = [NS(id=7, name="Ada", username="ada")]
+        client = mock.Mock()
+        client.search_recent_tweets.return_value = NS(
+            data=tweets, includes={"users": users}
+        )
+        fake_tweepy = mock.Mock()
+        fake_tweepy.Client.return_value = client
+        with mock.patch.dict(sys.modules, {"tweepy": fake_tweepy}):
+            plugin = self._twitter_plugin(db)
+            posts = await plugin.search_platform("twitter", "jax", 5)
+        assert posts == [{
+            "id": "11", "platform": "twitter", "author": "ada",
+            "content": "hello jax", "likes": 3,
+            "timestamp": created.timestamp(),
+        }]
+        fake_tweepy.Client.assert_called_once_with(bearer_token="tok")
+
+    async def test_reddit_search_normalizes(self, db):
+        import sys
+        from types import SimpleNamespace as NS
+
+        subs = [NS(id="abc", title="TPUs", selftext="fast", author="bob",
+                   score=42, created_utc=1700000000.0, subreddit="ml",
+                   url="https://r.example/abc")]
+        subreddit = mock.Mock()
+        subreddit.search.return_value = subs
+        client = mock.Mock()
+        client.subreddit.return_value = subreddit
+        fake_praw = mock.Mock()
+        fake_praw.Reddit.return_value = client
+        db.config.set("SOCIAL_MEDIA_REDDIT_CLIENT_ID", "id")
+        db.config.set("SOCIAL_MEDIA_REDDIT_CLIENT_SECRET", "sec")
+        with mock.patch.dict(sys.modules, {"praw": fake_praw}):
+            plugin = SocialMediaPlugin(db)
+            posts = await plugin.search_platform("reddit", "tpu", 5)
+        assert posts[0]["id"] == "abc"
+        assert posts[0]["content"] == "TPUs\nfast"
+        assert posts[0]["likes"] == 42
+        client.subreddit.assert_called_with("all")
+        subreddit.search.assert_called_once_with("tpu", limit=5)
+
+    async def test_facebook_search_normalizes(self, db):
+        import sys
+
+        client = mock.Mock()
+        client.get_object.return_value = {
+            "data": [{"id": "f1", "message": "hi",
+                      "from": {"name": "Zed"},
+                      "created_time": "2024-01-01T00:00:00Z"}]
+        }
+        fake_fb = mock.Mock()
+        fake_fb.GraphAPI.return_value = client
+        db.config.set("SOCIAL_MEDIA_FACEBOOK_ACCESS_TOKEN", "tok")
+        with mock.patch.dict(sys.modules, {"facebook": fake_fb}):
+            plugin = SocialMediaPlugin(db)
+            posts = await plugin.search_platform("facebook", "q", 5)
+        assert posts[0] == {
+            "id": "f1", "platform": "facebook", "author": "Zed",
+            "content": "hi", "likes": 0,
+            "timestamp": "2024-01-01T00:00:00Z",
+        }
+        fake_fb.GraphAPI.assert_called_once_with(access_token="tok")
+
+    async def test_twitter_profile(self, db):
+        import sys
+        from types import SimpleNamespace as NS
+
+        client = mock.Mock()
+        client.get_user.return_value = NS(data=NS(
+            username="ada", name="Ada L",
+            public_metrics={"followers_count": 99}, description="math",
+        ))
+        fake_tweepy = mock.Mock()
+        fake_tweepy.Client.return_value = client
+        with mock.patch.dict(sys.modules, {"tweepy": fake_tweepy}):
+            plugin = self._twitter_plugin(db)
+            prof = await plugin.get_profile("twitter", "ada")
+        assert prof["followers"] == 99 and prof["display_name"] == "Ada L"
+
+    async def test_reddit_trends(self, db):
+        import sys
+        from types import SimpleNamespace as NS
+
+        subreddit = mock.Mock()
+        subreddit.hot.return_value = [
+            NS(title="Top post", score=500, subreddit="popular"),
+        ]
+        client = mock.Mock()
+        client.subreddit.return_value = subreddit
+        fake_praw = mock.Mock()
+        fake_praw.Reddit.return_value = client
+        db.config.set("SOCIAL_MEDIA_REDDIT_CLIENT_ID", "id")
+        db.config.set("SOCIAL_MEDIA_REDDIT_CLIENT_SECRET", "sec")
+        with mock.patch.dict(sys.modules, {"praw": fake_praw}):
+            plugin = SocialMediaPlugin(db)
+            trends = await plugin.get_trends("reddit")
+        assert trends[0]["name"] == "Top post" and trends[0]["volume"] == 500
+
+    async def test_missing_sdk_raises_install_hint(self, db):
+        import sys
+
+        db.config.set("SOCIAL_MEDIA_REDDIT_CLIENT_ID", "id")
+        db.config.set("SOCIAL_MEDIA_REDDIT_CLIENT_SECRET", "sec")
+        with mock.patch.dict(sys.modules, {"praw": None}):
+            plugin = SocialMediaPlugin(db)
+            with pytest.raises(PluginError, match="praw is required"):
+                await plugin._search_real("reddit", "q", 3)
+
+    async def test_sdk_error_isolated_in_fanout(self, db):
+        import sys
+
+        db.config.set("SOCIAL_MEDIA_TWITTER_BEARER_TOKEN", "tok")
+        boom = mock.Mock()
+        boom.Client.return_value.search_recent_tweets.side_effect = (
+            RuntimeError("rate limited")
+        )
+        with mock.patch.dict(sys.modules, {"tweepy": boom}):
+            plugin = SocialMediaPlugin(db)
+            out = await plugin.search_posts("q", platforms=["twitter", "reddit"])
+        assert "error" in out["twitter"] and "rate limited" in out["twitter"]["error"]
+        assert isinstance(out["reddit"], list)  # demo fallback unaffected
+
+
+class TestWebScraperPDF:
+    def _pdf_plugin(self, db):
+        return WebScraperPlugin(db)
+
+    def test_extract_pdf_gated(self, db):
+        import sys
+
+        plugin = self._pdf_plugin(db)
+        with mock.patch.dict(sys.modules, {"pypdf": None, "PyPDF2": None}):
+            with pytest.raises(PluginError, match="PDF extraction unavailable"):
+                plugin.extract_pdf(b"%PDF-1.4 fake")
+
+    def test_extract_pdf_with_fake_reader(self, db):
+        import sys
+
+        page1 = mock.Mock()
+        page1.extract_text.return_value = "Page one."
+        page2 = mock.Mock()
+        page2.extract_text.return_value = "Page two."
+        fake_mod = mock.Mock()
+        fake_mod.PdfReader.return_value = mock.Mock(pages=[page1, page2])
+        plugin = self._pdf_plugin(db)
+        with mock.patch.dict(sys.modules, {"pypdf": fake_mod}):
+            text = plugin.extract_pdf(b"%PDF-1.4 fake")
+        assert text == "Page one.\n\nPage two."
+
+    async def test_fetch_url_detects_pdf(self, db):
+        import sys
+
+        plugin = self._pdf_plugin(db)
+        plugin.respect_robots = False
+
+        class FakeResp:
+            status = 200
+            headers = {"Content-Type": "application/pdf"}
+            charset = None
+
+            async def read(self):
+                return b"%PDF-1.4 fake"
+
+            async def __aenter__(self):
+                return self
+
+            async def __aexit__(self, *a):
+                return False
+
+        session = mock.Mock()
+        session.get = mock.Mock(return_value=FakeResp())
+        plugin._session = session
+        page = mock.Mock()
+        page.extract_text.return_value = "PDF body text"
+        fake_mod = mock.Mock()
+        fake_mod.PdfReader.return_value = mock.Mock(pages=[page])
+        with mock.patch.dict(sys.modules, {"pypdf": fake_mod}):
+            ctype, text = await plugin.fetch_url("https://x.example/doc.pdf")
+        assert ctype == "application/pdf"
+        assert text == "PDF body text"

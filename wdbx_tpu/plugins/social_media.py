@@ -54,16 +54,89 @@ class SocialMediaPlugin(WDBXPlugin):
         self._stats = {"searches": 0, "cache_hits": 0, "posts_stored": 0}
         # Demo mode whenever credentials are absent (reference behavior).
         self.twitter_token = self.get_config("TWITTER_BEARER_TOKEN", None)
+        self.twitter_api_key = self.get_config("TWITTER_API_KEY", None)
+        self.twitter_api_secret = self.get_config("TWITTER_API_SECRET", None)
+        self.twitter_access_token = self.get_config(
+            "TWITTER_ACCESS_TOKEN", None
+        )
+        self.twitter_access_secret = self.get_config(
+            "TWITTER_ACCESS_SECRET", None
+        )
         self.reddit_id = self.get_config("REDDIT_CLIENT_ID", None)
+        self.reddit_secret = self.get_config("REDDIT_CLIENT_SECRET", None)
+        self.reddit_agent = self.get_config(
+            "REDDIT_USER_AGENT", "wdbx-tpu/0.1"
+        )
         self.facebook_token = self.get_config("FACEBOOK_ACCESS_TOKEN", None)
+        self._clients: dict[str, Any] = {}
 
     def _demo(self, platform: str) -> bool:
         cred = {
-            "twitter": self.twitter_token,
+            "twitter": self.twitter_token or self.twitter_api_key,
             "reddit": self.reddit_id,
             "facebook": self.facebook_token,
         }[platform]
         return not cred
+
+    # -- SDK clients ---------------------------------------------------------
+    # Lazily built, gated on the SDK importing; missing SDKs raise a
+    # PluginError with the install hint, matching the reference's
+    # _initialize_* behavior (reference wdbx/plugins/social_media.py:150-256).
+    def _client(self, platform: str):
+        client = self._clients.get(platform)
+        if client is not None:
+            return client
+        if platform == "twitter":
+            try:
+                import tweepy
+            except ImportError:
+                raise PluginError(
+                    "tweepy is required for Twitter integration "
+                    "(pip install tweepy)"
+                )
+            if (self.twitter_api_key and self.twitter_api_secret
+                    and self.twitter_access_token
+                    and self.twitter_access_secret):
+                client = tweepy.Client(
+                    consumer_key=self.twitter_api_key,
+                    consumer_secret=self.twitter_api_secret,
+                    access_token=self.twitter_access_token,
+                    access_token_secret=self.twitter_access_secret,
+                )
+            elif self.twitter_token:
+                client = tweepy.Client(bearer_token=self.twitter_token)
+            else:
+                raise PluginError("missing Twitter credentials")
+        elif platform == "reddit":
+            try:
+                import praw
+            except ImportError:
+                raise PluginError(
+                    "praw is required for Reddit integration "
+                    "(pip install praw)"
+                )
+            if not (self.reddit_id and self.reddit_secret):
+                raise PluginError("missing Reddit credentials")
+            client = praw.Reddit(
+                client_id=self.reddit_id,
+                client_secret=self.reddit_secret,
+                user_agent=self.reddit_agent,
+            )
+        elif platform == "facebook":
+            try:
+                import facebook
+            except ImportError:
+                raise PluginError(
+                    "facebook-sdk is required for Facebook integration "
+                    "(pip install facebook-sdk)"
+                )
+            if not self.facebook_token:
+                raise PluginError("missing Facebook credentials")
+            client = facebook.GraphAPI(access_token=self.facebook_token)
+        else:
+            raise PluginError(f"unknown platform: {platform}")
+        self._clients[platform] = client
+        return client
 
     # -- cache -------------------------------------------------------------
     def _cached(self, key: str):
@@ -126,11 +199,86 @@ class SocialMediaPlugin(WDBXPlugin):
         return posts
 
     async def _search_real(self, platform: str, query: str, limit: int):
-        # SDK-backed paths; each gated on the SDK being importable.
-        raise PluginError(
-            f"{platform} SDK not available in this environment; "
-            "unset credentials to use demo mode"
+        """SDK-backed search, normalized into the unified post schema
+        (reference behavior: wdbx/plugins/social_media.py:378-614). The
+        SDKs are synchronous, so calls run in a worker thread."""
+        fn = {
+            "twitter": self._search_twitter,
+            "reddit": self._search_reddit,
+            "facebook": self._search_facebook,
+        }[platform]
+        try:
+            return await asyncio.to_thread(fn, query, limit)
+        except PluginError:
+            raise
+        except Exception as e:
+            raise PluginError(f"error searching {platform}: {e}")
+
+    def _search_twitter(self, query: str, limit: int) -> list[dict]:
+        client = self._client("twitter")
+        resp = client.search_recent_tweets(
+            query=query,
+            max_results=min(max(limit, 10), 100),
+            tweet_fields=["created_at", "public_metrics"],
+            user_fields=["name", "username"],
+            expansions=["author_id"],
         )
+        users = {}
+        includes = getattr(resp, "includes", None) or {}
+        for user in includes.get("users", []):
+            users[user.id] = user
+        posts = []
+        for tweet in (resp.data or [])[:limit]:
+            user = users.get(getattr(tweet, "author_id", None))
+            metrics = getattr(tweet, "public_metrics", None) or {}
+            created = getattr(tweet, "created_at", None)
+            posts.append({
+                "id": str(tweet.id),
+                "platform": "twitter",
+                "author": getattr(user, "username", None),
+                "content": tweet.text,
+                "likes": metrics.get("like_count", 0),
+                "timestamp": created.timestamp() if created else None,
+            })
+        return posts
+
+    def _search_reddit(self, query: str, limit: int) -> list[dict]:
+        client = self._client("reddit")
+        posts = []
+        for sub in client.subreddit("all").search(query, limit=limit):
+            created = getattr(sub, "created_utc", None)
+            posts.append({
+                "id": str(sub.id),
+                "platform": "reddit",
+                "author": str(getattr(sub, "author", "")) or None,
+                "content": sub.title + (
+                    "\n" + sub.selftext
+                    if getattr(sub, "selftext", "") else ""
+                ),
+                "likes": getattr(sub, "score", 0),
+                "timestamp": created,
+                "subreddit": str(getattr(sub, "subreddit", "")),
+                "url": getattr(sub, "url", None),
+            })
+        return posts
+
+    def _search_facebook(self, query: str, limit: int) -> list[dict]:
+        client = self._client("facebook")
+        resp = client.get_object(
+            id="search", q=query, type="post", limit=limit,
+            fields="id,message,created_time,from",
+        )
+        posts = []
+        for post in resp.get("data", [])[:limit]:
+            posts.append({
+                "id": str(post.get("id")),
+                "platform": "facebook",
+                "author": (post.get("from") or {}).get("name"),
+                "content": post.get("message", ""),
+                "likes": 0,  # requires extra permissions/fields
+                "timestamp": post.get("created_time"),
+            })
+        return posts
 
     async def search_posts(
         self,
@@ -162,9 +310,62 @@ class SocialMediaPlugin(WDBXPlugin):
         if self._demo(platform):
             profile = self._mock_profile(platform, username)
         else:
-            raise PluginError(f"{platform} SDK not available")
+            profile = await asyncio.to_thread(
+                self._profile_real, platform, username
+            )
         self._put_cache(key, profile)
         return profile
+
+    def _profile_real(self, platform: str, username: str) -> dict:
+        """SDK profile lookup (reference behavior:
+        wdbx/plugins/social_media.py:617-870)."""
+        try:
+            if platform == "twitter":
+                client = self._client("twitter")
+                resp = client.get_user(
+                    username=username,
+                    user_fields=["description", "public_metrics", "name"],
+                )
+                u = resp.data
+                if u is None:
+                    raise PluginError(f"user not found: {username}")
+                metrics = getattr(u, "public_metrics", None) or {}
+                return {
+                    "platform": "twitter",
+                    "username": u.username,
+                    "display_name": u.name,
+                    "followers": metrics.get("followers_count", 0),
+                    "bio": getattr(u, "description", "") or "",
+                }
+            if platform == "reddit":
+                client = self._client("reddit")
+                u = client.redditor(username)
+                return {
+                    "platform": "reddit",
+                    "username": username,
+                    "display_name": getattr(u, "name", username),
+                    "followers": 0,  # reddit has no follower concept
+                    "karma": getattr(u, "link_karma", 0)
+                    + getattr(u, "comment_karma", 0),
+                    "bio": "",
+                }
+            if platform == "facebook":
+                client = self._client("facebook")
+                u = client.get_object(
+                    username, fields="id,name,username,about"
+                )
+                return {
+                    "platform": "facebook",
+                    "username": u.get("username", username),
+                    "display_name": u.get("name", username),
+                    "followers": 0,
+                    "bio": u.get("about", ""),
+                }
+        except PluginError:
+            raise
+        except Exception as e:
+            raise PluginError(f"error fetching {platform} profile: {e}")
+        raise PluginError(f"unknown platform: {platform}")
 
     async def get_trends(self, platform: str = "twitter", location: str = "global") -> list[dict]:
         key = f"trends:{platform}:{location}"
@@ -174,9 +375,66 @@ class SocialMediaPlugin(WDBXPlugin):
         if self._demo(platform):
             trends = self._mock_trends(platform, location)
         else:
-            raise PluginError(f"{platform} SDK not available")
+            trends = await asyncio.to_thread(
+                self._trends_real, platform, location
+            )
         self._put_cache(key, trends)
         return trends
+
+    def _trends_real(self, platform: str, location: str) -> list[dict]:
+        """SDK trends (reference behavior:
+        wdbx/plugins/social_media.py:905-1110). Twitter trends need the
+        v1 API (OAuth 1.0a); Reddit trends are r/popular hot posts;
+        Facebook has no public trends API."""
+        try:
+            if platform == "twitter":
+                import tweepy
+
+                if not (self.twitter_api_key and self.twitter_api_secret
+                        and self.twitter_access_token
+                        and self.twitter_access_secret):
+                    raise PluginError(
+                        "Twitter OAuth 1.0a credentials required for trends"
+                    )
+                api = self._clients.get("twitter_v1")
+                if api is None:
+                    auth = tweepy.OAuth1UserHandler(
+                        self.twitter_api_key, self.twitter_api_secret,
+                        self.twitter_access_token, self.twitter_access_secret,
+                    )
+                    api = tweepy.API(auth)
+                    self._clients["twitter_v1"] = api
+                woeid = 1  # worldwide
+                if location and location != "global":
+                    try:
+                        woeid = int(location)
+                    except ValueError:
+                        for loc in api.available_trends():
+                            if location.lower() in loc["name"].lower():
+                                woeid = loc["woeid"]
+                                break
+                        else:
+                            raise PluginError(f"location not found: {location}")
+                trends = api.get_place_trends(woeid)[0]["trends"]
+                return [
+                    {"name": t["name"], "volume": t.get("tweet_volume")}
+                    for t in trends[:10]
+                ]
+            if platform == "reddit":
+                client = self._client("reddit")
+                return [
+                    {
+                        "name": sub.title,
+                        "volume": getattr(sub, "score", 0),
+                        "subreddit": str(getattr(sub, "subreddit", "")),
+                    }
+                    for sub in client.subreddit("popular").hot(limit=10)
+                ]
+            raise PluginError(f"{platform} has no public trends API")
+        except PluginError:
+            raise
+        except Exception as e:
+            raise PluginError(f"error fetching {platform} trends: {e}")
 
     # -- embedding + storage ----------------------------------------------
     async def create_embedding(self, text: str) -> list[float]:

@@ -9,7 +9,9 @@ strips script/style/nav/footer/header and prefers main/article/#content
 (:469-555), embedding delegation to another plugin (:437-467),
 ``store_webpage``/``store_website`` piping extract→embed→store with
 url/source/time metadata (:593-672), and two CLI commands (:674-697).
-PDF extraction is gated on PyPDF2 availability (not in this image).
+PDF responses are detected in ``fetch_url`` and extracted per-page via
+pypdf/PyPDF2 (:270-301), gated on the library importing (not in this
+image; a fake module in tests/test_plugins.py exercises the path).
 """
 
 from __future__ import annotations
@@ -104,7 +106,9 @@ class WebScraperPlugin(WDBXPlugin):
 
     # -- fetch + extract ---------------------------------------------------
     async def fetch_url(self, url: str) -> tuple[str, str]:
-        """Returns (content_type, body_text)."""
+        """Returns (content_type, body_text). PDF responses are detected
+        by Content-Type or .pdf suffix and come back as extracted text
+        (reference wdbx/plugins/webscraper.py:270-301)."""
         if not await self._robots_allows(url):
             raise PluginError(f"robots.txt disallows {url}")
         await self._rate_limit(url)
@@ -116,6 +120,10 @@ class WebScraperPlugin(WDBXPlugin):
                 ctype = resp.headers.get("Content-Type", "text/html")
                 body = await resp.read()
                 self._stats["pages_fetched"] += 1
+                if "application/pdf" in ctype.lower() or (
+                    url.split("?")[0].lower().endswith(".pdf")
+                ):
+                    return "application/pdf", self.extract_pdf(body)
                 return ctype, body.decode(resp.charset or "utf-8", "replace")
         except PluginError:
             self._stats["errors"] += 1
@@ -123,6 +131,31 @@ class WebScraperPlugin(WDBXPlugin):
         except Exception as e:
             self._stats["errors"] += 1
             raise PluginError(f"fetch failed for {url}: {e}") from e
+
+    def extract_pdf(self, data: bytes) -> str:
+        """Per-page text extraction, gated on a PDF library importing
+        (pypdf, falling back to the older PyPDF2 namespace — the
+        reference uses PyPDF2, wdbx/plugins/webscraper.py:270-301)."""
+        import io
+
+        try:
+            try:
+                from pypdf import PdfReader
+            except ImportError:
+                from PyPDF2 import PdfReader
+        except ImportError:
+            raise PluginError(
+                "pypdf/PyPDF2 not installed; PDF extraction unavailable"
+            )
+        try:
+            reader = PdfReader(io.BytesIO(data))
+            return "\n\n".join(
+                (page.extract_text() or "") for page in reader.pages
+            ).strip()
+        except PluginError:
+            raise
+        except Exception as e:
+            raise PluginError(f"PDF extraction failed: {e}")
 
     def extract_content(self, html: str) -> dict[str, Any]:
         """Main-content extraction (reference scheme: strip chrome, prefer
@@ -177,8 +210,12 @@ class WebScraperPlugin(WDBXPlugin):
     async def store_webpage(
         self, url: str, metadata: dict[str, Any] | None = None
     ) -> str:
-        _, html = await self.fetch_url(url)
-        extracted = self.extract_content(html)
+        ctype, html = await self.fetch_url(url)
+        if ctype == "application/pdf":
+            # fetch_url already extracted the text
+            extracted = {"title": url.rsplit("/", 1)[-1], "content": html}
+        else:
+            extracted = self.extract_content(html)
         if not extracted["content"]:
             raise PluginError(f"no content extracted from {url}")
         embedding = await self.create_embedding(extracted["content"][:2000])
