@@ -227,3 +227,36 @@ class TestQueryBatching:
         assert len(r1) == 1
         assert all(h["metadata"]["v"] < 4 for h in r2)
         await client.close()
+
+
+class TestVisualize:
+    async def test_visualize_html_json_png(self, temp_dir):
+        client, db = await make_client(temp_dir)
+        rng = np.random.default_rng(0)
+        for i in range(20):
+            await db.vector_store_async(
+                rng.standard_normal(4).tolist(), {"g": i % 2}, f"v{i}"
+            )
+        resp = await client.get("/api/v1/visualize")
+        assert resp.status == 200
+        html = await resp.text()
+        assert resp.content_type == "text/html"
+        assert "WDBX live dashboard" in html and "<canvas" in html
+        resp = await client.get("/api/v1/visualize?format=json")
+        spec = await resp.json()
+        assert len(spec["points"]) == 20 and spec["components"] == 2
+        resp = await client.get("/api/v1/visualize?format=png")
+        body = await resp.json()
+        import base64
+
+        png = base64.b64decode(body["image_base64"])
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        await client.close()
+
+    async def test_visualize_empty_store_404(self, temp_dir):
+        client, _ = await make_client(temp_dir)
+        resp = await client.get("/api/v1/visualize")
+        assert resp.status == 404
+        resp = await client.get("/api/v1/visualize?format=bogus")
+        assert resp.status in (400, 404)
+        await client.close()

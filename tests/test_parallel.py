@@ -234,3 +234,134 @@ class TestShardedIVF:
 
         idx = create_index("sharded_ivf", 16, WDBXConfig({"IVF_NLIST": 8}))
         assert idx.kind == "sharded_ivf" and idx.nlist == 8
+
+
+class TestFailover:
+    def test_plan_recovery_uses_replicas(self, temp_dir):
+        """Replica metadata must be CONSUMED on failure: a dead primary's
+        shard is re-targeted at its first healthy replica."""
+        import asyncio
+
+        from wdbx_tpu.core.config import WDBXConfig
+        from wdbx_tpu.parallel.shard_engine import ShardEngine
+
+        engine = ShardEngine(WDBXConfig({
+            "DATA_DIR": temp_dir, "DISTRIBUTED_REPLICATION_FACTOR": 2,
+        }))
+        asyncio.run(engine.initialize())
+        alloc = engine.allocation()
+        devices = [p["primary"] for p in alloc["shards"].values()]
+        # fake a dead device 0
+        health = {
+            "healthy": False,
+            "devices": {
+                d: ("error: down" if i == 0 else "ok")
+                for i, d in enumerate(devices)
+            },
+        }
+        plan = engine.plan_recovery(health)
+        assert 0 in plan
+        expected_replica = alloc["shards"]["0"]["replicas"][0]
+        assert plan[0] == expected_replica
+        # healthy shards are untouched
+        assert all(s == 0 for s in plan)
+
+    def test_heal_recovers_from_checkpoint(self, temp_dir):
+        """WDBX.heal(): dead primary -> shard reloaded from its last
+        checkpoint; data is still queryable afterwards."""
+        import asyncio
+        from unittest import mock
+
+        from wdbx_tpu import WDBX
+
+        db = WDBX(vector_dimension=8, num_shards=2, data_dir=temp_dir,
+                  enable_plugins=False, enable_distributed=True)
+        asyncio.run(db.initialize())
+        rng = np.random.default_rng(0)
+        vecs = rng.standard_normal((20, 8)).astype(np.float32)
+        for i, v in enumerate(vecs):
+            db.vector_store(v, {"i": i}, f"v{i}")
+        db.store.save()  # checkpoint
+        # clobber shard 0 in memory (simulated device loss)
+        db.store.indices[0].clear()
+        alloc = db.shard_engine.allocation()
+        bad = alloc["shards"]["0"]["primary"]
+        with mock.patch.object(
+            db.shard_engine, "health_check",
+            return_value={"healthy": False, "devices": {
+                d["primary"]: ("error: down" if d["primary"] == bad else "ok")
+                for d in alloc["shards"].values()
+            }},
+        ):
+            report = db.heal()
+        assert 0 in report["recovered_shards"]
+        hits = db.vector_search(vecs[0], limit=1)
+        assert hits[0][0] == "v0"
+
+
+MULTIHOST_WORKER = r"""
+import os, sys
+sys.path.insert(0, os.getcwd())  # repo root (python adds the script dir)
+port, pid = sys.argv[1], int(sys.argv[2])
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+)
+import asyncio
+from wdbx_tpu.core.config import WDBXConfig
+from wdbx_tpu.parallel.shard_engine import ShardEngine
+
+engine = ShardEngine(WDBXConfig({"DATA_DIR": sys.argv[3]}))
+asyncio.run(engine.initialize())
+alloc = engine.allocation()
+assert alloc["process_count"] == 2, alloc["process_count"]
+n = len(alloc["shards"])
+assert n == 8, n  # 2 processes x 4 local devices
+local = [s for s in range(n) if engine.is_local_shard(s)]
+assert len(local) == 4, local
+# DCN control plane up: a psum across both processes' devices
+import jax.numpy as jnp
+total = jax.jit(lambda x: jnp.sum(x))(jnp.ones((n,)))
+assert float(total) == n
+print(f"proc{pid} OK local={local}", flush=True)
+"""
+
+
+class TestMultiHost:
+    def test_two_process_shard_engine(self, temp_dir, tmp_path):
+        """Real multi-controller smoke test: two jax.distributed CPU
+        processes (4 fake devices each) form one 8-device runtime;
+        ShardEngine sees the global mesh and resolves shard locality per
+        process. This is the DCN hook the reference's TCP coordinator
+        stood in for (reference wdbx/core/distributed.py:547-648)."""
+        import socket
+        import subprocess
+        import sys
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        script = tmp_path / "worker.py"
+        script.write_text(MULTIHOST_WORKER)
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script), str(port), str(pid), temp_dir],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                cwd="/root/repo",
+            )
+            for pid in range(2)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=120)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate()
+            outs.append((p.returncode, out))
+        for rc, out in outs:
+            assert rc == 0, f"worker failed rc={rc}:\n{out[-2000:]}"
+        assert "proc0 OK" in outs[0][1] and "proc1 OK" in outs[1][1]

@@ -255,3 +255,16 @@ class TestVerifyRecover:
         os.makedirs(f"{temp_dir}/indices")
         assert not store.recover(0)
         assert store.count() == 0
+
+
+def test_dimension_mismatch_refuses_to_load(temp_dir):
+    """Opening a data_dir with a different-dimension index must raise a
+    config error, not silently serve an empty store (found live r2)."""
+    from wdbx_tpu.core.config import WDBXConfig
+    from wdbx_tpu.store.vector_store import VectorStore
+
+    s = VectorStore(WDBXConfig({"VECTOR_DIMENSION": 16, "DATA_DIR": temp_dir}))
+    s.store("a", np.ones(16, np.float32))
+    s.save()
+    with pytest.raises(ValueError, match="different-dimension"):
+        VectorStore(WDBXConfig({"VECTOR_DIMENSION": 8, "DATA_DIR": temp_dir}))

@@ -91,6 +91,7 @@ class WDBXAPIServer:
         r.add_post(f"{p}/embeddings/batch", self.create_embeddings_batch)
         r.add_get(f"{p}/plugins", self.list_plugins)
         r.add_get(f"{p}/plugins/{{plugin_name}}", self.get_plugin_info)
+        r.add_get(f"{p}/visualize", self.visualize)
         if self.cors_origins:
             # Browser preflight: aiohttp 405s unrouted OPTIONS, which
             # breaks clients sending X-API-Key or using PUT/DELETE.
@@ -313,6 +314,37 @@ class WDBXAPIServer:
                 "stats": plugin.get_stats(),
             }
         )
+
+    async def visualize(self, request: web.Request) -> web.Response:
+        """Live dashboard / plot data from current store contents.
+        ?format=html (interactive page, default) | json (plot spec) |
+        png (base64). Equivalent of the reference's Dash dashboard
+        (reference wdbx/utils/visualization.py:525-818), served by the
+        existing API instead of a second dash server."""
+        from wdbx_tpu.utils.visualization import VectorVisualizer
+
+        fmt = request.query.get("format", "html")
+        max_vectors = int(request.query.get("max_vectors", 500))
+        viz = VectorVisualizer(self.wdbx)
+        try:
+            if fmt == "html":
+                html = await asyncio.to_thread(viz.dashboard_html, max_vectors)
+                return web.Response(text=html, content_type="text/html")
+            vectors, ids, _ = await asyncio.to_thread(
+                viz._pull_vectors, max_vectors
+            )
+            if fmt == "json":
+                spec = await asyncio.to_thread(
+                    viz.scatter_data, vectors, ids
+                )
+                return web.json_response(spec)
+            if fmt == "png":
+                fig = await asyncio.to_thread(viz.scatter_plot, vectors)
+                b64 = viz.to_base64_png(fig)
+                return web.json_response({"image_base64": b64})
+        except ValueError as e:
+            return _json_error(404, str(e))
+        return _json_error(400, f"unknown format: {fmt}")
 
     # -- lifecycle ---------------------------------------------------------
     async def initialize(self) -> None:

@@ -191,6 +191,35 @@ class WDBX:
     def optimize(self) -> bool:
         return self.store.optimize()
 
+    def heal(self) -> dict[str, Any]:
+        """Failure detection + checkpoint recovery: probe every mesh
+        device, and re-host any shard whose primary is unhealthy from
+        its last checkpoint (consuming the ShardEngine's replica plan).
+        Replaces the reference's dead socket-failover paths (reference
+        wdbx/core/distributed.py:698-834) with verify->recover."""
+        if self.shard_engine is None:
+            report = self.store.verify()
+            recovered = []
+            for entry in report["shards"]:
+                if not entry["ok"]:
+                    self.store.recover(entry["shard"])
+                    recovered.append(entry["shard"])
+            report["recovered_shards"] = recovered
+            return report
+        health = self.shard_engine.health_check()
+        plan = self.shard_engine.plan_recovery(health)
+        recovered = []
+        for shard in plan:
+            if shard < len(self.store.indices):
+                if self.store.recover(shard):
+                    recovered.append(shard)
+        return {
+            "healthy": health["healthy"],
+            "devices": health["devices"],
+            "plan": {str(s): t for s, t in plan.items()},
+            "recovered_shards": recovered,
+        }
+
     # -- data surface (async) ------------------------------------------------
     async def vector_store_async(
         self,

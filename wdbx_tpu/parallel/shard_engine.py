@@ -132,6 +132,32 @@ class ShardEngine:
         healthy = all(v == "ok" for v in statuses.values())
         return {"healthy": healthy, "devices": statuses}
 
+    def plan_recovery(
+        self, health: dict[str, Any] | None = None
+    ) -> dict[int, str]:
+        """Consume the replication metadata on failure: for every shard
+        whose primary device is unhealthy, pick the first healthy
+        replica (falling back to any healthy device). Returns
+        ``{shard: target_device}`` — the caller re-hosts each shard from
+        its checkpoint there (checkpoint-based recovery, the TPU answer
+        to the reference's socket failover at
+        wdbx/core/distributed.py:698-834)."""
+        health = health or self.health_check()
+        statuses = health["devices"]
+        healthy = {d for d, s in statuses.items() if s == "ok"}
+        plan: dict[int, str] = {}
+        for shard_s, placement in self.allocation()["shards"].items():
+            if placement["primary"] in healthy:
+                continue
+            target = next(
+                (r for r in placement["replicas"] if r in healthy), None
+            )
+            if target is None:
+                target = next(iter(sorted(healthy)), None)
+            if target is not None:
+                plan[int(shard_s)] = target
+        return plan
+
     def get_stats(self) -> dict[str, Any]:
         mesh = self.mesh
         return {

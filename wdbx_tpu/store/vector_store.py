@@ -523,7 +523,21 @@ class VectorStore:
                     reg.put(list(id_map.keys()),
                             [int(s) for s in id_map.values()])
                     self.registries[shard] = reg
-            except (ValueError, OSError, KeyError) as e:
+            except ValueError as e:
+                if "persisted index dim" in str(e):
+                    # A dimension mismatch is a CONFIG error, not corrupt
+                    # state — silently serving an empty store here cost a
+                    # debugging session. Refuse to start instead.
+                    raise ValueError(
+                        f"data_dir {self.data_dir!r} holds a "
+                        f"different-dimension index ({e}); pass the "
+                        "matching vector_dimension / --dimension / "
+                        "WDBX_VECTOR_DIMENSION"
+                    ) from e
+                logger.warning("failed to load shard %d: %s", shard, e)
+                index.clear()
+                self.registries[shard] = SlotRegistry()
+            except (OSError, KeyError) as e:
                 # Corrupt index state → fresh index, matching the
                 # reference's fallback (reference wdbx/core/indexing.py:309-315).
                 logger.warning("failed to load shard %d: %s", shard, e)

@@ -223,3 +223,201 @@ class VectorVisualizer:
         fig.savefig(output_path, dpi=120, bbox_inches="tight")
         plt.close(fig)
         return output_path
+
+    # -- structured / interactive outputs -----------------------------------
+    # Parity with the reference's plotly html/json/base64-png outputs
+    # (reference wdbx/utils/visualization.py:102-365). plotly is used
+    # when importable; otherwise `html` renders a dependency-free
+    # interactive canvas scatter (pan/zoom/hover) and `json` emits the
+    # plain plot spec, so every output format works in this image.
+    def scatter_data(
+        self,
+        vectors: np.ndarray,
+        labels: list[str] | None = None,
+        method: str = "pca",
+        components: int = 2,
+        title: str = "Vector space",
+        color_by: list | None = None,
+    ) -> dict:
+        """Reduce + package points into a renderer-agnostic plot spec."""
+        reduced = self.reduce(vectors, method=method, components=components)
+        spec = {
+            "title": title,
+            "method": method,
+            "components": components,
+            "points": np.asarray(reduced[:, :components], float).tolist(),
+            "labels": [str(x) for x in labels] if labels is not None else None,
+        }
+        if color_by is not None:
+            cats = sorted({str(c) for c in color_by})
+            spec["groups"] = [str(c) for c in color_by]
+            spec["group_names"] = cats
+        return spec
+
+    def to_json(self, spec: dict) -> str:
+        try:
+            fig = self._plotly_figure(spec)
+            return fig.to_json()
+        except ImportError:
+            import json as _json
+
+            return _json.dumps(spec)
+
+    def to_html(self, spec: dict) -> str:
+        try:
+            fig = self._plotly_figure(spec)
+            return fig.to_html(include_plotlyjs="cdn", full_html=True)
+        except ImportError:
+            return self._fallback_html(spec)
+
+    def to_base64_png(self, fig) -> str:
+        """matplotlib figure -> base64 PNG string."""
+        import base64
+        import io
+
+        buf = io.BytesIO()
+        fig.savefig(buf, format="png", dpi=120, bbox_inches="tight")
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+        return base64.b64encode(buf.getvalue()).decode("ascii")
+
+    def scatter_html(self, vectors, labels=None, method="pca",
+                     components=2, title="Vector space",
+                     output_path=None) -> str:
+        """Interactive scatter as a self-contained HTML string (or file
+        when ``output_path`` is given)."""
+        html = self.to_html(
+            self.scatter_data(vectors, labels, method, components, title)
+        )
+        if output_path:
+            with open(output_path, "w") as f:
+                f.write(html)
+            return output_path
+        return html
+
+    def _plotly_figure(self, spec: dict):
+        import plotly.graph_objects as go  # raises ImportError if absent
+
+        pts = np.asarray(spec["points"], float)
+        text = spec.get("labels")
+        if spec["components"] == 3:
+            trace = go.Scatter3d(
+                x=pts[:, 0], y=pts[:, 1], z=pts[:, 2],
+                mode="markers", text=text,
+                marker=dict(size=3),
+            )
+        else:
+            trace = go.Scattergl(
+                x=pts[:, 0], y=pts[:, 1], mode="markers", text=text,
+                marker=dict(size=5),
+            )
+        fig = go.Figure(data=[trace])
+        fig.update_layout(title=spec["title"])
+        return fig
+
+    def _fallback_html(self, spec: dict) -> str:
+        """Self-contained interactive scatter: canvas + vanilla JS
+        (wheel zoom, drag pan, nearest-point hover). No dependencies."""
+        import json as _json
+
+        payload = _json.dumps(spec)
+        return f"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>{spec['title']}</title>
+<style>
+ body {{ font-family: sans-serif; margin: 1rem; }}
+ #plot {{ border: 1px solid #ccc; cursor: grab; }}
+ #tip {{ position: absolute; background: #222; color: #fff; padding: 2px 6px;
+        border-radius: 3px; font-size: 12px; pointer-events: none;
+        display: none; }}
+</style></head><body>
+<h3>{spec['title']} <small>({spec['method'].upper()})</small></h3>
+<canvas id="plot" width="900" height="600"></canvas>
+<div id="tip"></div>
+<script>
+const SPEC = {payload};
+const cv = document.getElementById("plot"), cx = cv.getContext("2d");
+const tip = document.getElementById("tip");
+const pts = SPEC.points, labels = SPEC.labels || [];
+const groups = SPEC.groups || null;
+const palette = ["#1f77b4","#ff7f0e","#2ca02c","#d62728","#9467bd",
+                 "#8c564b","#e377c2","#7f7f7f","#bcbd22","#17becf"];
+let xs = pts.map(p => p[0]), ys = pts.map(p => p[1]);
+let x0 = Math.min(...xs), x1 = Math.max(...xs);
+let y0 = Math.min(...ys), y1 = Math.max(...ys);
+const padf = 0.05 * Math.max(x1 - x0, y1 - y0, 1e-9);
+x0 -= padf; x1 += padf; y0 -= padf; y1 += padf;
+let view = {{x0, x1, y0, y1}};
+function sx(x) {{ return (x - view.x0) / (view.x1 - view.x0) * cv.width; }}
+function sy(y) {{ return cv.height - (y - view.y0) / (view.y1 - view.y0) * cv.height; }}
+function draw() {{
+  cx.clearRect(0, 0, cv.width, cv.height);
+  for (let i = 0; i < pts.length; i++) {{
+    cx.fillStyle = groups
+      ? palette[SPEC.group_names.indexOf(groups[i]) % palette.length]
+      : "#1f77b4";
+    cx.beginPath();
+    cx.arc(sx(pts[i][0]), sy(pts[i][1]), 3, 0, 6.3);
+    cx.fill();
+  }}
+}}
+cv.addEventListener("wheel", e => {{
+  e.preventDefault();
+  const f = e.deltaY > 0 ? 1.2 : 1 / 1.2;
+  const mx = view.x0 + e.offsetX / cv.width * (view.x1 - view.x0);
+  const my = view.y0 + (1 - e.offsetY / cv.height) * (view.y1 - view.y0);
+  view = {{ x0: mx - (mx - view.x0) * f, x1: mx + (view.x1 - mx) * f,
+           y0: my - (my - view.y0) * f, y1: my + (view.y1 - my) * f }};
+  draw();
+}});
+let drag = null;
+cv.addEventListener("mousedown", e => drag = [e.offsetX, e.offsetY]);
+window.addEventListener("mouseup", () => drag = null);
+cv.addEventListener("mousemove", e => {{
+  if (drag) {{
+    const dx = (e.offsetX - drag[0]) / cv.width * (view.x1 - view.x0);
+    const dy = (e.offsetY - drag[1]) / cv.height * (view.y1 - view.y0);
+    view.x0 -= dx; view.x1 -= dx; view.y0 += dy; view.y1 += dy;
+    drag = [e.offsetX, e.offsetY];
+    draw();
+    return;
+  }}
+  let best = -1, bd = 144;
+  for (let i = 0; i < pts.length; i++) {{
+    const d = (sx(pts[i][0]) - e.offsetX) ** 2 + (sy(pts[i][1]) - e.offsetY) ** 2;
+    if (d < bd) {{ bd = d; best = i; }}
+  }}
+  if (best >= 0) {{
+    tip.style.display = "block";
+    tip.style.left = (e.pageX + 12) + "px";
+    tip.style.top = (e.pageY + 12) + "px";
+    tip.textContent = (labels[best] || ("#" + best)) +
+      (groups ? " [" + groups[best] + "]" : "");
+  }} else tip.style.display = "none";
+}});
+draw();
+</script></body></html>"""
+
+    def dashboard_html(self, max_vectors: int = 500) -> str:
+        """Live-dashboard equivalent of the reference's Dash app
+        (reference wdbx/utils/visualization.py:525-818): an interactive
+        HTML page built from current store contents; the API server
+        exposes it at GET /api/v1/visualize (refresh = re-query)."""
+        vectors, ids, metas = self._pull_vectors(max_vectors)
+        color_by = None
+        # color by the most common metadata key, if any is shared
+        keys: dict[str, int] = {}
+        for m in metas:
+            for key in m:
+                keys[key] = keys.get(key, 0) + 1
+        for key, cnt in sorted(keys.items(), key=lambda t: -t[1]):
+            values = {str(m.get(key)) for m in metas}
+            if cnt >= len(metas) * 0.9 and 1 < len(values) <= 10:
+                color_by = [str(m.get(key)) for m in metas]
+                break
+        spec = self.scatter_data(
+            vectors, labels=ids, method="pca", components=2,
+            title=f"WDBX live dashboard — {len(vectors)} vectors",
+            color_by=color_by,
+        )
+        return self.to_html(spec)
