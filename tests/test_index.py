@@ -605,7 +605,9 @@ class TestIVFScanPath:
         ivf, vecs, slots = self._make(rng)
         scores, got = ivf.search(vecs[:4], k=1)
         np.testing.assert_array_equal(got[:, 0], slots[:4])
-        np.testing.assert_allclose(scores[:, 0], 1.0, rtol=1e-4)
+        # bucket tables are bf16 (candidate ranking only), so scores
+        # carry bf16 rounding; ranking correctness asserted above
+        np.testing.assert_allclose(scores[:, 0], 1.0, rtol=4e-3)
 
     def test_scan_full_probe_is_exact(self, rng):
         ivf, vecs, slots = self._make(rng, nprobe=64)  # probe everything

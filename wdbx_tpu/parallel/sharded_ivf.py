@@ -282,10 +282,12 @@ class ShardedIVFIndex(IVFIndex, ShardedFlatIndex):
             jnp.asarray(bucket_valid), flag_s
         )
         self._bucket_slot_np = bucket_slot
-        self._slot_bucket_pos = {
-            int(s): [(int(c), int(p))]
-            for s, c, p in zip(live_slots[order], sorted_assign, pos_within)
-        }
+        from wdbx_tpu.index.ivf import _pack_slot_positions
+
+        self._slot_bucket_c, self._slot_bucket_p = _pack_slot_positions(
+            live_slots[order], sorted_assign.astype(np.int32),
+            pos_within.astype(np.int32), self._cap, 1,
+        )
         self._valid8_cache = None
         self._residual = []
         self._free.extend(self._quarantine)
@@ -294,22 +296,18 @@ class ShardedIVFIndex(IVFIndex, ShardedFlatIndex):
         self._ivf_search_cache.clear()
 
     def _invalidate_bucket_entries(self, slots) -> None:
-        positions = []
-        for s in slots:
-            pos_list = self._slot_bucket_pos.pop(int(s), None)
-            if pos_list:
-                positions.extend(pos_list)
-        if positions:
+        cs, ps = self._take_bucket_positions(slots)
+        if len(cs):
             flag_s = self._sharding(P(self.axis, None))
-            cs = jnp.asarray([c for c, _ in positions])
-            ps = jnp.asarray([p for _, p in positions])
             upd = jax.jit(
                 lambda bv, c, p: bv.at[c, p].set(
                     False, out_sharding=flag_s
                 ),
                 out_shardings=flag_s,
             )
-            self._bucket_valid = upd(self._bucket_valid, cs, ps)
+            self._bucket_valid = upd(
+                self._bucket_valid, jnp.asarray(cs), jnp.asarray(ps)
+            )
             self._valid8_cache = None
 
     # -- query ----------------------------------------------------------------
