@@ -735,3 +735,23 @@ class TestIVFInt8:
         scores, got = ivf.search(late, k=1)
         np.testing.assert_array_equal(got[:, 0], late_slots)
         np.testing.assert_allclose(scores[:, 0], 1.0, atol=0.03)
+
+
+def test_ivf_search_pipelined_matches_search(rng):
+    ivf = IVFIndex(dim=16, nlist=8, train_threshold=64)
+    ivf.batch_flat_fallback = False
+    vecs = _normed(rng, 400, 16)
+    slots = ivf.add_batch(vecs)
+    ivf.build()
+    ivf.nprobe = 8
+    qs = vecs[:24].reshape(3, 8, 16)
+    s3, i3 = ivf.search_pipelined(qs, k=4)
+    assert s3.shape == (3, 8, 4)
+    for nbatch in range(3):
+        _, i1 = ivf.search(qs[nbatch], k=4)
+        np.testing.assert_array_equal(i3[nbatch], i1[:, :4])
+    # untrained fallback
+    fresh = IVFIndex(dim=16, train_threshold=10**9)
+    fresh.add_batch(vecs[:64])
+    s, i = fresh.search_pipelined(qs, k=2)
+    assert s.shape == (3, 8, 2)

@@ -114,10 +114,12 @@ def _ivf_search(
         )  # (B, C)
         member = jnp.any(probe == bucket, axis=1)  # did query b probe it?
         s = jnp.where(bvalid[None, :] & member[:, None] & ok, s, -jnp.inf)
-        if s.shape[-1] >= 128:
+        if s.shape[-1] >= 16 * k_bucket:
             # TPU selection hardware; window maxima always keep the true
-            # max, so self-queries stay exact
-            v, i = jax.lax.approx_max_k(s, k_bucket)
+            # max, so self-queries stay exact. recall_target matters: the
+            # 0.95 default CAPS end-to-end recall at ~0.95 regardless of
+            # nprobe (measured: the tuner chased nprobe to 831/1024).
+            v, i = jax.lax.approx_max_k(s, k_bucket, recall_target=0.998)
         else:
             v, i = jax.lax.top_k(s, k_bucket)
         return carry, (v, jnp.take(bslots, i))
@@ -267,6 +269,32 @@ def _valid8_of(bucket_valid):
         bucket_valid[:, None, :].astype(jnp.int8),
         (bucket_valid.shape[0], 8, bucket_valid.shape[1]),
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "nprobe", "u", "precision", "int8", "normalize"),
+)
+def _ivf_search_pipelined(
+    slab, valid, centroids, bucket_slot, bucket_valid, bucket_rows,
+    residual_slots, residual_count, scales, qstack,
+    k, nprobe, u, precision, int8=False, normalize=False,
+):
+    """lax.scan of the dedup IVF query over a (NB, B, d) stack — one
+    dispatch serves NB batches (the tunnel/serving pipeline, same shape
+    as kernels/fused_topk.fused_topk_search_batched)."""
+
+    def step(carry, q):
+        s, i = _ivf_search(
+            slab, valid, centroids, bucket_slot, bucket_valid, bucket_rows,
+            residual_slots, residual_count, scales, q,
+            k=k, nprobe=nprobe, u=u, precision=precision, int8=int8,
+            normalize=normalize,
+        )
+        return carry, (s, i)
+
+    _, (scores, slots) = jax.lax.scan(step, 0, qstack)
+    return scores, slots
 
 
 def _pack_slot_positions(
@@ -683,8 +711,9 @@ class IVFIndex(FlatIndex):
                 interpret=jax.default_backend() != "tpu",
                 normalize=self.metric == "cosine",
             )
-            scores = np.asarray(scores[:b])
-            labels = np.asarray(labels[:b], np.int64)
+            scores, labels = jax.device_get((scores[:b], labels[:b]))
+            scores = np.asarray(scores)
+            labels = np.asarray(labels, np.int64)
             offset = nlist * cap_b
             residual_np = np.asarray(residual, np.int64)
             out_slots = np.full_like(labels, -1)
@@ -719,12 +748,62 @@ class IVFIndex(FlatIndex):
             int8=self._is_int8,
             normalize=self.metric == "cosine",
         )
-        scores = np.asarray(scores[:b])
-        out_slots = np.asarray(slots[:b], np.int64)
+        scores, slots = jax.device_get((scores[:b], slots[:b]))
+        scores = np.asarray(scores)
+        out_slots = np.asarray(slots, np.int64)
         out_slots[scores == -np.inf] = -1
         if self.assignments > 1:
             return _dedup_rows(scores, out_slots, k)
         return scores[:, :k], out_slots[:, :k]
+
+    def search_pipelined(
+        self, qstack: np.ndarray, k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Serve a (NB, B, d) stack of query batches in ONE dispatch
+        through the dedup bucket scan (falls back to the flat pipelined
+        path when untrained). Returns (NB, B, k)."""
+        if self._needs_build():
+            with self._mu.write():
+                self._maybe_build()
+        with self._mu.read():
+            if not self.is_trained:
+                return super().search_pipelined(qstack, k)
+            slab, g_valid, g_scales, cap = (
+                self._slab, self._valid, self._scales, self._cap,
+            )
+            centroids = self._centroids
+            bucket_slot = self._bucket_slot
+            bucket_valid = self._bucket_valid
+            bucket_rows = self._bucket_rows
+            residual = list(self._residual)
+
+            qstack = np.asarray(qstack, np.float32) if not isinstance(
+                qstack, jax.Array
+            ) else qstack
+            nb, b, _ = qstack.shape
+            nlist = int(bucket_slot.shape[0])
+            nprobe = min(self.nprobe, nlist)
+            u = min(b * nprobe, nlist)
+            r_n = len(residual)
+            r_cap = _next_pow2(max(r_n, 1)) if r_n else 0
+            residual_slots = np.pad(
+                np.asarray(residual, np.int32), (0, r_cap - r_n),
+                constant_values=cap,
+            )
+            scales = g_scales
+            if scales is None:
+                scales = np.ones((1,), np.float32)
+            scores, slots = _ivf_search_pipelined(
+                slab, g_valid, centroids, bucket_slot, bucket_valid,
+                bucket_rows, residual_slots, np.int32(r_n), scales, qstack,
+                k=k, nprobe=nprobe, u=u, precision=self._precision,
+                int8=self._is_int8, normalize=self.metric == "cosine",
+            )
+            scores, slots = jax.device_get((scores, slots))
+        scores = np.asarray(scores)
+        out = np.asarray(slots, np.int64)
+        out[scores == -np.inf] = -1
+        return scores, out
 
     def tune(
         self,
