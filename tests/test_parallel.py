@@ -365,3 +365,34 @@ class TestMultiHost:
         for rc, out in outs:
             assert rc == 0, f"worker failed rc={rc}:\n{out[-2000:]}"
         assert "proc0 OK" in outs[0][1] and "proc1 OK" in outs[1][1]
+
+
+class TestShardedPipelined:
+    def test_sharded_flat_pipelined(self, rng):
+        from wdbx_tpu.parallel import ShardedFlatIndex
+
+        idx = ShardedFlatIndex(dim=16, capacity=1024)
+        vecs = rng.standard_normal((300, 16)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=-1, keepdims=True)
+        slots = idx.add_batch(vecs)
+        qs = vecs[:24].reshape(3, 8, 16)
+        s3, i3 = idx.search_pipelined(qs, k=5)
+        assert s3.shape == (3, 8, 5)
+        for nb in range(3):
+            _, i1 = idx.search(qs[nb], k=5)
+            np.testing.assert_array_equal(i3[nb], i1)
+
+    def test_sharded_ivf_pipelined(self, rng):
+        from wdbx_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+        idx = ShardedIVFIndex(dim=16, nlist=16, nprobe=16,
+                              train_threshold=64)
+        idx.batch_flat_fallback = False
+        vecs = rng.standard_normal((512, 16)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=-1, keepdims=True)
+        slots = idx.add_batch(vecs)
+        idx.build()
+        qs = vecs[:16].reshape(2, 8, 16)
+        s3, i3 = idx.search_pipelined(qs, k=1)
+        assert s3.shape == (2, 8, 1)
+        np.testing.assert_array_equal(i3.reshape(-1), slots[:16])

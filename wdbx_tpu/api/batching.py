@@ -29,7 +29,7 @@ class QueryBatcher:
     def __init__(
         self,
         store: Any,
-        max_batch: int = 64,
+        max_batch: int = 128,  # the measured fused-kernel sweet spot (r2)
         max_wait_ms: float = 3.0,
     ):
         self.store = store

@@ -65,7 +65,7 @@ class WDBXAPIServer:
 
             self.batcher = QueryBatcher(
                 wdbx.store,
-                max_batch=int(cfg.get("API_BATCH_MAX", 64)),
+                max_batch=int(cfg.get("API_BATCH_MAX", 128)),
                 max_wait_ms=float(cfg.get("API_BATCH_WAIT_MS", 3.0)),
             )
         self.app = self._build_app()

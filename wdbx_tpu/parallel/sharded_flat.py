@@ -76,20 +76,34 @@ def _build_search(mesh: Mesh, axis: str, k: int, precision: str, int8: bool,
     # each replica group serves its slice of the batch independently
     # (data-parallel serving on top of corpus sharding).
     q_spec = P(replica_axis, None)
-    return jax.jit(
-        jax.shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(
-                P(axis, None, None),
-                P(axis, None),
-                P(axis, None),
-                q_spec,
-            ),
-            out_specs=(q_spec, q_spec),
-            check_vma=False,  # post-all-gather merge is replicated by construction
-        )
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(axis, None, None),
+            P(axis, None),
+            P(axis, None),
+            q_spec,
+        ),
+        out_specs=(q_spec, q_spec),
+        check_vma=False,  # post-all-gather merge is replicated by construction
     )
+
+    @jax.jit
+    def pipelined(slab, valid, scales, qstack):
+        """lax.scan of the shard_map'd search over (NB, B, d) — one
+        dispatch serves NB batches across the whole mesh."""
+
+        def step(carry, q):
+            s, i = mapped(slab, valid, scales, q)
+            return carry, (s, i)
+
+        _, out = jax.lax.scan(step, 0, qstack)
+        return out
+
+    fn = jax.jit(mapped)
+    fn.pipelined = pipelined
+    return fn
 
 
 class ShardedFlatIndex(FlatIndex):
@@ -317,6 +331,52 @@ class ShardedFlatIndex(FlatIndex):
             pad = k - scores.shape[1]
             scores = np.pad(scores, ((0, 0), (0, pad)), constant_values=-np.inf)
             out = np.pad(out, ((0, 0), (0, pad)), constant_values=-1)
+        out[scores == -np.inf] = -1
+        return scores, out
+
+    def search_pipelined(
+        self, qstack: np.ndarray, k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Serve a (NB, B, d) stack in ONE dispatch: lax.scan of the
+        shard_map'd mesh search (local MXU scoring + ICI all-gather
+        merge per step). The multi-chip throughput-serving entry."""
+        qstack = np.asarray(qstack, np.float32) if not isinstance(
+            qstack, jax.Array
+        ) else qstack
+        assert qstack.ndim == 3 and qstack.shape[-1] == self.dim
+        nb, b, _ = qstack.shape
+        pad_b = max(_next_pow2(max(b, 1)), self.replicas)
+        if pad_b != b:
+            qstack = np.pad(qstack, ((0, 0), (0, pad_b - b), (0, 0)))
+        method = self.topk_method
+        if method == "auto":
+            method = (
+                "approx" if jax.default_backend() == "tpu" else "exact"
+            )
+        with self._mu.read():
+            key = (k, self._cap, method)
+            fn = self._search_cache.get(key)
+            if fn is None:
+                fn = _build_search(
+                    self.mesh, self.axis, k, self._precision, self._is_int8,
+                    method=method, normalize=self.metric == "cosine",
+                    replica_axis=self.replica_axis,
+                )
+                self._search_cache[key] = fn
+            scores, slots = fn.pipelined(
+                self._slab, self._valid, self._scales, qstack
+            )
+            scores, slots = jax.device_get(
+                (scores[:, :b], slots[:, :b])
+            )
+        scores = np.asarray(scores)
+        out = np.asarray(slots, np.int64)
+        if scores.shape[-1] < k:
+            pad = k - scores.shape[-1]
+            scores = np.pad(scores, ((0, 0), (0, 0), (0, pad)),
+                            constant_values=-np.inf)
+            out = np.pad(out, ((0, 0), (0, 0), (0, pad)),
+                         constant_values=-1)
         out[scores == -np.inf] = -1
         return scores, out
 

@@ -142,26 +142,39 @@ def _build_ivf_search(mesh, axis, *, k, k_bucket, nprobe, quota, nlist,
         top, pos = jax.lax.top_k(all_v, k_eff)
         return top, jnp.take_along_axis(all_s, pos, axis=1)
 
-    return jax.jit(
-        jax.shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(
-                P(),              # centroids (replicated)
-                P(axis, None, None),  # bucket_rows
-                P(axis, None),    # bucket_slot
-                P(axis, None),    # bucket_valid
-                P(axis, None, None),  # slab (striped)
-                P(axis, None),    # valid
-                P(axis, None),    # scales
-                P(),              # residual_slots
-                P(),              # residual_count
-                P(),              # queries (replicated batch)
-            ),
-            out_specs=(P(), P()),
-            check_vma=False,  # post-all-gather merge replicated by construction
-        )
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(),              # centroids (replicated)
+            P(axis, None, None),  # bucket_rows
+            P(axis, None),    # bucket_slot
+            P(axis, None),    # bucket_valid
+            P(axis, None, None),  # slab (striped)
+            P(axis, None),    # valid
+            P(axis, None),    # scales
+            P(),              # residual_slots
+            P(),              # residual_count
+            P(),              # queries (replicated batch)
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,  # post-all-gather merge replicated by construction
     )
+
+    @jax.jit
+    def pipelined(centroids, b_rows, b_slot, b_valid, slab, valid, scales,
+                  residual_slots, residual_count, qstack):
+        def step(carry, q):
+            s, i = mapped(centroids, b_rows, b_slot, b_valid, slab, valid,
+                          scales, residual_slots, residual_count, q)
+            return carry, (s, i)
+
+        _, out = jax.lax.scan(step, 0, qstack)
+        return out
+
+    fn = jax.jit(mapped)
+    fn.pipelined = pipelined
+    return fn
 
 
 class ShardedIVFIndex(IVFIndex, ShardedFlatIndex):
@@ -373,6 +386,54 @@ class ShardedIVFIndex(IVFIndex, ShardedFlatIndex):
             scores = np.pad(scores, ((0, 0), (0, pad)),
                             constant_values=-np.inf)
             out = np.pad(out, ((0, 0), (0, pad)), constant_values=-1)
+        out[scores == -np.inf] = -1
+        return scores, out
+
+    def search_pipelined(self, qstack, k):
+        """(NB, B, d) stack through the shard_map'd cluster query in one
+        dispatch (scan of the mesh program); flat fallback when
+        untrained."""
+        if self._needs_build():
+            with self._mu.write():
+                self._maybe_build()
+        with self._mu.read():
+            if not self.is_trained:
+                return ShardedFlatIndex.search_pipelined(self, qstack, k)
+            qstack = np.asarray(qstack, np.float32) if not isinstance(
+                qstack, jax.Array
+            ) else qstack
+            nb, b, _ = qstack.shape
+            nlist = int(self._bucket_slot.shape[0])
+            cap_b = int(self._bucket_slot.shape[1])
+            nprobe = min(self.nprobe, nlist)
+            r_n = len(self._residual)
+            r_cap = _next_pow2(max(r_n, 1)) if r_n else 0
+            residual_slots = np.pad(
+                np.asarray(self._residual, np.int32), (0, r_cap - r_n),
+                constant_values=self._cap - self.n_devices,
+            )
+            bp = b * nprobe
+            quota = min(bp, max(
+                8, int(math.ceil(bp / self.n_devices * self.quota_slack))
+            ))
+            key = (k, min(k, cap_b), nprobe, quota, nlist, cap_b, r_cap, b)
+            fn = self._ivf_search_cache.get(key)
+            if fn is None:
+                fn = _build_ivf_search(
+                    self.mesh, self.axis, k=k, k_bucket=min(k, cap_b),
+                    nprobe=nprobe, quota=quota, nlist=nlist, cap_b=cap_b,
+                    precision=self._precision, int8=self._is_int8,
+                    normalize=self.metric == "cosine", n_dev=self.n_devices,
+                )
+                self._ivf_search_cache[key] = fn
+            scores, slots = fn.pipelined(
+                self._centroids, self._bucket_rows, self._bucket_slot,
+                self._bucket_valid, self._slab, self._valid, self._scales,
+                residual_slots, np.int32(r_n), qstack,
+            )
+            scores, slots = jax.device_get((scores, slots))
+        scores = np.asarray(scores)
+        out = np.asarray(slots, np.int64)
         out[scores == -np.inf] = -1
         return scores, out
 
