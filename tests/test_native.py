@@ -68,3 +68,16 @@ def test_native_is_used_by_default():
     from wdbx_tpu.native import SlotRegistry as Default
 
     assert Default.__module__ == "_native"
+
+
+def test_id_table_both_impls():
+    """id_table() must agree between the native and Python registries:
+    slot-indexed ids with None holes after removals."""
+    from wdbx_tpu.native import PySlotRegistry, SlotRegistry
+
+    for cls in {PySlotRegistry, SlotRegistry}:
+        reg = cls()
+        reg.put(["a", "b", "c"], [0, 1, 2])
+        reg.remove("b")
+        table = reg.id_table()
+        assert list(table) == ["a", None, "c"], (cls, table)

@@ -85,6 +85,14 @@ class PySlotRegistry:
     def state(self):
         return self._next, list(self._free)
 
+    def id_table(self):
+        """slot -> id list (None for unused), length next_slot."""
+        out = [None] * self._next
+        for slot, vid in self._slot_to_id.items():
+            if 0 <= slot < self._next:
+                out[slot] = vid
+        return out
+
 
 def build(force: bool = False) -> bool:
     """Compile the C++ extension in-tree. Returns True on success."""

@@ -268,6 +268,32 @@ PyObject* registry_state(PyObject* self, PyObject*) {
                          free_list);
 }
 
+// id_table() -> list[str | None] of length next_slot: slot -> id, with
+// None for free/unused slots. Feeds the store's vectorized slot->id
+// resolution (np.array(..., dtype=object)) in one C pass instead of a
+// per-entry Python loop over items() — the loop costs seconds at 10M
+// ids and sits on the first search after any mutation.
+PyObject* registry_id_table(PyObject* self, PyObject*) {
+    Registry* r = reinterpret_cast<Registry*>(self);
+    Py_ssize_t n = static_cast<Py_ssize_t>(r->slot_to_id->size());
+    PyObject* out = PyList_New(n);
+    if (out == nullptr) return nullptr;
+    for (Py_ssize_t i = 0; i < n; i++) {
+        const std::string& s = (*r->slot_to_id)[static_cast<size_t>(i)];
+        PyObject* item;
+        if (s.empty()) {
+            item = Py_None;
+            Py_INCREF(item);
+        } else {
+            item = PyUnicode_FromStringAndSize(
+                s.data(), static_cast<Py_ssize_t>(s.size()));
+            if (item == nullptr) { Py_DECREF(out); return nullptr; }
+        }
+        PyList_SET_ITEM(out, i, item);
+    }
+    return out;
+}
+
 PyMethodDef registry_methods[] = {
     {"assign", registry_assign, METH_VARARGS,
      "assign(ids) -> (slots, fresh_flags)"},
@@ -280,6 +306,8 @@ PyMethodDef registry_methods[] = {
     {"items", registry_items, METH_NOARGS, "items() -> list[(id, slot)]"},
     {"load", registry_load, METH_VARARGS, "load(items, next_slot, free)"},
     {"state", registry_state, METH_NOARGS, "state() -> (next_slot, free)"},
+    {"id_table", registry_id_table, METH_NOARGS,
+     "id_table() -> list[id | None] indexed by slot"},
     {nullptr, nullptr, 0, nullptr},
 };
 

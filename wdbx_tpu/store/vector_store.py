@@ -337,11 +337,16 @@ class VectorStore:
         mutation (vectorizes id resolution in the search merge)."""
         table = self._slot_ids_cache[shard]
         if table is None:
-            items = self.registries[shard].items()
-            n = 1 + max((int(slot) for _, slot in items), default=-1)
-            table = np.full(n, None, dtype=object)
-            for vid, slot in items:
-                table[int(slot)] = vid
+            reg = self.registries[shard]
+            if hasattr(reg, "id_table"):
+                # one C pass (native registry) or one dict walk (fallback)
+                table = np.array(reg.id_table(), dtype=object)
+            else:
+                items = reg.items()
+                n = 1 + max((int(slot) for _, slot in items), default=-1)
+                table = np.full(n, None, dtype=object)
+                for vid, slot in items:
+                    table[int(slot)] = vid
             self._slot_ids_cache[shard] = table
         return table
 
