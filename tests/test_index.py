@@ -755,3 +755,58 @@ def test_ivf_search_pipelined_matches_search(rng):
     fresh.add_batch(vecs[:64])
     s, i = fresh.search_pipelined(qs, k=2)
     assert s.shape == (3, 8, 2)
+
+
+def test_ivf_int8_tables_stay_int8(rng, temp_dir):
+    """int8 slabs must keep int8 bucket tables + scale table (bf16 tables
+    would double HBM at 10M x 768 and OOM beside the slab)."""
+    import jax.numpy as jnp
+
+    ivf = IVFIndex(dim=16, dtype="int8", nlist=4, train_threshold=32)
+    ivf.batch_flat_fallback = False
+    vecs = _normed(rng, 128, 16)
+    slots = ivf.add_batch(vecs)
+    ivf.build()
+    assert ivf._bucket_rows.dtype == jnp.int8
+    assert ivf._bucket_scale is not None
+    ivf.nprobe = 4
+    _, got = ivf.search(vecs[:8], k=1)
+    np.testing.assert_array_equal(got[:, 0], slots[:8])
+    # persistence round trip keeps the scale table
+    ivf.save(f"{temp_dir}/i8ivf")
+    ivf2 = IVFIndex(dim=16, dtype="int8")
+    assert ivf2.load(f"{temp_dir}/i8ivf")
+    assert ivf2._bucket_rows.dtype == jnp.int8
+    assert ivf2._bucket_scale is not None
+    ivf2.batch_flat_fallback = False
+    ivf2.nprobe = 4
+    _, got2 = ivf2.search(vecs[:8], k=1)
+    np.testing.assert_array_equal(got2[:, 0], slots[:8])
+
+
+def test_spill_does_not_trigger_rebuild_loop(rng):
+    """Capacity-capped placement seeds the residual buffer; only residual
+    GROWTH beyond that baseline should trigger a rebuild. (k-means
+    subdivides dense regions, so organic spill is rare — the trigger
+    semantics are exercised directly.)"""
+    vecs = _normed(rng, 300, 16)
+    ivf = IVFIndex(dim=16, nlist=8, train_threshold=64,
+                   rebuild_fraction=0.2)
+    ivf.batch_flat_fallback = False
+    slots = ivf.add_batch(vecs)
+    ivf.build()
+    # placement respects the cap everywhere
+    bv = np.asarray(ivf._bucket_valid)
+    assert bv.shape[1] >= 128 and bv.sum(1).max() <= bv.shape[1]
+    # simulate a spill-seeded residual: baseline alone must not retrigger
+    ivf._residual = [int(s) for s in slots[:100]]
+    ivf._residual_base = 100
+    assert not ivf._needs_build()
+    # growth beyond the baseline + fraction does
+    ivf._residual.extend(int(s) for s in slots[100:200])
+    assert ivf._needs_build()
+    # and the spill-resident rows are still findable (residual scan)
+    ivf._residual = [int(s) for s in slots[:100]]
+    ivf._residual_base = 100
+    _, got = ivf.search(vecs[:4], k=1)
+    np.testing.assert_array_equal(got[:, 0], slots[:4])

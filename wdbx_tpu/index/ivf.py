@@ -51,6 +51,7 @@ def _ivf_search(
     bucket_slot,
     bucket_valid,
     bucket_rows,
+    bucket_scale,
     residual_slots,
     residual_count,
     scales,
@@ -108,10 +109,22 @@ def _ivf_search(
         blk = jax.lax.dynamic_index_in_dim(bucket_rows, bucket, 0, False)
         bslots = jax.lax.dynamic_index_in_dim(bucket_slot, bucket, 0, False)
         bvalid = jax.lax.dynamic_index_in_dim(bucket_valid, bucket, 0, False)
-        s = jax.lax.dot_general(
-            q.astype(blk.dtype), blk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )  # (B, C)
+        if int8:
+            # tables hold raw int8 codes + per-row scales (same HBM as
+            # the slab — bf16 tables would DOUBLE memory at 10M x 768)
+            bscale = jax.lax.dynamic_index_in_dim(
+                bucket_scale, bucket, 0, False
+            )  # (C,)
+            s = jax.lax.dot_general(
+                q.astype(jnp.bfloat16), blk.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            ) * bscale[None, :]
+        else:
+            s = jax.lax.dot_general(
+                q.astype(blk.dtype), blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )  # (B, C)
         member = jnp.any(probe == bucket, axis=1)  # did query b probe it?
         s = jnp.where(bvalid[None, :] & member[:, None] & ok, s, -jnp.inf)
         if s.shape[-1] >= 16 * k_bucket:
@@ -277,7 +290,7 @@ def _valid8_of(bucket_valid):
 )
 def _ivf_search_pipelined(
     slab, valid, centroids, bucket_slot, bucket_valid, bucket_rows,
-    residual_slots, residual_count, scales, qstack,
+    bucket_scale, residual_slots, residual_count, scales, qstack,
     k, nprobe, u, precision, int8=False, normalize=False,
 ):
     """lax.scan of the dedup IVF query over a (NB, B, d) stack — one
@@ -287,7 +300,7 @@ def _ivf_search_pipelined(
     def step(carry, q):
         s, i = _ivf_search(
             slab, valid, centroids, bucket_slot, bucket_valid, bucket_rows,
-            residual_slots, residual_count, scales, q,
+            bucket_scale, residual_slots, residual_count, scales, q,
             k=k, nprobe=nprobe, u=u, precision=precision, int8=int8,
             normalize=normalize,
         )
@@ -379,12 +392,14 @@ class IVFIndex(FlatIndex):
         self._bucket_slot = None  # (nlist, cap_b) int32 → slab rows
         self._bucket_valid = None  # (nlist, cap_b) bool
         self._bucket_rows = None  # (nlist, cap_b, d) contiguous vector copy
+        self._bucket_scale = None  # (nlist, cap_b) f32; int8 tables only
         #: (cap, n_assign) int32 slot->cluster / ->position tables
         self._slot_bucket_c: np.ndarray | None = None
         self._slot_bucket_p: np.ndarray | None = None
         self._bucket_slot_np = None  # host copy for pallas label decode
         self._valid8_cache = None  # 8x-replicated int8 mask for pallas
         self._residual: list[int] = []  # slots added since last build
+        self._residual_base = 0  # spill-seeded entries (don't re-trigger)
         self._quarantine: list[int] = []  # freed slots held until rebuild
         self._built_size = 0
 
@@ -501,67 +516,108 @@ class IVFIndex(FlatIndex):
         valid = np.asarray(self._valid[:hwm])
         live_slots = np.nonzero(valid)[0].astype(np.int32)
         n_live = len(live_slots)
-        live_dev = jnp.asarray(live_slots)
 
+        # Chunked everywhere: a full dequantized-f32 gather of the live
+        # rows is 30 GB at 10M x 768 — 2x the chip. Each pass gathers at
+        # most `chunk` rows from the slab, dequantizes/normalizes on
+        # device, and frees the temp before the next chunk.
         @jax.jit
-        def gather_rows(slab, idx):
+        def gather_rows(slab, scales, idx):
             rows = slab[idx].astype(jnp.float32)
+            if self._is_int8:
+                rows = rows * scales[idx][:, None]
             if self.metric == "cosine":
+                # (int8 'ip' keeps dequantized magnitudes so bucketed and
+                # residual/flat candidates rank on the same scale)
                 rows = rows / jnp.maximum(
                     jnp.linalg.norm(rows, axis=-1, keepdims=True), 1e-12
                 )
             return rows
 
-        rows_dev = gather_rows(self._slab, live_dev)  # stays on device
-        if self._is_int8:
-            rows_dev = rows_dev * self._scales[live_dev][:, None]
-            if self.metric == "cosine":
-                # Renormalize only for cosine; for 'ip' the dequantized
-                # magnitudes must survive into bucket_rows so bucketed
-                # and residual/flat candidates rank on the same scale.
-                rows_dev = rows_dev / jnp.maximum(
-                    jnp.linalg.norm(rows_dev, axis=-1, keepdims=True), 1e-12
-                )
+        scales = self._scales
+        if scales is None:
+            scales = np.ones((1,), np.float32)
 
         nlist = min(self.nlist, n_live)
-        train = rows_dev
+        sample = live_slots
         if n_live > self.train_sample:
             sel = np.random.default_rng(0).choice(
                 n_live, self.train_sample, replace=False
             )
-            train = rows_dev[jnp.asarray(np.sort(sel))]
+            sample = live_slots[np.sort(sel)]
+        train = gather_rows(self._slab, scales, jnp.asarray(sample))
         centroids, _ = kmeans(
             train, num_clusters=nlist, iters=self.kmeans_iters
         )
+        del train
 
         n_assign = min(self.assignments, nlist)
+        # Fetch extra assignment choices beyond the genuine copies: they
+        # are SPILL candidates for capacity-capped placement below.
+        n_choices = min(max(4, n_assign), nlist)
         assign_fn = jax.jit(
             lambda r, c: jax.lax.top_k(
                 jax.lax.dot_general(
                     r, c, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ),
-                n_assign,
+                n_choices,
             )[1].astype(jnp.int32)
         )
         chunk = 131_072
-        assign_multi = np.empty((n_live, n_assign), np.int32)
+        assign_multi = np.empty((n_live, n_choices), np.int32)
         for i in range(0, n_live, chunk):
             end = min(i + chunk, n_live)
-            assign_multi[i:end] = np.asarray(
-                assign_fn(rows_dev[i:end], centroids)
+            rows_chunk = gather_rows(
+                self._slab, scales, jnp.asarray(live_slots[i:end])
             )
-        # flatten (row, copy) pairs so the layout below treats each
-        # assignment as its own entry
-        assign = assign_multi.reshape(-1)
-        live_slots = np.repeat(live_slots, n_assign)
-        row_pos = np.repeat(np.arange(n_live), n_assign)
-        n_entries = len(assign)
+            assign_multi[i:end] = np.asarray(assign_fn(rows_chunk, centroids))
+            del rows_chunk
 
-        counts = np.bincount(assign, minlength=nlist)
-        # 128-aligned bucket capacity: Pallas (1, cap_b) blocks need the
-        # lane dim to be a multiple of 128; padding is a few %% at scale.
-        cap_b = max(128, int(math.ceil(counts.max() / 128.0)) * 128)
+        spilled = 0
+        if n_assign == 1:
+            # Capacity-capped placement: k-means cluster skew makes the
+            # dense (nlist, max_count) table up to ~3x the corpus size
+            # (measured 12.6 GB tables over a 3.8 GB slab at 10M x 384).
+            # Cap buckets at ~1.3x the mean and greedily spill overflow
+            # rows to their next-best centroid; the residual brute-scan
+            # absorbs the (rare) rows all of whose choices are full.
+            cap_b = max(
+                128,
+                int(math.ceil(1.3 * n_live / nlist / 128.0)) * 128,
+            )
+            placed = np.full(n_live, -1, np.int32)
+            cap_left = np.full(nlist, cap_b, np.int64)
+            for a in range(n_choices):
+                un = np.nonzero(placed < 0)[0]
+                if not len(un):
+                    break
+                b = assign_multi[un, a]
+                order_r = np.argsort(b, kind="stable")
+                b_sorted = b[order_r]
+                starts = np.searchsorted(b_sorted, np.arange(nlist))
+                rank = np.arange(len(b_sorted)) - starts[b_sorted]
+                ok = rank < cap_left[b_sorted]
+                sel = un[order_r[ok]]
+                placed[sel] = b_sorted[ok]
+                cap_left -= np.bincount(b_sorted[ok], minlength=nlist)
+            keep = placed >= 0
+            spilled = int((~keep).sum())
+            leftover_slots = live_slots[~keep]
+            assign = placed[keep]
+            live_slots = live_slots[keep]
+            n_entries = len(assign)
+        else:
+            # SOAR multi-assignment keeps the dense layout (each row
+            # appears n_assign times; skew capping would break copies).
+            assign = assign_multi[:, :n_assign].reshape(-1)
+            live_slots = np.repeat(live_slots, n_assign)
+            n_entries = len(assign)
+            leftover_slots = np.empty(0, np.int32)
+            counts = np.bincount(assign, minlength=nlist)
+            # 128-aligned: Pallas (1, cap_b) blocks need a 128-multiple
+            # lane dim; padding is a few % at scale.
+            cap_b = max(128, int(math.ceil(counts.max() / 128.0)) * 128)
         bucket_slot = np.full((nlist, cap_b), self._cap, np.int32)  # OOB pad
         bucket_valid = np.zeros((nlist, cap_b), bool)
         # Vectorized layout: stable-sort rows by cluster, position within
@@ -575,21 +631,46 @@ class IVFIndex(FlatIndex):
         centroids = np.asarray(centroids)
 
         # Materialize each cluster's vectors contiguously so probes read
-        # sequential blocks (one device scatter builds the whole table).
-        # Tables are ALWAYS bf16: they rank candidates, the slab remains
-        # the full-precision source of truth — halves table HBM + DMA.
-        store_dtype = jnp.bfloat16
+        # sequential blocks. Tables gather straight from the slab (rows
+        # are already normalized at write time for cosine): float slabs
+        # store bf16 (ranking only — halves DMA), int8 slabs store raw
+        # codes + a per-row scale table (bf16 would DOUBLE table HBM at
+        # 10M x 768). The scatter is CHUNKED with donated accumulators so
+        # peak memory stays slab + table + one chunk. NOTE the envelope:
+        # tables duplicate the corpus, so slab+table must fit HBM — 10M
+        # x 768 int8 (8.05 + ~8.9 GB) needs >= 2 chips (ShardedIVFIndex);
+        # 10M x 384 fits one v5e.
+        table_dtype = jnp.int8 if self._is_int8 else jnp.bfloat16
+        slot_sorted = live_slots[order].astype(np.int32)
+        bucket_rows = jnp.zeros((nlist, cap_b, self.dim), table_dtype)
+        bucket_scale = (
+            jnp.zeros((nlist, cap_b), jnp.float32) if self._is_int8 else None
+        )
         scatter_rows = jax.jit(
-            lambda rows, c_idx, p_idx: jnp.zeros(
-                (nlist, cap_b, self.dim), store_dtype
-            ).at[c_idx, p_idx].set(rows.astype(store_dtype)),
+            lambda tbl, slab, s_idx, c_idx, p_idx: tbl.at[c_idx, p_idx].set(
+                slab[s_idx].astype(table_dtype)
+            ),
             donate_argnums=(0,),
         )
-        c_dev = jnp.asarray(sorted_assign)
-        p_dev = jnp.asarray(pos_within)
-        bucket_rows = scatter_rows(
-            rows_dev[jnp.asarray(row_pos[order])], c_dev, p_dev
+        scatter_scale = jax.jit(
+            lambda tbl, scl, s_idx, c_idx, p_idx: tbl.at[c_idx, p_idx].set(
+                scl[s_idx]
+            ),
+            donate_argnums=(0,),
         )
+        for i in range(0, n_entries, chunk):
+            end = min(i + chunk, n_entries)
+            s_idx = jnp.asarray(slot_sorted[i:end])
+            c_idx = jnp.asarray(sorted_assign[i:end])
+            p_idx = jnp.asarray(pos_within[i:end])
+            bucket_rows = scatter_rows(
+                bucket_rows, self._slab, s_idx, c_idx, p_idx
+            )
+            if self._is_int8:
+                bucket_scale = scatter_scale(
+                    bucket_scale, self._scales, s_idx, c_idx, p_idx
+                )
+        self._bucket_scale = bucket_scale
         self._bucket_rows = bucket_rows
         self._slot_bucket_c, self._slot_bucket_p = _pack_slot_positions(
             live_slots[order], sorted_assign.astype(np.int32),
@@ -601,7 +682,17 @@ class IVFIndex(FlatIndex):
         self._bucket_valid = jnp.asarray(bucket_valid)
         self._bucket_slot_np = bucket_slot
         self._valid8_cache = None
-        self._residual = []
+        # rows that could not be placed under the bucket cap live in the
+        # residual buffer (brute-scanned every query, like fresh adds)
+        self._residual = [int(s) for s in leftover_slots]
+        self._residual_base = len(self._residual)
+        if spilled:
+            import logging
+
+            logging.getLogger("wdbx_tpu.index").info(
+                "ivf build: %d rows spilled to the residual buffer "
+                "(bucket cap %d)", spilled, cap_b,
+            )
         self._free.extend(self._quarantine)  # safe to recycle post-rebuild
         self._quarantine = []
         self._built_size = self._size
@@ -609,8 +700,9 @@ class IVFIndex(FlatIndex):
     def _needs_build(self) -> bool:
         if not self.is_trained:
             return self._size >= self.train_threshold
+        fresh = len(self._residual) - getattr(self, "_residual_base", 0)
         return bool(self._built_size) and (
-            len(self._residual) > self.rebuild_fraction * self._built_size
+            fresh > self.rebuild_fraction * self._built_size
         )
 
     def _maybe_build(self) -> None:
@@ -645,10 +737,14 @@ class IVFIndex(FlatIndex):
         bucket_slot = self._bucket_slot
         bucket_valid = self._bucket_valid
         bucket_rows = self._bucket_rows
+        bucket_scale = self._bucket_scale
         bucket_slot_np = self._bucket_slot_np
         residual = list(self._residual)
         size = self._size
-        v8_cached = self._valid8() if self.ivf_kernel == "pallas" else None
+        # pallas bucket kernel speaks bf16 tables; int8 code tables take
+        # the lax dedup scan
+        use_pallas = self.ivf_kernel == "pallas" and not self._is_int8
+        v8_cached = self._valid8() if use_pallas else None
 
         queries = self._prep(queries)
         b = len(queries)
@@ -701,7 +797,7 @@ class IVFIndex(FlatIndex):
         # multi-assignment can surface one slot from two buckets; fetch
         # extra candidates, dedup host-side, truncate back to k
         k_fetch = k * min(self.assignments, 2)
-        if self.ivf_kernel == "pallas":
+        if use_pallas:
             v8 = v8_cached if slot_mask is None else _valid8_of(bucket_valid)
             scores, labels = _ivf_query_pallas(
                 centroids, bucket_rows, v8,
@@ -737,6 +833,8 @@ class IVFIndex(FlatIndex):
             bucket_slot,
             bucket_valid,
             bucket_rows,
+            bucket_scale if bucket_scale is not None
+            else np.ones((1, 1), np.float32),
             residual_slots,
             np.int32(r_n),
             scales,
@@ -775,6 +873,7 @@ class IVFIndex(FlatIndex):
             bucket_slot = self._bucket_slot
             bucket_valid = self._bucket_valid
             bucket_rows = self._bucket_rows
+            bucket_scale = self._bucket_scale
             residual = list(self._residual)
 
             qstack = np.asarray(qstack, np.float32) if not isinstance(
@@ -795,7 +894,10 @@ class IVFIndex(FlatIndex):
                 scales = np.ones((1,), np.float32)
             scores, slots = _ivf_search_pipelined(
                 slab, g_valid, centroids, bucket_slot, bucket_valid,
-                bucket_rows, residual_slots, np.int32(r_n), scales, qstack,
+                bucket_rows,
+                bucket_scale if bucket_scale is not None
+                else np.ones((1, 1), np.float32),
+                residual_slots, np.int32(r_n), scales, qstack,
                 k=k, nprobe=nprobe, u=u, precision=self._precision,
                 int8=self._is_int8, normalize=self.metric == "cosine",
             )
@@ -883,16 +985,19 @@ class IVFIndex(FlatIndex):
         if self.is_trained:
             rows = np.asarray(self._bucket_rows)
             rows_view = (
-                rows.view(np.uint16) if rows.dtype not in (np.float32,) else rows
+                rows.view(np.uint16)
+                if rows.dtype not in (np.float32, np.int8) else rows
             )
-            np.savez(
-                path + ".ivf.npz",
+            arrays = dict(
                 centroids=np.asarray(self._centroids),
                 bucket_slot=np.asarray(self._bucket_slot),
                 bucket_valid=np.asarray(self._bucket_valid),
                 bucket_rows=rows_view,
                 residual=np.asarray(self._residual, np.int32),
             )
+            if self._bucket_scale is not None:
+                arrays["bucket_scale"] = np.asarray(self._bucket_scale)
+            np.savez(path + ".ivf.npz", **arrays)
         with open(path + ".ivf.json", "w") as f:
             json.dump(
                 {
@@ -929,6 +1034,8 @@ class IVFIndex(FlatIndex):
                 if rows.dtype == np.uint16:
                     rows = rows.view(jnp.bfloat16)
                 self._bucket_rows = jnp.asarray(rows)
+                if "bucket_scale" in data:
+                    self._bucket_scale = jnp.asarray(data["bucket_scale"])
                 self._bucket_slot_np = np.asarray(data["bucket_slot"])
                 self._valid8_cache = None
                 self._residual = [int(s) for s in data["residual"]]

@@ -35,6 +35,12 @@ def kmeans(
     key = jax.random.PRNGKey(seed)
     centroids = _kmeanspp_init(key, data, num_clusters)
 
+    # Accumulation strategy: the one-hot^T @ data MXU matmul is fastest
+    # but materializes an (N, C) f32 one-hot — 2+ GB at 131k x 4096,
+    # which OOMs next to a resident 10M-row slab. Past ~256 MB switch to
+    # scatter-add (segment-sum lowering): slower per iter, O(N*d) memory.
+    big = data.shape[0] * num_clusters * 4 > (1 << 28)
+
     def step(_, cents):
         # Assignment: max inner product against current centroids.
         sims = jax.lax.dot_general(
@@ -42,14 +48,23 @@ def kmeans(
             preferred_element_type=jnp.float32,
         )  # (N, C)
         assign = jnp.argmax(sims, axis=-1)
-        # Accumulate: one-hot^T @ data rides the MXU; empty clusters keep
-        # their previous centroid instead of collapsing to zero.
-        onehot = jax.nn.one_hot(assign, num_clusters, dtype=jnp.float32)  # (N, C)
-        sums = jax.lax.dot_general(
-            onehot, data, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (C, d)
-        counts = jnp.sum(onehot, axis=0)[:, None]
+        if big:
+            sums = jnp.zeros((num_clusters, data.shape[1]), jnp.float32)
+            sums = sums.at[assign].add(data)
+            counts = jnp.zeros((num_clusters,), jnp.float32).at[assign].add(
+                1.0
+            )[:, None]
+        else:
+            # one-hot^T @ data rides the MXU
+            onehot = jax.nn.one_hot(
+                assign, num_clusters, dtype=jnp.float32
+            )  # (N, C)
+            sums = jax.lax.dot_general(
+                onehot, data, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (C, d)
+            counts = jnp.sum(onehot, axis=0)[:, None]
+        # empty clusters keep their previous centroid (no zero collapse)
         new = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), cents)
         return _renorm(new)
 

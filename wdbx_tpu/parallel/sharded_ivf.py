@@ -303,6 +303,7 @@ class ShardedIVFIndex(IVFIndex, ShardedFlatIndex):
         )
         self._valid8_cache = None
         self._residual = []
+        self._residual_base = 0
         self._free.extend(self._quarantine)
         self._quarantine = []
         self._built_size = self._size
