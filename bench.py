@@ -109,9 +109,16 @@ def main() -> None:
 
     got = index.search_pipelined(qstack, k=k)  # warm + compile
     got_idx = got[1]
+    # Steady-state serving keeps dispatches IN FLIGHT (double buffering):
+    # enqueue all reps, then materialize — the host turnaround between
+    # dispatches overlaps device compute instead of serializing with it.
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = index.search_pipelined(qstack, k=k)
+    handles = [
+        index.search_pipelined(qstack, k=k, materialize=False)
+        for _ in range(reps)
+    ]
+    for h in handles:
+        index.resolve_pipelined(h)
     per_dispatch = (time.perf_counter() - t0) / reps
     tpu_qps = nb * kb / per_dispatch
 

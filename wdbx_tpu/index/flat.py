@@ -328,14 +328,20 @@ class FlatIndex(VectorIndex):
         return min(2048, self._cap)
 
     def search_pipelined(
-        self, qstack: np.ndarray, k: int
-    ) -> tuple[np.ndarray, np.ndarray]:
+        self, qstack: np.ndarray, k: int, materialize: bool = True
+    ):
         """Serve a (NB, B, d) stack of query batches in ONE device
         dispatch: `lax.scan` of the fused kernel (TPU) or the exact XLA
         path (elsewhere). This is the throughput-serving entry — each
         dispatch costs a host round trip (~30 ms on tunneled devices),
         so batches are pipelined device-side and materialized once.
         Returns (NB, B, k) scores/slots with tombstones already -1.
+
+        ``materialize=False`` returns the raw device arrays without
+        blocking — callers keeping multiple dispatches in flight
+        (double-buffered serving) resolve them later with
+        ``resolve_pipelined``. NOTE: the read lock is released at
+        return, so a caller must resolve before mutating the index.
         """
         qstack = np.asarray(qstack, np.float32) if not isinstance(
             qstack, jax.Array
@@ -366,9 +372,21 @@ class FlatIndex(VectorIndex):
                     slab, qstack, valid, scales,
                     k=min(k, cap), precision=self._precision,
                 )
+            if not materialize:
+                return scores, idx  # in-flight device arrays
             scores, idx = jax.device_get((scores, idx))
             scores = np.asarray(scores)
             slots = np.asarray(idx, np.int64)
+        slots[scores == -np.inf] = -1
+        return scores, slots
+
+    @staticmethod
+    def resolve_pipelined(handle) -> tuple[np.ndarray, np.ndarray]:
+        """Materialize a ``search_pipelined(..., materialize=False)``
+        result (one transfer for both outputs)."""
+        scores, idx = jax.device_get(handle)
+        scores = np.asarray(scores)
+        slots = np.asarray(idx, np.int64)
         slots[scores == -np.inf] = -1
         return scores, slots
 
