@@ -203,3 +203,38 @@ class TestSearchOverlap:
         for t in ts:
             t.join(timeout=30)
         assert not errors, errors
+
+
+def test_search_retries_on_slot_recycle(temp_dir):
+    """A slot recycled (delete+store) between the id-table snapshot and
+    the merge must not mispair the old score with the new id — the
+    epoch-validated search retries (review finding r2)."""
+    store = make_store(temp_dir, shards=1)
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((64, 8)).astype(np.float32)
+    store.batch_store({f"v{i}": v for i, v in enumerate(vecs)})
+
+    from wdbx_tpu.index.flat import FlatIndex
+
+    orig = FlatIndex.search
+    raced = {"done": False}
+
+    def racing_search(self, queries, k, slot_mask=None):
+        out = orig(self, queries, k, slot_mask)
+        if not raced["done"]:
+            raced["done"] = True
+            # mutate AFTER the snapshot, DURING the "device" phase:
+            # recycle v0's slot as brand-new id "vNEW"
+            store.delete("v0")
+            store.store("vNEW", vecs[0])
+            out = orig(self, queries, k, slot_mask)  # post-mutation slab
+        return out
+
+    FlatIndex.search = racing_search
+    try:
+        hits = store.search(vecs[0], limit=1)
+    finally:
+        FlatIndex.search = orig
+    # the top hit is v0's vector; after the recycle its id is vNEW — any
+    # answer must pair consistently (vNEW), never the stale v0 label
+    assert hits[0][0] == "vNEW", hits

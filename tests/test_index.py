@@ -810,3 +810,20 @@ def test_spill_does_not_trigger_rebuild_loop(rng):
     ivf._residual_base = 100
     _, got = ivf.search(vecs[:4], k=1)
     np.testing.assert_array_equal(got[:, 0], slots[:4])
+
+
+def test_ivf_pipelined_dedups_multi_assignment(rng):
+    """SOAR multi-assignment must not surface the same slot twice in a
+    pipelined result row (review finding r2)."""
+    ivf = IVFIndex(dim=16, nlist=8, train_threshold=64, assignments=2)
+    ivf.batch_flat_fallback = False
+    vecs = _normed(rng, 400, 16)
+    ivf.add_batch(vecs)
+    ivf.build()
+    ivf.nprobe = 8
+    qs = vecs[:16].reshape(2, 8, 16)
+    _, got = ivf.search_pipelined(qs, k=4)
+    for nb in range(2):
+        for row in got[nb]:
+            live = [int(s) for s in row if s >= 0]
+            assert len(live) == len(set(live)), row

@@ -396,3 +396,28 @@ class TestShardedPipelined:
         s3, i3 = idx.search_pipelined(qs, k=1)
         assert s3.shape == (2, 8, 1)
         np.testing.assert_array_equal(i3.reshape(-1), slots[:16])
+
+
+def test_sharded_ivf_int8_tables(rng):
+    """Sharded IVF must keep int8 code tables + scale table for int8
+    slabs and return correct dequantized rankings (review finding r2:
+    the old build host-gathered every row and stored bf16 tables)."""
+    import jax.numpy as jnp
+
+    from wdbx_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+    idx = ShardedIVFIndex(dim=32, dtype="int8", nlist=16, nprobe=16,
+                          train_threshold=64)
+    idx.batch_flat_fallback = False
+    vecs = _normed(rng, 1024, 32)
+    slots = idx.add_batch(vecs)
+    idx.build()
+    assert idx._bucket_rows.dtype == jnp.int8
+    assert idx._bucket_scale is not None
+    assert idx._bucket_rows.sharding.spec[0] == idx.axis
+    _, got = idx.search(vecs[:16], k=1)
+    np.testing.assert_array_equal(got[:, 0], slots[:16])
+    # pipelined path too
+    qs = vecs[:16].reshape(2, 8, 32)
+    _, got3 = idx.search_pipelined(qs, k=1)
+    np.testing.assert_array_equal(got3.reshape(-1), slots[:16])

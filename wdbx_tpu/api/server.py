@@ -324,7 +324,10 @@ class WDBXAPIServer:
         from wdbx_tpu.utils.visualization import VectorVisualizer
 
         fmt = request.query.get("format", "html")
-        max_vectors = int(request.query.get("max_vectors", 500))
+        try:
+            max_vectors = int(request.query.get("max_vectors", 500))
+        except ValueError:
+            return _json_error(400, "max_vectors must be an integer")
         viz = VectorVisualizer(self.wdbx)
         try:
             if fmt == "html":

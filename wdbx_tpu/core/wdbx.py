@@ -209,14 +209,20 @@ class WDBX:
         health = self.shard_engine.health_check()
         plan = self.shard_engine.plan_recovery(health)
         recovered = []
-        for shard in plan:
-            if shard < len(self.store.indices):
+        if plan:
+            # The plan keys are MESH DEVICES; store shards are hash
+            # shards whose slabs stripe over the whole mesh (or sit on
+            # device 0 for single-device indexes) — any dead device can
+            # therefore hold rows of every store shard. Re-host them all
+            # from their last checkpoints; the plan itself is the
+            # device-level re-targeting metadata for the operator.
+            for shard in range(len(self.store.indices)):
                 if self.store.recover(shard):
                     recovered.append(shard)
         return {
             "healthy": health["healthy"],
             "devices": health["devices"],
-            "plan": {str(s): t for s, t in plan.items()},
+            "device_plan": {str(s): t for s, t in plan.items()},
             "recovered_shards": recovered,
         }
 

@@ -94,7 +94,9 @@ class FlatIndex(VectorIndex):
         if topk_method not in ("auto", "exact", "approx", "fused"):
             raise ValueError(f"unsupported topk method: {topk_method}")
         #: "auto" resolves per search: the fused Pallas kernel on TPU
-        #: (exact fold, no HBM score matrix — the roofline path), the
+        #: (no HBM score matrix — the roofline path; the grouped fold is
+        #: mildly approximate at 64+ tiles, measured recall@10 ~0.994 at
+        #: 1M rows — set topk_method="exact" for the exact oracle), the
         #: XLA exact path elsewhere (Mosaic interpret mode is debug-only).
         self.topk_method = topk_method
         #: "npz" (host gather, portable) or "orbax" (sharded device I/O)

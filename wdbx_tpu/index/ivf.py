@@ -310,6 +310,38 @@ def _ivf_search_pipelined(
     return scores, slots
 
 
+def _capped_placement(
+    assign_multi: np.ndarray, nlist: int
+) -> tuple[np.ndarray, int]:
+    """Capacity-capped bucket placement: k-means cluster skew makes the
+    dense (nlist, max_count) table up to ~3x the corpus size (measured
+    12.6 GB tables over a 3.8 GB slab at 10M x 384). Buckets cap at
+    ~1.3x the mean; overflow rows greedily spill to their next-best
+    centroid (columns of ``assign_multi``); rows whose every choice is
+    full return -1 (the caller parks them in the residual buffer).
+    Returns (placed_bucket_per_row, cap_b)."""
+    n_live, n_choices = assign_multi.shape
+    cap_b = max(
+        128, int(math.ceil(1.3 * n_live / max(nlist, 1) / 128.0)) * 128
+    )
+    placed = np.full(n_live, -1, np.int32)
+    cap_left = np.full(nlist, cap_b, np.int64)
+    for a in range(n_choices):
+        un = np.nonzero(placed < 0)[0]
+        if not len(un):
+            break
+        b = assign_multi[un, a]
+        order_r = np.argsort(b, kind="stable")
+        b_sorted = b[order_r]
+        starts = np.searchsorted(b_sorted, np.arange(nlist))
+        rank = np.arange(len(b_sorted)) - starts[b_sorted]
+        ok = rank < cap_left[b_sorted]
+        sel = un[order_r[ok]]
+        placed[sel] = b_sorted[ok]
+        cap_left -= np.bincount(b_sorted[ok], minlength=nlist)
+    return placed, cap_b
+
+
 def _pack_slot_positions(
     slot_arr: np.ndarray, c_arr: np.ndarray, p_arr: np.ndarray,
     cap: int, n_assign: int,
@@ -576,31 +608,7 @@ class IVFIndex(FlatIndex):
 
         spilled = 0
         if n_assign == 1:
-            # Capacity-capped placement: k-means cluster skew makes the
-            # dense (nlist, max_count) table up to ~3x the corpus size
-            # (measured 12.6 GB tables over a 3.8 GB slab at 10M x 384).
-            # Cap buckets at ~1.3x the mean and greedily spill overflow
-            # rows to their next-best centroid; the residual brute-scan
-            # absorbs the (rare) rows all of whose choices are full.
-            cap_b = max(
-                128,
-                int(math.ceil(1.3 * n_live / nlist / 128.0)) * 128,
-            )
-            placed = np.full(n_live, -1, np.int32)
-            cap_left = np.full(nlist, cap_b, np.int64)
-            for a in range(n_choices):
-                un = np.nonzero(placed < 0)[0]
-                if not len(un):
-                    break
-                b = assign_multi[un, a]
-                order_r = np.argsort(b, kind="stable")
-                b_sorted = b[order_r]
-                starts = np.searchsorted(b_sorted, np.arange(nlist))
-                rank = np.arange(len(b_sorted)) - starts[b_sorted]
-                ok = rank < cap_left[b_sorted]
-                sel = un[order_r[ok]]
-                placed[sel] = b_sorted[ok]
-                cap_left -= np.bincount(b_sorted[ok], minlength=nlist)
+            placed, cap_b = _capped_placement(assign_multi, nlist)
             keep = placed >= 0
             spilled = int((~keep).sum())
             leftover_slots = live_slots[~keep]
@@ -892,20 +900,30 @@ class IVFIndex(FlatIndex):
             scales = g_scales
             if scales is None:
                 scales = np.ones((1,), np.float32)
+            # multi-assignment can surface a slot from two buckets:
+            # over-fetch and dedup per batch, like search()
+            k_fetch = k * min(self.assignments, 2)
             scores, slots = _ivf_search_pipelined(
                 slab, g_valid, centroids, bucket_slot, bucket_valid,
                 bucket_rows,
                 bucket_scale if bucket_scale is not None
                 else np.ones((1, 1), np.float32),
                 residual_slots, np.int32(r_n), scales, qstack,
-                k=k, nprobe=nprobe, u=u, precision=self._precision,
+                k=k_fetch, nprobe=nprobe, u=u, precision=self._precision,
                 int8=self._is_int8, normalize=self.metric == "cosine",
             )
             scores, slots = jax.device_get((scores, slots))
         scores = np.asarray(scores)
         out = np.asarray(slots, np.int64)
         out[scores == -np.inf] = -1
-        return scores, out
+        if self.assignments > 1:
+            deduped = [
+                _dedup_rows(scores[i], out[i], k) for i in range(nb)
+            ]
+            scores = np.stack([d[0] for d in deduped])
+            out = np.stack([d[1] for d in deduped])
+            return scores, out
+        return scores[:, :, :k], out[:, :, :k]
 
     def tune(
         self,
@@ -1005,6 +1023,7 @@ class IVFIndex(FlatIndex):
                     "nprobe": self.nprobe,
                     "trained": self.is_trained,
                     "built_size": self._built_size,
+                    "residual_base": self._residual_base,
                     "quarantine": self._quarantine,
                 },
                 f,
@@ -1024,6 +1043,7 @@ class IVFIndex(FlatIndex):
             self.nlist = meta["nlist"]
             self.nprobe = meta["nprobe"]
             self._built_size = meta.get("built_size", 0)
+            self._residual_base = int(meta.get("residual_base", 0))
             self._quarantine = [int(s) for s in meta.get("quarantine", [])]
             if meta.get("trained") and os.path.exists(path + ".ivf.npz"):
                 data = np.load(path + ".ivf.npz")

@@ -410,6 +410,10 @@ class ShardedFlatIndex(FlatIndex):
         return out
 
     def save(self, path: str) -> None:
+        with self._mu.read():  # exclude slab donation mid-checkpoint
+            self._sharded_save_locked(path)
+
+    def _sharded_save_locked(self, path: str) -> None:
         import json
         import os
 

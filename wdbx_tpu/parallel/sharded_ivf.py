@@ -50,7 +50,7 @@ def _build_ivf_search(mesh, axis, *, k, k_bucket, nprobe, quota, nlist,
     ``axis``; centroids/queries/residual metadata are replicated."""
     local_n = nlist // n_dev
 
-    def local(centroids, b_rows_l, b_slot_l, b_valid_l,
+    def local(centroids, b_rows_l, b_slot_l, b_valid_l, b_scale_l,
               slab_l, valid_l, scales_l, residual_slots, residual_count, q):
         me = jax.lax.axis_index(axis)
         b = q.shape[0]
@@ -84,11 +84,22 @@ def _build_ivf_search(mesh, axis, *, k, k_bucket, nprobe, quota, nlist,
             bslots = jax.lax.dynamic_index_in_dim(b_slot_l, bucket, 0, False)
             bvalid = jax.lax.dynamic_index_in_dim(b_valid_l, bucket, 0, False)
             qrow = jax.lax.dynamic_index_in_dim(q, qi, 0, False)
-            s = jax.lax.dot_general(
-                qrow[None, :].astype(blk.dtype), blk,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            )[0]
+            if int8:
+                # int8 code tables: score codes, dequantize the score row
+                bscale = jax.lax.dynamic_index_in_dim(
+                    b_scale_l, bucket, 0, False
+                )
+                s = jax.lax.dot_general(
+                    qrow[None, :].astype(jnp.bfloat16),
+                    blk.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision,
+                )[0] * bscale
+            else:
+                s = jax.lax.dot_general(
+                    qrow[None, :].astype(blk.dtype), blk,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision,
+                )[0]
             s = jnp.where(bvalid & ok, s, -jnp.inf)
             v, i = jax.lax.top_k(s, k_bucket)
             return carry, (v, jnp.take(bslots, i))
@@ -150,6 +161,7 @@ def _build_ivf_search(mesh, axis, *, k, k_bucket, nprobe, quota, nlist,
             P(axis, None, None),  # bucket_rows
             P(axis, None),    # bucket_slot
             P(axis, None),    # bucket_valid
+            P(axis, None),    # bucket_scale (ones when not int8)
             P(axis, None, None),  # slab (striped)
             P(axis, None),    # valid
             P(axis, None),    # scales
@@ -162,11 +174,11 @@ def _build_ivf_search(mesh, axis, *, k, k_bucket, nprobe, quota, nlist,
     )
 
     @jax.jit
-    def pipelined(centroids, b_rows, b_slot, b_valid, slab, valid, scales,
-                  residual_slots, residual_count, qstack):
+    def pipelined(centroids, b_rows, b_slot, b_valid, b_scale, slab, valid,
+                  scales, residual_slots, residual_count, qstack):
         def step(carry, q):
-            s, i = mapped(centroids, b_rows, b_slot, b_valid, slab, valid,
-                          scales, residual_slots, residual_count, q)
+            s, i = mapped(centroids, b_rows, b_slot, b_valid, b_scale, slab,
+                          valid, scales, residual_slots, residual_count, q)
             return carry, (s, i)
 
         _, out = jax.lax.scan(step, 0, qstack)
@@ -221,89 +233,143 @@ class ShardedIVFIndex(IVFIndex, ShardedFlatIndex):
         if self._size == 0 or hwm == 0:
             self._reset_overlay()
             return
-        slab_h, valid_h = self._host_slot_view()
-        valid_h = valid_h[:hwm].copy()
+        # Only the (small) validity mask comes to the host; rows are
+        # gathered from the striped slab on DEVICE in chunks — a dense
+        # host gather is 30 GB of f32 at 10M x 768 and runs at this
+        # sandbox's ~15 MB/s host first-touch.
+        valid_h = np.asarray(self._valid).T.reshape(-1)[:hwm]
         live_slots = np.nonzero(valid_h)[0].astype(np.int32)
         n_live = len(live_slots)
-        rows = slab_h[live_slots].astype(np.float32)
-        if self._is_int8:
-            scales = np.asarray(self._scales).T.reshape(-1)
-            rows = rows * scales[live_slots][:, None]
-        if self.metric == "cosine":
-            rows = rows / np.maximum(
-                np.linalg.norm(rows, axis=-1, keepdims=True), 1e-12
+        n_dev = self.n_devices
+
+        repl = self._sharding(P())  # replicated NamedSharding
+
+        @jax.jit
+        def gather_rows(slab, scales, slots):
+            dev, row = slots % n_dev, slots // n_dev
+            # gathers from sharded operands need an explicit out sharding
+            rows = slab.at[dev, row].get(out_sharding=repl).astype(
+                jnp.float32
             )
-        rows_dev = jnp.asarray(rows)
+            if self._is_int8:
+                scl = scales.at[dev, row].get(out_sharding=repl)
+                rows = rows * scl[:, None]
+            if self.metric == "cosine":
+                rows = rows / jnp.maximum(
+                    jnp.linalg.norm(rows, axis=-1, keepdims=True), 1e-12
+                )
+            return rows
 
         # nlist must split evenly over the mesh axis.
         nlist = min(self.nlist, max(self.n_devices, n_live))
         nlist = max(self.n_devices,
                     (nlist // self.n_devices) * self.n_devices)
-        train = rows_dev
+        sample = live_slots
         if n_live > self.train_sample:
             sel = np.random.default_rng(0).choice(
                 n_live, self.train_sample, replace=False
             )
-            train = rows_dev[jnp.asarray(np.sort(sel))]
+            sample = live_slots[np.sort(sel)]
+        train = gather_rows(self._slab, self._scales, jnp.asarray(sample))
         centroids, _ = kmeans(train, num_clusters=nlist,
                               iters=self.kmeans_iters)
+        del train
 
+        n_choices = min(4, nlist)
         assign_fn = jax.jit(
-            lambda r, c: jnp.argmax(
+            lambda r, c: jax.lax.top_k(
                 jax.lax.dot_general(
                     r, c, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ), axis=-1,
-            ).astype(jnp.int32)
+                ),
+                n_choices,
+            )[1].astype(jnp.int32)
         )
         chunk = 131_072
-        assign = np.empty((n_live,), np.int32)
+        assign_multi = np.empty((n_live, n_choices), np.int32)
         for i in range(0, n_live, chunk):
             end = min(i + chunk, n_live)
-            assign[i:end] = np.asarray(assign_fn(rows_dev[i:end], centroids))
+            rows_chunk = gather_rows(
+                self._slab, self._scales, jnp.asarray(live_slots[i:end])
+            )
+            assign_multi[i:end] = np.asarray(assign_fn(rows_chunk, centroids))
+            del rows_chunk
 
-        counts = np.bincount(assign, minlength=nlist)
-        cap_b = max(128, int(math.ceil(counts.max() / 128.0)) * 128)
+        from wdbx_tpu.index.ivf import _capped_placement, _pack_slot_positions
+
+        placed, cap_b = _capped_placement(assign_multi, nlist)
+        keep = placed >= 0
+        leftover_slots = live_slots[~keep]
+        assign = placed[keep]
+        kept_slots = live_slots[keep]
+        n_entries = len(assign)
+
         bucket_slot = np.full((nlist, cap_b), self._cap, np.int32)
         bucket_valid = np.zeros((nlist, cap_b), bool)
         order = np.argsort(assign, kind="stable")
         sorted_assign = assign[order]
         starts = np.searchsorted(sorted_assign, np.arange(nlist))
-        pos_within = np.arange(n_live) - starts[sorted_assign]
-        bucket_slot[sorted_assign, pos_within] = live_slots[order]
+        pos_within = np.arange(n_entries) - starts[sorted_assign]
+        bucket_slot[sorted_assign, pos_within] = kept_slots[order]
         bucket_valid[sorted_assign, pos_within] = True
 
-        store_dtype = jnp.bfloat16 if self._is_int8 else self._dtype
+        # Tables: int8 slabs keep raw codes + a per-row scale table
+        # (bf16 would double table HBM); float slabs store bf16. Chunked
+        # scatter with donated sharded accumulators.
+        table_dtype = jnp.int8 if self._is_int8 else jnp.bfloat16
         table_s = self._sharding(P(self.axis, None, None))
         flag_s = self._sharding(P(self.axis, None))
+        bucket_rows = jax.device_put(
+            jnp.zeros((nlist, cap_b, self.dim), table_dtype), table_s
+        )
+        bucket_scale = (
+            jax.device_put(jnp.zeros((nlist, cap_b), jnp.float32), flag_s)
+            if self._is_int8 else None
+        )
         scatter_rows = jax.jit(
-            lambda r, c_idx, p_idx: jnp.zeros(
-                (nlist, cap_b, self.dim), store_dtype
-            ).at[c_idx, p_idx].set(r.astype(store_dtype)),
+            lambda tbl, slab, slots, c, p: tbl.at[c, p].set(
+                slab.at[slots % n_dev, slots // n_dev]
+                .get(out_sharding=repl).astype(table_dtype),
+                out_sharding=table_s,
+            ),
+            donate_argnums=(0,),
             out_shardings=table_s,
         )
-        bucket_rows = scatter_rows(
-            rows_dev[jnp.asarray(order)],
-            jnp.asarray(sorted_assign), jnp.asarray(pos_within),
+        scatter_scale = jax.jit(
+            lambda tbl, scl, slots, c, p: tbl.at[c, p].set(
+                scl.at[slots % n_dev, slots // n_dev]
+                .get(out_sharding=repl),
+                out_sharding=flag_s,
+            ),
+            donate_argnums=(0,),
+            out_shardings=flag_s,
         )
+        slot_sorted = kept_slots[order].astype(np.int32)
+        for i in range(0, n_entries, chunk):
+            end = min(i + chunk, n_entries)
+            s_idx = jnp.asarray(slot_sorted[i:end])
+            c_idx = jnp.asarray(sorted_assign[i:end])
+            p_idx = jnp.asarray(pos_within[i:end])
+            bucket_rows = scatter_rows(
+                bucket_rows, self._slab, s_idx, c_idx, p_idx
+            )
+            if self._is_int8:
+                bucket_scale = scatter_scale(
+                    bucket_scale, self._scales, s_idx, c_idx, p_idx
+                )
         self._bucket_rows = bucket_rows
+        self._bucket_scale = bucket_scale
         self._centroids = jnp.asarray(np.asarray(centroids))
-        self._bucket_slot = jax.device_put(
-            jnp.asarray(bucket_slot), flag_s
-        )
-        self._bucket_valid = jax.device_put(
-            jnp.asarray(bucket_valid), flag_s
-        )
+        self._bucket_slot = jax.device_put(jnp.asarray(bucket_slot), flag_s)
+        self._bucket_valid = jax.device_put(jnp.asarray(bucket_valid), flag_s)
         self._bucket_slot_np = bucket_slot
-        from wdbx_tpu.index.ivf import _pack_slot_positions
-
         self._slot_bucket_c, self._slot_bucket_p = _pack_slot_positions(
-            live_slots[order], sorted_assign.astype(np.int32),
+            kept_slots[order], sorted_assign.astype(np.int32),
             pos_within.astype(np.int32), self._cap, 1,
         )
         self._valid8_cache = None
-        self._residual = []
-        self._residual_base = 0
+        self._residual = [int(x) for x in leftover_slots]
+        self._residual_base = len(self._residual)
         self._free.extend(self._quarantine)
         self._quarantine = []
         self._built_size = self._size
@@ -373,11 +439,13 @@ class ShardedIVFIndex(IVFIndex, ShardedFlatIndex):
                 n_dev=self.n_devices,
             )
             self._ivf_search_cache[key] = fn
-        scales = self._scales
+        b_scale = self._bucket_scale
+        if b_scale is None:  # placeholder with the sharded table shape
+            b_scale = self._bucket_valid
         scores, slots = fn(
             self._centroids, self._bucket_rows, self._bucket_slot,
-            self._bucket_valid, self._slab, self._valid, scales,
-            residual_slots, np.int32(r_n), q,
+            self._bucket_valid, b_scale, self._slab, self._valid,
+            self._scales, residual_slots, np.int32(r_n), q,
         )
         scores, slots = jax.device_get((scores[:b], slots[:b]))
         scores = np.asarray(scores)
@@ -427,10 +495,13 @@ class ShardedIVFIndex(IVFIndex, ShardedFlatIndex):
                     normalize=self.metric == "cosine", n_dev=self.n_devices,
                 )
                 self._ivf_search_cache[key] = fn
+            b_scale = self._bucket_scale
+            if b_scale is None:
+                b_scale = self._bucket_valid
             scores, slots = fn.pipelined(
                 self._centroids, self._bucket_rows, self._bucket_slot,
-                self._bucket_valid, self._slab, self._valid, self._scales,
-                residual_slots, np.int32(r_n), qstack,
+                self._bucket_valid, b_scale, self._slab, self._valid,
+                self._scales, residual_slots, np.int32(r_n), qstack,
             )
             scores, slots = jax.device_get((scores, slots))
         scores = np.asarray(scores)

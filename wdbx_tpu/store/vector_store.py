@@ -74,6 +74,7 @@ class VectorStore:
         self.registries: list[SlotRegistry] = []
         self._mutations_since_save = 0
         self._lock = threading.RLock()
+        self._epoch = 0  # bumps on every mutation (optimistic searches)
         self.metrics = LatencyRecorder()
         # Search-path snapshots, invalidated on mutation: per-shard
         # slot->id object tables and pre-filter mask cache.
@@ -269,19 +270,42 @@ class VectorStore:
         use_pre = self._use_prefilter(filter_metadata)
         fetch_k = limit if (use_pre or not filter_metadata) else max(limit * 4, 50)
 
-        with self.metrics.timed("search_prep"), self._lock:
-            indices = list(self.indices)
-            masks = [
-                self._filter_mask(shard, filter_metadata) if use_pre else None
-                for shard in range(len(indices))
-            ]
-            id_tables = [self._ids_for(s) for s in range(len(indices))]
+        # Epoch-validated optimistic concurrency: device searches run
+        # lock-free, but a mutation between the id-table snapshot and
+        # the merge could recycle a slot and mispair an old score with a
+        # new id. If the mutation epoch moved, retry; after two misses
+        # fall back to searching under the store lock (serialized but
+        # exact — mutations are rarer than searches).
+        for attempt in range(3):
+            hold_lock = attempt == 2
+            self._lock.acquire()
+            held = True
+            try:
+                with self.metrics.timed("search_prep"):
+                    indices = list(self.indices)
+                    masks = [
+                        self._filter_mask(shard, filter_metadata)
+                        if use_pre else None
+                        for shard in range(len(indices))
+                    ]
+                    id_tables = [
+                        self._ids_for(s) for s in range(len(indices))
+                    ]
+                    epoch = self._epoch
+                if not hold_lock:
+                    self._lock.release()
+                    held = False
+                per_shard = [
+                    index.search(queries, fetch_k, slot_mask=masks[shard])
+                    for shard, index in enumerate(indices)
+                ]
+                if hold_lock or self._epoch == epoch:
+                    break
+            finally:
+                if held:
+                    self._lock.release()
 
         with self.metrics.timed("search_batch" if b > 1 else "search"):
-            per_shard = [
-                index.search(queries, fetch_k, slot_mask=masks[shard])
-                for shard, index in enumerate(indices)
-            ]
 
             n_shards = len(per_shard)
             all_scores = np.concatenate([s for s, _ in per_shard], axis=1)
@@ -374,6 +398,7 @@ class VectorStore:
     def _invalidate_snapshots(self) -> None:
         """Drop cached id tables + filter masks; call on any mutation
         that changes slots, registry contents, or metadata."""
+        self._epoch += 1
         self._slot_ids_cache = [None] * len(self.indices)
         self._mask_cache.clear()
 
