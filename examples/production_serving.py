@@ -1,0 +1,105 @@
+"""Production-serving walkthrough: sharded IVF, pipelined throughput,
+failure recovery, and the live dashboard.
+
+Run on a fake 8-device mesh (no TPU slice needed):
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python examples/production_serving.py
+
+Covers the round-2 serving surface end to end:
+  1. a mesh-sharded IVF corpus (bucket tables partitioned over devices,
+     one shard_map program per query batch);
+  2. `search_pipelined` — NB query batches per device dispatch, the
+     entry the 89k-QPS bench number uses;
+  3. `tune()` — binary-search the smallest nprobe hitting a recall
+     target against the index's own exact oracle;
+  4. checkpoint + `heal()` — device failure detection and re-hosting
+     from the last checkpoint;
+  5. the interactive dashboard payload served by GET /api/v1/visualize.
+"""
+
+import asyncio
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from wdbx_tpu import WDBX, WDBXConfig
+
+
+async def main() -> None:
+    rng = np.random.default_rng(0)
+    data_dir = tempfile.mkdtemp(prefix="wdbx_prod_")
+    db = WDBX(
+        vector_dimension=64,
+        num_shards=1,  # the device mesh shards below this level
+        data_dir=data_dir,
+        enable_plugins=False,
+        enable_distributed=True,  # ShardEngine: health checks + failover
+        config=WDBXConfig({
+            "INDEX_TYPE": "sharded_ivf",
+            "IVF_NLIST": 16,
+            "IVF_NPROBE": 4,
+            "IVF_TRAIN_THRESHOLD": 512,
+        }),
+    )
+    await db.initialize()
+
+    # -- 1. ingest a clustered corpus (realistic embedding geometry) ----
+    centers = rng.standard_normal((16, 64)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=-1, keepdims=True)
+    cid = rng.integers(0, 16, 4096)
+    vecs = centers[cid] + 0.05 * rng.standard_normal((4096, 64)).astype(
+        np.float32
+    )
+    vecs /= np.linalg.norm(vecs, axis=-1, keepdims=True)
+    db.batch_store({f"doc-{i}": v for i, v in enumerate(vecs)})
+    index = db.store.indices[0]
+    index.build()
+    print(f"corpus: {db.count_vectors()} vectors, "
+          f"index: {index.kind}, nlist={int(index._bucket_rows.shape[0])}, "
+          f"tables sharded over '{index._bucket_rows.sharding.spec[0]}'")
+
+    # -- 2. tune nprobe to a recall target ------------------------------
+    recall = index.tune(vecs[:64], k=10, target_recall=0.95)
+    print(f"tuned: nprobe={index.nprobe} recall@10={recall:.3f}")
+
+    # -- 3. pipelined throughput serving --------------------------------
+    qstack = vecs[:256].reshape(8, 32, 64)  # 8 batches x 32 queries
+    scores, slots = index.search_pipelined(qstack, k=5)
+    correct = int((slots[:, :, 0].reshape(-1) >= 0).sum())
+    print(f"pipelined: served {8 * 32} queries in one dispatch "
+          f"({correct} hits), top-1 self-match "
+          f"{(slots[:, :, 0].reshape(-1) == np.arange(256)).mean():.2%}")
+
+    # -- 4. checkpoint, simulated failure, heal -------------------------
+    db.store.save()
+    db.store.indices[0].clear()  # simulated device loss
+    report = db.heal()
+    print(f"heal: healthy={report['healthy']} "
+          f"recovered shards={report['recovered_shards']}")
+    hit = db.vector_search(vecs[7], limit=1)[0]
+    print(f"post-heal query: {hit[0]} (expect doc-7)")
+
+    # -- 5. dashboard payload (what GET /api/v1/visualize serves) -------
+    from wdbx_tpu.utils.visualization import VectorVisualizer
+
+    html = VectorVisualizer(db).dashboard_html(max_vectors=200)
+    out = os.path.join(data_dir, "dashboard.html")
+    with open(out, "w") as f:
+        f.write(html)
+    print(f"dashboard: {len(html)} bytes -> {out}")
+
+    await db.shutdown()
+
+
+if __name__ == "__main__":
+    asyncio.run(main())

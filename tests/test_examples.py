@@ -49,3 +49,14 @@ class TestExamples:
         assert result.returncode == 0, result.stderr[-2000:]
         assert "batch stored 500" in result.stdout
         assert "self-hit rate 1.00" in result.stdout
+
+
+def test_production_serving_runs(tmp_path, monkeypatch):
+    src = _FORCE_CPU + open("examples/production_serving.py").read()
+    path = tmp_path / "prod.py"
+    path.write_text(src)
+    import runpy
+    import sys
+
+    monkeypatch.setattr(sys, "argv", ["prod.py"])
+    runpy.run_path(str(path), run_name="__main__")

@@ -197,31 +197,32 @@ class WDBX:
         its last checkpoint (consuming the ShardEngine's replica plan).
         Replaces the reference's dead socket-failover paths (reference
         wdbx/core/distributed.py:698-834) with verify->recover."""
-        if self.shard_engine is None:
-            report = self.store.verify()
-            recovered = []
-            for entry in report["shards"]:
-                if not entry["ok"]:
-                    self.store.recover(entry["shard"])
+        # Layer 1: bookkeeping integrity — registry/index divergence
+        # (state corruption with healthy devices) recovers per shard.
+        integrity = self.store.verify()
+        recovered = []
+        for entry in integrity["shards"]:
+            if not entry["ok"]:
+                if self.store.recover(entry["shard"]):
                     recovered.append(entry["shard"])
-            report["recovered_shards"] = recovered
-            return report
+        if self.shard_engine is None:
+            integrity["recovered_shards"] = recovered
+            return integrity
+        # Layer 2: device liveness — any dead mesh device can hold rows
+        # of EVERY store shard (slabs stripe over the whole mesh), so a
+        # non-empty plan re-hosts all shards from their checkpoints. The
+        # plan keys are mesh devices (operator metadata), NOT store
+        # shards.
         health = self.shard_engine.health_check()
         plan = self.shard_engine.plan_recovery(health)
-        recovered = []
         if plan:
-            # The plan keys are MESH DEVICES; store shards are hash
-            # shards whose slabs stripe over the whole mesh (or sit on
-            # device 0 for single-device indexes) — any dead device can
-            # therefore hold rows of every store shard. Re-host them all
-            # from their last checkpoints; the plan itself is the
-            # device-level re-targeting metadata for the operator.
             for shard in range(len(self.store.indices)):
-                if self.store.recover(shard):
+                if shard not in recovered and self.store.recover(shard):
                     recovered.append(shard)
         return {
-            "healthy": health["healthy"],
+            "healthy": health["healthy"] and integrity["consistent"],
             "devices": health["devices"],
+            "integrity": integrity["shards"],
             "device_plan": {str(s): t for s, t in plan.items()},
             "recovered_shards": recovered,
         }

@@ -147,8 +147,13 @@ def _kernel_int8(q_ref, db_ref, valid_ref, scales_ref, out_v_ref, out_i_ref,
 def _default_group(n: int, block_n: int, k: int) -> int:
     """Grouped pre-reduction kicks in only when the corpus has enough
     tiles that per-group collisions are negligible (expected recall@10
-    >= 0.999 at 64+ tiles); small slabs keep the exact fold."""
-    return 128 if (n // block_n) >= 64 and block_n >= 256 else 0
+    >= 0.999 at 64+ tiles) AND k is small next to the group width (at
+    most one candidate survives per group per tile, so k approaching
+    128 would starve the fold); small slabs and big k keep the exact
+    fold."""
+    if (n // block_n) >= 64 and block_n >= 256 and k <= 32:
+        return 128
+    return 0
 
 
 def _pallas_topk(db, queries, valid_i8, scales, k, block_n, interpret,
