@@ -268,3 +268,46 @@ def test_dimension_mismatch_refuses_to_load(temp_dir):
     s.save()
     with pytest.raises(ValueError, match="different-dimension"):
         VectorStore(WDBXConfig({"VECTOR_DIMENSION": 8, "DATA_DIR": temp_dir}))
+
+
+def test_int8_store_reranks_with_f32(temp_dir, rng):
+    """Quantized slab ranks candidates; the store re-scores the top set
+    against the kept raw f32 vectors (SURVEY §7 recall protection)."""
+    from wdbx_tpu.core.config import WDBXConfig
+    from wdbx_tpu.store.vector_store import VectorStore
+
+    store = VectorStore(WDBXConfig({
+        "VECTOR_DIMENSION": 32, "DATA_DIR": temp_dir,
+        "INDEX_DTYPE": "int8", "VECTOR_STORE_AUTOSAVE_INTERVAL": 0,
+    }))
+    assert store._rerank_enabled()
+    vecs = rng.standard_normal((300, 32)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=-1, keepdims=True)
+    store.batch_store({f"v{i}": v for i, v in enumerate(vecs)})
+    hits = store.search(vecs[7], limit=5)
+    assert hits[0][0] == "v7"
+    # re-ranked similarity is exact f32 (int8 scores carry ~1% error)
+    assert abs(hits[0][1] - 1.0) < 1e-5
+    # RERANK=False keeps quantized scores
+    store.rerank = False
+    hits2 = store.search(vecs[7], limit=5)
+    assert hits2[0][0] == "v7"
+
+
+def test_local_embeddings_plugin(temp_dir, rng):
+    """Demo-mode local embedder: deterministic, unit-norm, chain-ready."""
+    import asyncio
+
+    from wdbx_tpu import WDBX
+    from wdbx_tpu.plugins.local_embeddings import LocalEmbeddingsPlugin
+
+    db = WDBX(vector_dimension=16, data_dir=temp_dir, enable_plugins=False)
+    plugin = LocalEmbeddingsPlugin(db)
+    assert plugin._demo()
+    e1 = asyncio.run(plugin.create_embedding("hello"))
+    e2 = asyncio.run(plugin.create_embedding("hello"))
+    e3 = asyncio.run(plugin.create_embedding("world"))
+    assert e1 == e2 and e1 != e3 and len(e1) == 16
+    assert abs(np.linalg.norm(e1) - 1.0) < 1e-5
+    batch = asyncio.run(plugin.create_embeddings_batch(["hello", "world"]))
+    assert batch[0] == e1 and batch[1] == e3

@@ -20,7 +20,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "WDBX", "WDBXConfig", "VectorStore", "FlatIndex", "IVFIndex",
-    "ShardedFlatIndex", "__version__",
+    "ShardedFlatIndex", "ShardedIVFIndex", "__version__",
 ]
 
 _LAZY = {
@@ -30,6 +30,7 @@ _LAZY = {
     "FlatIndex": ("wdbx_tpu.index.flat", "FlatIndex"),
     "IVFIndex": ("wdbx_tpu.index.ivf", "IVFIndex"),
     "ShardedFlatIndex": ("wdbx_tpu.parallel.sharded_flat", "ShardedFlatIndex"),
+    "ShardedIVFIndex": ("wdbx_tpu.parallel.sharded_ivf", "ShardedIVFIndex"),
 }
 
 

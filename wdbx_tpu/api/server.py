@@ -125,7 +125,10 @@ class WDBXAPIServer:
         if request.method == "OPTIONS":
             return await handler(request)  # preflight is unauthenticated
         if self.api_key and request.path != "/api/v1/health":
-            if request.headers.get("X-API-Key") != self.api_key:
+            import hmac
+
+            supplied = request.headers.get("X-API-Key", "")
+            if not hmac.compare_digest(supplied, self.api_key):
                 return _json_error(401, "Invalid or missing API key")
         try:
             response = await handler(request)

@@ -9,8 +9,12 @@ scatter-gather top-k merge is an XLA all-gather over ICI inside one
 compiled program (SURVEY.md §2.9's mapping table).
 """
 
-from wdbx_tpu.parallel.mesh import make_mesh
-from wdbx_tpu.parallel.sharded_flat import ShardedFlatIndex
+from wdbx_tpu.parallel.mesh import make_mesh, make_mesh2
 from wdbx_tpu.parallel.shard_engine import ShardEngine
+from wdbx_tpu.parallel.sharded_flat import ShardedFlatIndex
+from wdbx_tpu.parallel.sharded_ivf import ShardedIVFIndex
 
-__all__ = ["make_mesh", "ShardedFlatIndex", "ShardEngine"]
+__all__ = [
+    "make_mesh", "make_mesh2", "ShardedFlatIndex", "ShardedIVFIndex",
+    "ShardEngine",
+]

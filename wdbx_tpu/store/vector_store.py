@@ -65,6 +65,10 @@ class VectorStore:
             config.get("VECTOR_STORE_SAVE_IMMEDIATELY", False)
         )
         self.filter_mode = str(config.get("FILTER_MODE", "auto"))
+        #: f32 re-rank of top candidates (SURVEY §7: protects recall when
+        #: the slab is quantized): "auto" = on for int8 indexes when raw
+        #: vectors are kept; True/False force it.
+        self.rerank = config.get("RERANK", "auto")
 
         self.metadata: dict[str, dict[str, Any]] = {}
         self.raw_vectors: dict[str, np.ndarray] = {}
@@ -269,6 +273,9 @@ class VectorStore:
         b = len(queries)
         use_pre = self._use_prefilter(filter_metadata)
         fetch_k = limit if (use_pre or not filter_metadata) else max(limit * 4, 50)
+        rerank = self._rerank_enabled()
+        if rerank:
+            fetch_k = max(fetch_k, limit * 2)  # headroom for re-ordering
 
         # Epoch-validated optimistic concurrency: device searches run
         # lock-free, but a mutation between the id-table snapshot and
@@ -328,6 +335,42 @@ class VectorStore:
                 sel &= all_slots < len(table)
                 if sel.any():
                     ids[sel] = table[all_slots[sel]]
+            if rerank:
+                # Exact f32 re-scoring of the candidate set from the raw
+                # vectors (the quantized slab ranked them; tiny host
+                # matmuls fix the ranking): SURVEY §7's int8 recall
+                # protection.
+                metric = getattr(self.indices[0], "metric", "cosine")
+                qn = queries
+                if metric == "cosine":
+                    qn = queries / np.maximum(
+                        np.linalg.norm(queries, axis=-1, keepdims=True),
+                        1e-12,
+                    )
+                for qi in range(b):
+                    cis, rows = [], []
+                    for ci in range(ids.shape[1]):
+                        vid = ids[qi, ci]
+                        if vid is None:
+                            continue
+                        raw = self.raw_vectors.get(vid)
+                        if raw is None:
+                            continue
+                        cis.append(ci)
+                        rows.append(raw)
+                    if not cis:
+                        continue
+                    mat = np.stack(rows).astype(np.float32)
+                    if metric == "cosine":
+                        mat = mat / np.maximum(
+                            np.linalg.norm(mat, axis=-1, keepdims=True),
+                            1e-12,
+                        )
+                    all_scores[qi, cis] = mat @ qn[qi]
+                order = np.argsort(-all_scores, axis=1, kind="stable")
+                all_scores = np.take_along_axis(all_scores, order, axis=1)
+                ids = np.take_along_axis(ids, order, axis=1)
+
             keep = np.isfinite(all_scores)
             if threshold is not None:
                 keep &= all_scores >= threshold
@@ -401,6 +444,16 @@ class VectorStore:
         self._epoch += 1
         self._slot_ids_cache = [None] * len(self.indices)
         self._mask_cache.clear()
+
+    def _rerank_enabled(self) -> bool:
+        if self.rerank in (True, False):
+            return bool(self.rerank)
+        if not self.keep_raw:
+            return False
+        return any(
+            getattr(index, "dtype_name", "") == "int8"
+            for index in self.indices
+        )
 
     def _use_prefilter(self, flt: dict[str, Any] | None) -> bool:
         if not flt:
