@@ -60,6 +60,7 @@ class WDBXCLI:
             ("serve", self._cmd_serve, "Start the REST API server"),
             ("import", self._cmd_import, "Bulk-load vectors from CSV/JSONL"),
             ("optimize", self._cmd_optimize, "Compact and retrain indexes"),
+            ("heal", self._cmd_heal, "Detect failures and recover shards"),
             ("exit", self._cmd_exit, "Exit interactive mode"),
         ]
         for name, handler, desc in b:
@@ -302,6 +303,13 @@ class WDBXCLI:
     async def _cmd_optimize(self, args: list[str]) -> None:
         await self.wdbx.optimize_async()
         print("optimized")
+
+    async def _cmd_heal(self, args: list[str]) -> None:
+        import asyncio
+        import json as _json
+
+        report = await asyncio.to_thread(self.wdbx.heal)
+        print(_json.dumps(report, indent=2, default=str))
 
     def _cmd_exit(self, args: list[str]) -> None:
         self.running = False

@@ -302,10 +302,25 @@ class VectorStore:
                 if not hold_lock:
                     self._lock.release()
                     held = False
-                per_shard = [
-                    index.search(queries, fetch_k, slot_mask=masks[shard])
-                    for shard, index in enumerate(indices)
-                ]
+                if len(indices) > 1:
+                    # fan shards out on threads: each search holds only
+                    # its index's read lock, so dispatch+transfer round
+                    # trips overlap across shards
+                    import concurrent.futures as cf
+
+                    with cf.ThreadPoolExecutor(len(indices)) as pool:
+                        per_shard = list(pool.map(
+                            lambda si: si[1].search(
+                                queries, fetch_k, slot_mask=masks[si[0]]
+                            ),
+                            enumerate(indices),
+                        ))
+                else:
+                    per_shard = [
+                        indices[0].search(
+                            queries, fetch_k, slot_mask=masks[0]
+                        )
+                    ]
                 if hold_lock or self._epoch == epoch:
                     break
             finally:
