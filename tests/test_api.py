@@ -260,3 +260,19 @@ class TestVisualize:
         resp = await client.get("/api/v1/visualize?format=bogus")
         assert resp.status in (400, 404)
         await client.close()
+
+
+class TestWarmup:
+    async def test_warmup_traces_batch_widths(self, temp_dir):
+        client, db = await make_client(temp_dir)
+        rng = np.random.default_rng(0)
+        for i in range(20):
+            db.vector_store(rng.standard_normal(4).tolist(), id=f"w{i}")
+        server = WDBXAPIServer(db)
+        n = await server.warmup()
+        assert n == 8  # 1,2,4,...,128
+        # empty store short-circuits
+        db2 = WDBX(vector_dimension=4, data_dir=temp_dir + "/e",
+                   enable_plugins=False)
+        assert await WDBXAPIServer(db2).warmup() == 0
+        await client.close()
