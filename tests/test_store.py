@@ -244,7 +244,12 @@ class TestVerifyRecover:
         hits = store.search(vecs["v5"], limit=1)
         assert hits[0][0] == "v5"
 
-    def test_recover_without_checkpoint_clears(self, temp_dir, rng):
+    def test_recover_without_checkpoint_preserves_live_state(
+        self, temp_dir, rng
+    ):
+        """recover() with no checkpoint must NOT wipe live in-memory
+        rows (a flapping health check is not data loss); clearing is
+        opt-in for callers that know the state is corrupt."""
         store = make_store(temp_dir, dim=8, shards=1)
         store.store("a", rng.standard_normal(8).astype(np.float32))
         import shutil
@@ -254,7 +259,9 @@ class TestVerifyRecover:
 
         os.makedirs(f"{temp_dir}/indices")
         assert not store.recover(0)
-        assert store.count() == 0
+        assert store.count() == 1  # live row untouched
+        assert not store.recover(0, clear_on_failure=True)
+        assert store.count() == 0  # explicit clear
 
 
 def test_dimension_mismatch_refuses_to_load(temp_dir):
@@ -302,6 +309,7 @@ def test_local_embeddings_plugin(temp_dir, rng):
     from wdbx_tpu.plugins.local_embeddings import LocalEmbeddingsPlugin
 
     db = WDBX(vector_dimension=16, data_dir=temp_dir, enable_plugins=False)
+    db.config.set("SENTENCETRANSFORMERS_DEMO", True)  # demo is opt-in
     plugin = LocalEmbeddingsPlugin(db)
     assert plugin._demo()
     e1 = asyncio.run(plugin.create_embedding("hello"))
@@ -311,3 +319,10 @@ def test_local_embeddings_plugin(temp_dir, rng):
     assert abs(np.linalg.norm(e1) - 1.0) < 1e-5
     batch = asyncio.run(plugin.create_embeddings_batch(["hello", "world"]))
     assert batch[0] == e1 and batch[1] == e3
+    # without the demo flag or a model path, the plugin refuses loudly
+    db.config.set("SENTENCETRANSFORMERS_DEMO", False)
+    strict = LocalEmbeddingsPlugin(db)
+    from wdbx_tpu.plugins import PluginError
+
+    with pytest.raises(PluginError, match="no local model configured"):
+        asyncio.run(strict.create_embedding("x"))

@@ -127,8 +127,14 @@ class WDBXAPIServer:
         if self.api_key and request.path != "/api/v1/health":
             import hmac
 
-            supplied = request.headers.get("X-API-Key", "")
-            if not hmac.compare_digest(supplied, self.api_key):
+            # bytes on both sides: compare_digest raises TypeError on
+            # non-ASCII str input (remote-triggerable 500), and env
+            # config may type-infer the key to an int
+            supplied = request.headers.get("X-API-Key", "").encode(
+                "utf-8", "surrogateescape"
+            )
+            expected = str(self.api_key).encode("utf-8")
+            if not hmac.compare_digest(supplied, expected):
                 return _json_error(401, "Invalid or missing API key")
         try:
             response = await handler(request)
@@ -383,13 +389,15 @@ class WDBXAPIServer:
         return len(widths)
 
     async def start(self) -> None:
+        # warm BEFORE the socket opens: a load balancer health-checking
+        # the port must not mark the instance ready mid-compile-sweep
+        if self.wdbx.config.get("API_WARMUP", False):
+            await self.warmup()
         self._runner = web.AppRunner(self.app)
         await self._runner.setup()
         site = web.TCPSite(self._runner, self.host, self.port)
         await site.start()
         logger.info("API server listening on %s:%d", self.host, self.port)
-        if self.wdbx.config.get("API_WARMUP", False):
-            await self.warmup()
 
     async def stop(self) -> None:
         if self._runner is not None:

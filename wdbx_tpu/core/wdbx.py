@@ -201,12 +201,18 @@ class WDBX:
         # (state corruption with healthy devices) recovers per shard.
         integrity = self.store.verify()
         recovered = []
+        unrecovered = []
         for entry in integrity["shards"]:
             if not entry["ok"]:
-                if self.store.recover(entry["shard"]):
+                # state is already inconsistent: clearing on a failed
+                # restore is acceptable (consistent-but-empty beats torn)
+                if self.store.recover(entry["shard"], clear_on_failure=True):
                     recovered.append(entry["shard"])
+                else:
+                    unrecovered.append(entry["shard"])
         if self.shard_engine is None:
             integrity["recovered_shards"] = recovered
+            integrity["unrecovered_shards"] = unrecovered
             return integrity
         # Layer 2: device liveness — any dead mesh device can hold rows
         # of EVERY store shard (slabs stripe over the whole mesh), so a
@@ -217,14 +223,21 @@ class WDBX:
         plan = self.shard_engine.plan_recovery(health)
         if plan:
             for shard in range(len(self.store.indices)):
-                if shard not in recovered and self.store.recover(shard):
+                if shard in recovered:
+                    continue
+                # a flapping device must never wipe live unsaved rows:
+                # restore only when a checkpoint actually loads
+                if self.store.recover(shard, clear_on_failure=False):
                     recovered.append(shard)
+                else:
+                    unrecovered.append(shard)
         return {
             "healthy": health["healthy"] and integrity["consistent"],
             "devices": health["devices"],
             "integrity": integrity["shards"],
             "device_plan": {str(s): t for s, t in plan.items()},
             "recovered_shards": recovered,
+            "unrecovered_shards": unrecovered,
         }
 
     # -- data surface (async) ------------------------------------------------

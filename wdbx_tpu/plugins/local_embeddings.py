@@ -5,12 +5,16 @@ Fills the "sentencetransformers" slot of the embedding fallback chain
 reference delegates to a local SentenceTransformer at
 wdbx/plugins/webscraper.py:437-467 and social_media.py:1113-1161). Uses
 plain ``transformers`` + CPU torch (both in this image) against a LOCAL
-model directory — no downloads. Without a configured model the plugin
-serves deterministic hash-based demo embeddings, keeping the chain
-testable offline (the demo-mode ethos of the social plugin).
+model directory — no downloads. With SENTENCETRANSFORMERS_DEMO=true it
+serves deterministic hash-based demo embeddings instead, keeping the
+chain testable offline (the demo-mode ethos of the social plugin).
 
 Config: SENTENCETRANSFORMERS_MODEL_PATH (local dir with a tokenizer +
-model), SENTENCETRANSFORMERS_DIM (demo dimension, default = store dim).
+model), SENTENCETRANSFORMERS_DEMO=true to opt into hash-based demo
+embeddings (OFF by default: silently serving random vectors would
+corrupt ingested corpora — without a model or the demo flag the plugin
+raises, letting the API fall through to 501),
+SENTENCETRANSFORMERS_DIM (demo dimension, default = store dim).
 """
 
 from __future__ import annotations
@@ -43,6 +47,7 @@ class LocalEmbeddingsPlugin(WDBXPlugin):
     def __init__(self, wdbx):
         super().__init__(wdbx)
         self.model_path = self.get_config("MODEL_PATH", None)
+        self.demo = bool(self.get_config("DEMO", False))
         self.dim = int(
             self.get_config("DIM", getattr(wdbx, "vector_dim", 384))
         )
@@ -50,7 +55,7 @@ class LocalEmbeddingsPlugin(WDBXPlugin):
         self._tokenizer = None
 
     def _demo(self) -> bool:
-        return not self.model_path
+        return self.demo and not self.model_path
 
     def _load_model(self):
         if self._model is not None:
@@ -102,7 +107,16 @@ class LocalEmbeddingsPlugin(WDBXPlugin):
         v = rng.standard_normal(self.dim).astype(np.float32)
         return (v / np.linalg.norm(v)).tolist()
 
+    def _require_configured(self) -> None:
+        if not self.model_path and not self.demo:
+            raise PluginError(
+                "no local model configured: set "
+                "WDBX_SENTENCETRANSFORMERS_MODEL_PATH (or opt into demo "
+                "embeddings with WDBX_SENTENCETRANSFORMERS_DEMO=true)"
+            )
+
     async def create_embedding(self, text: str) -> list[float]:
+        self._require_configured()
         if self._demo():
             return self._embed_demo(text)
         return (await asyncio.to_thread(self._embed_real, [text]))[0]
@@ -110,6 +124,7 @@ class LocalEmbeddingsPlugin(WDBXPlugin):
     async def create_embeddings_batch(
         self, texts: list[str]
     ) -> list[list[float]]:
+        self._require_configured()
         if self._demo():
             return [self._embed_demo(t) for t in texts]
         return await asyncio.to_thread(self._embed_real, list(texts))

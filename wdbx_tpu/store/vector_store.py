@@ -79,6 +79,7 @@ class VectorStore:
         self._mutations_since_save = 0
         self._lock = threading.RLock()
         self._epoch = 0  # bumps on every mutation (optimistic searches)
+        self._fanout_pool = None  # persistent multi-shard search executor
         self.metrics = LatencyRecorder()
         # Search-path snapshots, invalidated on mutation: per-shard
         # slot->id object tables and pre-filter mask cache.
@@ -305,16 +306,21 @@ class VectorStore:
                 if len(indices) > 1:
                     # fan shards out on threads: each search holds only
                     # its index's read lock, so dispatch+transfer round
-                    # trips overlap across shards
-                    import concurrent.futures as cf
+                    # trips overlap across shards (persistent pool —
+                    # per-call thread churn would tax the hot path)
+                    if self._fanout_pool is None:
+                        import concurrent.futures as cf
 
-                    with cf.ThreadPoolExecutor(len(indices)) as pool:
-                        per_shard = list(pool.map(
-                            lambda si: si[1].search(
-                                queries, fetch_k, slot_mask=masks[si[0]]
-                            ),
-                            enumerate(indices),
-                        ))
+                        self._fanout_pool = cf.ThreadPoolExecutor(
+                            max_workers=len(indices),
+                            thread_name_prefix="wdbx-fanout",
+                        )
+                    per_shard = list(self._fanout_pool.map(
+                        lambda si: si[1].search(
+                            queries, fetch_k, slot_mask=masks[si[0]]
+                        ),
+                        enumerate(indices),
+                    ))
                 else:
                     per_shard = [
                         indices[0].search(
@@ -352,9 +358,11 @@ class VectorStore:
                     ids[sel] = table[all_slots[sel]]
             if rerank:
                 # Exact f32 re-scoring of the candidate set from the raw
-                # vectors (the quantized slab ranked them; tiny host
-                # matmuls fix the ranking): SURVEY §7's int8 recall
-                # protection.
+                # vectors (the quantized slab ranked them; one host
+                # matmul fixes the ranking): SURVEY §7's int8 recall
+                # protection. Vectorized: candidates dedup to unique ids
+                # (one dict lookup each), one (U, d) @ (d, B) matmul, and
+                # fancy-index assignment — no per-candidate Python loop.
                 metric = getattr(self.indices[0], "metric", "cosine")
                 qn = queries
                 if metric == "cosine":
@@ -362,26 +370,36 @@ class VectorStore:
                         np.linalg.norm(queries, axis=-1, keepdims=True),
                         1e-12,
                     )
-                for qi in range(b):
-                    cis, rows = [], []
-                    for ci in range(ids.shape[1]):
-                        vid = ids[qi, ci]
-                        if vid is None:
-                            continue
-                        raw = self.raw_vectors.get(vid)
-                        if raw is None:
-                            continue
-                        cis.append(ci)
-                        rows.append(raw)
-                    if not cis:
-                        continue
-                    mat = np.stack(rows).astype(np.float32)
-                    if metric == "cosine":
-                        mat = mat / np.maximum(
-                            np.linalg.norm(mat, axis=-1, keepdims=True),
-                            1e-12,
-                        )
-                    all_scores[qi, cis] = mat @ qn[qi]
+                present = np.frompyfunc(lambda v: v is not None, 1, 1)(
+                    ids
+                ).astype(bool)
+                if present.any():
+                    uniq, inv = np.unique(
+                        ids[present].astype(str), return_inverse=True
+                    )
+                    rows = [self.raw_vectors.get(u) for u in uniq]
+                    have = np.array([r is not None for r in rows])
+                    if have.any():
+                        mat = np.stack(
+                            [r for r in rows if r is not None]
+                        ).astype(np.float32)
+                        if metric == "cosine":
+                            mat = mat / np.maximum(
+                                np.linalg.norm(
+                                    mat, axis=-1, keepdims=True
+                                ),
+                                1e-12,
+                            )
+                        scores_u = mat @ qn.T  # (U_have, B)
+                        # map unique-id index -> row in scores_u (-1 absent)
+                        row_of = np.full(len(uniq), -1, np.int64)
+                        row_of[have] = np.arange(int(have.sum()))
+                        qi_idx, ci_idx = np.nonzero(present)
+                        src = row_of[inv]
+                        ok = src >= 0
+                        all_scores[qi_idx[ok], ci_idx[ok]] = scores_u[
+                            src[ok], qi_idx[ok]
+                        ]
                 order = np.argsort(-all_scores, axis=1, kind="stable")
                 all_scores = np.take_along_axis(all_scores, order, axis=1)
                 ids = np.take_along_axis(ids, order, axis=1)
@@ -557,9 +575,13 @@ class VectorStore:
             report["orphan_metadata"] = len(meta_only)
         return report
 
-    def recover(self, shard: int) -> bool:
+    def recover(self, shard: int, clear_on_failure: bool = False) -> bool:
         """Rebuild one shard from its last checkpoint on disk. Returns
-        False if no usable checkpoint exists (shard is then cleared)."""
+        False when no usable checkpoint exists — in-memory state is left
+        UNTOUCHED unless ``clear_on_failure`` is set (a flapping health
+        check must never wipe live rows that were simply not yet saved;
+        clearing is only for callers that know the state is already
+        corrupt)."""
         with self._lock:
             index = self.indices[shard]
             try:
@@ -575,9 +597,10 @@ class VectorStore:
                     return True
             except (ValueError, OSError, KeyError) as e:
                 logger.warning("recover(%d) failed: %s", shard, e)
-            index.clear()
-            self.registries[shard] = SlotRegistry()
-            self._invalidate_snapshots()
+            if clear_on_failure:
+                index.clear()
+                self.registries[shard] = SlotRegistry()
+                self._invalidate_snapshots()
             return False
 
     # -- persistence ------------------------------------------------------
