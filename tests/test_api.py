@@ -276,3 +276,31 @@ class TestWarmup:
                    enable_plugins=False)
         assert await WDBXAPIServer(db2).warmup() == 0
         await client.close()
+
+
+class TestOpsRoutes:
+    async def test_metrics_prometheus_format(self, temp_dir):
+        client, db = await make_client(temp_dir)
+        db.vector_store([1, 0, 0, 0], id="m1")
+        await client.post(
+            "/api/v1/vectors/search",
+            json={"query_vector": [1, 0, 0, 0], "limit": 1},
+        )
+        resp = await client.get("/api/v1/metrics")
+        assert resp.status == 200
+        text = await resp.text()
+        assert "wdbx_vector_count 1" in text
+        assert 'wdbx_op_latency_ms{op="' in text
+        assert "wdbx_batcher_requests" in text
+        await client.close()
+
+    async def test_save_route_checkpoints(self, temp_dir):
+        client, db = await make_client(temp_dir)
+        db.vector_store([0, 1, 0, 0], id="s1")
+        resp = await client.post("/api/v1/save")
+        assert (await resp.json())["saved"]
+        # a fresh instance sees the checkpoint
+        db2 = WDBX(vector_dimension=4, num_shards=2, data_dir=temp_dir,
+                   enable_plugins=False)
+        assert db2.get_vector("s1") is not None
+        await client.close()

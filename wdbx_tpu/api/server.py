@@ -92,6 +92,8 @@ class WDBXAPIServer:
         r.add_get(f"{p}/plugins", self.list_plugins)
         r.add_get(f"{p}/plugins/{{plugin_name}}", self.get_plugin_info)
         r.add_get(f"{p}/visualize", self.visualize)
+        r.add_get(f"{p}/metrics", self.metrics)
+        r.add_post(f"{p}/save", self.save_checkpoint)
         if self.cors_origins:
             # Browser preflight: aiohttp 405s unrouted OPTIONS, which
             # breaks clients sending X-API-Key or using PUT/DELETE.
@@ -323,6 +325,37 @@ class WDBXAPIServer:
                 "stats": plugin.get_stats(),
             }
         )
+
+    async def metrics(self, request: web.Request) -> web.Response:
+        """Prometheus text-format metrics: per-op latency percentiles,
+        counts, corpus size, and batcher coalescing stats — the pull
+        endpoint a production scrape loop needs (the JSON equivalent
+        lives in GET /stats)."""
+        lines = [
+            "# TYPE wdbx_vector_count gauge",
+            f"wdbx_vector_count {self.wdbx.count_vectors()}",
+        ]
+        for op, st in self.wdbx.store.metrics.summary().items():
+            safe = op.replace("-", "_")
+            lines.append(f'wdbx_op_count{{op="{safe}"}} {st["count"]}')
+            for q in ("p50_ms", "p95_ms", "p99_ms", "mean_ms"):
+                lines.append(
+                    f'wdbx_op_latency_ms{{op="{safe}",stat="{q[:-3]}"}} '
+                    f'{st[q]}'
+                )
+        if self.batcher is not None:
+            for key, val in self.batcher.stats.items():
+                lines.append(f"wdbx_batcher_{key} {val}")
+        return web.Response(
+            text="\n".join(lines) + "\n",
+            content_type="text/plain",
+        )
+
+    async def save_checkpoint(self, request: web.Request) -> web.Response:
+        """Trigger a full checkpoint (ops endpoint; heal() restores from
+        the latest one)."""
+        await asyncio.to_thread(self.wdbx.store.save)
+        return web.json_response({"saved": True})
 
     async def visualize(self, request: web.Request) -> web.Response:
         """Live dashboard / plot data from current store contents.
