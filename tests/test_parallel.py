@@ -421,3 +421,20 @@ def test_sharded_ivf_int8_tables(rng):
     qs = vecs[:16].reshape(2, 8, 32)
     _, got3 = idx.search_pipelined(qs, k=1)
     np.testing.assert_array_equal(got3.reshape(-1), slots[:16])
+
+
+def test_sharded_fused_kernel_path(rng):
+    """The fused Pallas kernel runs per shard INSIDE shard_map (the
+    multi-chip roofline path); exercised in interpret mode on the CPU
+    mesh with int8 scales."""
+    from wdbx_tpu.parallel import ShardedFlatIndex
+
+    for dtype in ("bfloat16", "int8"):
+        idx = ShardedFlatIndex(dim=32, dtype=dtype, capacity=2048)
+        idx.topk_method = "fused"
+        vecs = _normed(rng, 600, 32)
+        slots = idx.add_batch(vecs)
+        idx.remove_slots(slots[:5])
+        _, got = idx.search(vecs[5:13], k=3)
+        np.testing.assert_array_equal(got[:, 0], slots[5:13])
+        assert slots[0] not in got.flatten()

@@ -33,37 +33,57 @@ from wdbx_tpu.ops.normalize import l2_normalize
 
 def _build_search(mesh: Mesh, axis: str, k: int, precision: str, int8: bool,
                   method: str = "exact", normalize: bool = False,
-                  replica_axis: str | None = None):
+                  replica_axis: str | None = None,
+                  interpret: bool = False):
     def local(slab_l, valid_l, scales_l, q):
         n_dev = jax.lax.axis_size(axis)
         rows = slab_l.shape[1]
+        k_local = min(k, rows)
         if normalize:  # folded in: saves one dispatch round trip per call
             q = l2_normalize(q)
-        # Contract against the 3D slab directly — slicing slab_l[0] first
-        # makes XLA materialize a full copy of the local slab per query
-        # batch (measured 20x slowdown at 10M x 768).
-        if int8:
-            qq = q.astype(jnp.bfloat16)
-            slab_t = slab_l.astype(jnp.bfloat16)
+        if method == "fused" and rows % 256 == 0:
+            # The roofline kernel runs per device inside shard_map
+            # (Pallas composes with shard_map): the local (rows, d)
+            # block streams through VMEM with the grouped fold — no
+            # (B, rows) score matrix in HBM on ANY chip. Inside
+            # shard_map the [0] reshape is local, not a GSPMD slice.
+            from wdbx_tpu.kernels.fused_topk import fused_topk_search
+
+            s, i = fused_topk_search(
+                slab_l[0], q, valid_l[0], k=k_local,
+                block_n=min(8192, rows), interpret=interpret,
+                scales=scales_l[0] if int8 else None,
+            )
+            s = jnp.where(s <= -3.0e38, -jnp.inf, s)
+            i = i.astype(jnp.int32)
         else:
-            qq = q.astype(slab_l.dtype)
-            slab_t = slab_l
-        scores = jax.lax.dot_general(
-            qq, slab_t, (((1,), (2,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )[:, 0, :]  # (B, 1, rows) -> (B, rows)
-        if int8:
-            scores = scores * scales_l[0][None, :]
-        scores = jnp.where(valid_l[0][None, :], scores, -jnp.inf)
-        k_local = min(k, rows)
-        if method == "approx":
-            # TPU-native selection hardware; the sort-based lowering costs
-            # seconds at 10M rows.
-            s, i = jax.lax.approx_max_k(scores, k_local, recall_target=0.98)
-        else:
-            s, i = jax.lax.top_k(scores, k_local)
+            # Contract against the 3D slab directly — slicing slab_l[0]
+            # first makes XLA materialize a full copy of the local slab
+            # per query batch (measured 20x slowdown at 10M x 768).
+            if int8:
+                qq = q.astype(jnp.bfloat16)
+                slab_t = slab_l.astype(jnp.bfloat16)
+            else:
+                qq = q.astype(slab_l.dtype)
+                slab_t = slab_l
+            scores = jax.lax.dot_general(
+                qq, slab_t, (((1,), (2,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )[:, 0, :]  # (B, 1, rows) -> (B, rows)
+            if int8:
+                scores = scores * scales_l[0][None, :]
+            scores = jnp.where(valid_l[0][None, :], scores, -jnp.inf)
+            if method == "approx":
+                # TPU selection hardware; the sort-based lowering costs
+                # seconds at 10M rows.
+                s, i = jax.lax.approx_max_k(
+                    scores, k_local, recall_target=0.98
+                )
+            else:
+                s, i = jax.lax.top_k(scores, k_local)
+            i = i.astype(jnp.int32)
         # slot = local_row * n_dev + device_index
-        gi = i.astype(jnp.int32) * n_dev + jax.lax.axis_index(axis)
+        gi = i * n_dev + jax.lax.axis_index(axis)
         # Tiny (B, k) candidate sets ride ICI; the big slab never moves.
         all_s = jax.lax.all_gather(s, axis, axis=1, tiled=True)
         all_i = jax.lax.all_gather(gi, axis, axis=1, tiled=True)
@@ -158,6 +178,14 @@ class ShardedFlatIndex(FlatIndex):
 
     def _sharding(self, spec: P) -> NamedSharding:
         return NamedSharding(self.mesh, spec)
+
+    def _resolve_sharded_topk(self) -> str:
+        """auto -> the fused Pallas kernel per shard on TPU (roofline),
+        the exact XLA path elsewhere (interpret-mode Mosaic is
+        debug-grade; CPU meshes take top_k)."""
+        if self.topk_method != "auto":
+            return self.topk_method
+        return "fused" if jax.default_backend() == "tpu" else "exact"
 
     def _slot_coords(self, slots: jnp.ndarray):
         """slot id → (device_row, local_row); OOB pad slots map to
@@ -293,13 +321,7 @@ class ShardedFlatIndex(FlatIndex):
             q = l2_normalize(q)
         if self._dtype == jnp.bfloat16:
             q = q.astype(jnp.bfloat16)  # int8 slabs keep float queries
-        method = self.topk_method
-        if method == "auto":
-            # per-shard selector inside shard_map: approx_max_k is the
-            # TPU selection hardware; sort-based top_k elsewhere
-            method = (
-                "approx" if jax.default_backend() == "tpu" else "exact"
-            )
+        method = self._resolve_sharded_topk()
         with self._mu.read():  # exclude slab donation during compute
             valid = self._valid
             if slot_mask is not None:
@@ -320,6 +342,7 @@ class ShardedFlatIndex(FlatIndex):
                     self.mesh, self.axis, k, self._precision, self._is_int8,
                     method=method, normalize=self.metric == "cosine",
                     replica_axis=self.replica_axis,
+                    interpret=jax.default_backend() != "tpu",
                 )
                 self._search_cache[key] = fn
             scores, slots = fn(self._slab, valid, self._scales, q)
@@ -348,11 +371,7 @@ class ShardedFlatIndex(FlatIndex):
         pad_b = max(_next_pow2(max(b, 1)), self.replicas)
         if pad_b != b:
             qstack = np.pad(qstack, ((0, 0), (0, pad_b - b), (0, 0)))
-        method = self.topk_method
-        if method == "auto":
-            method = (
-                "approx" if jax.default_backend() == "tpu" else "exact"
-            )
+        method = self._resolve_sharded_topk()
         with self._mu.read():
             key = (k, self._cap, method)
             fn = self._search_cache.get(key)
@@ -361,6 +380,7 @@ class ShardedFlatIndex(FlatIndex):
                     self.mesh, self.axis, k, self._precision, self._is_int8,
                     method=method, normalize=self.metric == "cosine",
                     replica_axis=self.replica_axis,
+                    interpret=jax.default_backend() != "tpu",
                 )
                 self._search_cache[key] = fn
             scores, slots = fn.pipelined(
