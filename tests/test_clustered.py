@@ -1,0 +1,300 @@
+"""ClusteredIVFIndex: cluster-ordered slab IVF (zero-copy bucket layout).
+
+Covers the properties the layout must guarantee beyond plain IVF
+semantics: external slot stability across rebuilds (the store's registry
+must never need a remap), no duplicate candidates from recycled/updated
+rows, identity compaction, the two-pass streaming build, and memory
+accounting (no side tables).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from wdbx_tpu.index import create_index
+from wdbx_tpu.index.clustered import ClusteredIVFIndex
+from wdbx_tpu.index.flat import FlatIndex
+
+
+def _normed(rng, n, d):
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+
+def _make(dim=32, **kw):
+    kw.setdefault("nlist", 16)
+    kw.setdefault("nprobe", 16)
+    kw.setdefault("train_threshold", 256)
+    idx = ClusteredIVFIndex(dim, **kw)
+    idx.batch_flat_fallback = False  # exercise the real block scan
+    return idx
+
+
+class TestClusteredIVF:
+    def test_full_probe_matches_exact(self, rng):
+        n, d, k = 3000, 32, 10
+        db = _normed(rng, n, d)
+        q = _normed(rng, 8, d)
+        idx = _make(d)
+        slots = idx.add_batch(db)
+        idx.build()
+        _, got = idx.search(q, k)
+        flat = FlatIndex(d)
+        fslots = flat.add_batch(db)
+        _, exp = flat.search(q, k)
+        recall = np.mean(
+            [len(set(a.tolist()) & set(b.tolist())) / k
+             for a, b in zip(got, exp)]
+        )
+        assert recall >= 0.99, recall
+        assert (slots == fslots).all()  # identity slots on bulk add
+
+    def test_recall_clustered_data(self, rng):
+        n, d, k = 20_000, 64, 10
+        centers = _normed(rng, 128, d)
+        noise = 0.4 / np.sqrt(d)
+        db = centers[rng.integers(0, 128, n)] + noise * rng.standard_normal(
+            (n, d)
+        ).astype(np.float32)
+        db /= np.linalg.norm(db, axis=-1, keepdims=True)
+        q = db[rng.integers(0, n, 32)] + noise * rng.standard_normal(
+            (32, d)
+        ).astype(np.float32)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        idx = _make(d, nlist=64, nprobe=8, capacity=n)
+        slots = idx.add_batch(db)
+        idx.build()
+        _, got = idx.search(q, k)
+        exact_slots = slots[np.argsort(-(q @ db.T), axis=-1)[:, :k]]
+        recall = np.mean(
+            [len(set(a.tolist()) & set(b.tolist())) / k
+             for a, b in zip(got, exact_slots)]
+        )
+        assert recall >= 0.9, recall
+
+    def test_no_side_tables(self, rng):
+        """The point of the layout: HBM = slab only (vs IVFIndex's
+        bucket_rows table duplicating the corpus)."""
+        idx = _make(32)
+        idx.add_batch(_normed(rng, 2000, 32))
+        idx.build()
+        assert not hasattr(idx, "_bucket_rows") or idx.__dict__.get(
+            "_bucket_rows") is None
+        stats = idx.get_stats()
+        assert stats["hbm_bytes"] == idx.capacity * 32 * 4
+
+    def test_slots_stable_across_rebuild(self, rng):
+        d = 32
+        idx = _make(d)
+        db = _normed(rng, 1500, d)
+        slots = idx.add_batch(db)
+        idx.build()
+        fresh = _normed(rng, 40, d)
+        fslots = idx.add_batch(fresh)
+        _, pre = idx.search(fresh, 3)
+        idx.build()  # rebuild permutes the slab
+        _, post = idx.search(fresh, 3)
+        assert (pre == post).all()
+        # originals still resolve to their original slot ids
+        _, got = idx.search(db[:5], 1)
+        assert (got.ravel() == slots[:5]).all()
+        assert (fslots >= 0).all()
+
+    def test_delete_after_build_invisible(self, rng):
+        d = 32
+        idx = _make(d)
+        db = _normed(rng, 1200, d)
+        slots = idx.add_batch(db)
+        idx.build()
+        idx.remove_slots(slots[:100])
+        _, got = idx.search(db[:100], 1)
+        dead = set(slots[:100].tolist())
+        assert not any(int(g) in dead for g in got.ravel() if g >= 0)
+        assert idx.count() == 1100
+
+    def test_fresh_adds_visible_and_unique(self, rng):
+        d = 32
+        idx = _make(d)
+        slots = idx.add_batch(_normed(rng, 1000, d))
+        idx.build()
+        idx.remove_slots(slots[:20])  # force slot+position recycling
+        fresh = _normed(rng, 20, d)
+        fslots = idx.add_batch(fresh)
+        _, got = idx.search(fresh, 1)
+        assert (got.ravel() == fslots).all()
+        # recycled positions must not double-surface via their old bucket
+        _, got10 = idx.search(fresh, 10)
+        for row in got10:
+            live = [int(g) for g in row if g >= 0]
+            assert len(live) == len(set(live)), row
+
+    def test_update_moves_vector(self, rng):
+        d = 32
+        idx = _make(d)
+        db = _normed(rng, 1000, d)
+        slots = idx.add_batch(db)
+        idx.build()
+        target = _normed(rng, 1, d)
+        idx.update_slots(slots[7:8], target)
+        _, got = idx.search(target, 1)
+        assert int(got.ravel()[0]) == int(slots[7])
+        live = [int(g) for g in idx.search(target, 10)[1].ravel() if g >= 0]
+        assert len(live) == len(set(live))
+
+    def test_compact_identity_remap(self, rng):
+        d = 32
+        idx = _make(d)
+        slots = idx.add_batch(_normed(rng, 1000, d))
+        idx.build()
+        idx.remove_slots(slots[::3])
+        old, new = idx.compact()
+        assert (old == new).all()
+        keep = np.setdiff1d(slots, slots[::3])
+        assert set(old.tolist()) == set(keep.tolist())
+        # searches still resolve post-compaction
+        db_keep = db_row = None
+        _, got = idx.search(_normed(rng, 4, d), 5)
+        assert all(int(g) in set(keep.tolist()) for g in got.ravel() if g >= 0)
+
+    def test_build_from_streaming(self, rng):
+        d, n_chunks, rows = 32, 6, 400
+
+        def chunks():
+            r = np.random.default_rng(11)
+            for _ in range(n_chunks):
+                yield r.standard_normal((rows, d)).astype(np.float32)
+
+        idx = _make(d)
+        slots = idx.build_from(chunks, train_chunks=2)
+        n = n_chunks * rows
+        assert len(slots) == n and idx.count() == n and idx.is_trained
+        all_rows = np.concatenate(list(chunks()))
+        all_rows /= np.linalg.norm(all_rows, axis=-1, keepdims=True)
+        q = _normed(rng, 4, d)
+        _, got = idx.search(q, 10)
+        inv = np.empty(n, np.int64)
+        inv[slots] = np.arange(n)
+        got_src = np.where(got >= 0, inv[np.clip(got, 0, n - 1)], -1)
+        exp = np.argsort(-(q @ all_rows.T), axis=-1)[:, :10]
+        recall = np.mean(
+            [len(set(a.tolist()) & set(b.tolist())) / 10
+             for a, b in zip(got_src, exp)]
+        )
+        assert recall >= 0.99, recall
+
+    def test_build_from_requires_empty(self, rng):
+        idx = _make(32)
+        idx.add_batch(_normed(rng, 10, 32))
+        with pytest.raises(ValueError):
+            idx.build_from(lambda: iter([_normed(rng, 10, 32)]))
+
+    def test_slot_mask_prefilter(self, rng):
+        d = 32
+        idx = _make(d)
+        slots = idx.add_batch(_normed(rng, 1500, d))
+        idx.build()
+        mask = np.zeros(1500, bool)
+        mask[::2] = True
+        _, got = idx.search(_normed(rng, 4, d), 10, slot_mask=mask)
+        assert all(int(g) % 2 == 0 for g in got.ravel() if g >= 0)
+
+    def test_int8_recall(self, rng):
+        d = 64
+        db = _normed(rng, 4000, d)
+        q = _normed(rng, 8, d)
+        idx = _make(d, dtype="int8")
+        idx.add_batch(db)
+        idx.build()
+        _, got = idx.search(q, 10)
+        exp = np.argsort(-(q @ db.T), axis=-1)[:, :10]
+        recall = np.mean(
+            [len(set(int(x) for x in a) & set(b.tolist())) / 10
+             for a, b in zip(got, exp)]
+        )
+        assert recall >= 0.9, recall
+
+    def test_pipelined_matches_search(self, rng):
+        d = 32
+        idx = _make(d)
+        idx.add_batch(_normed(rng, 2000, d))
+        idx.build()
+        qs = rng.standard_normal((3, 4, d)).astype(np.float32)
+        sp, gp = idx.search_pipelined(qs, 5)
+        assert sp.shape == (3, 4, 5)
+        for i in range(3):
+            _, gi = idx.search(qs[i], 5)
+            assert (gp[i] == gi).all()
+
+    def test_persistence_roundtrip(self, rng, temp_dir):
+        d = 32
+        idx = _make(d)
+        db = _normed(rng, 1200, d)
+        slots = idx.add_batch(db)
+        idx.build()
+        idx.remove_slots(slots[:10])
+        fresh = _normed(rng, 5, d)
+        fslots = idx.add_batch(fresh)
+        path = os.path.join(temp_dir, "cidx")
+        idx.save(path)
+        idx2 = _make(d)
+        assert idx2.load(path)
+        assert idx2.count() == idx.count()
+        _, got = idx.search(fresh, 3)
+        _, got2 = idx2.search(fresh, 3)
+        assert (got == got2).all()
+        # mutation still works post-load (slot bookkeeping restored)
+        more = idx2.add_batch(_normed(rng, 3, d))
+        assert len(set(more.tolist()) & set(fslots.tolist())) == 0
+
+    def test_untrained_falls_back_to_flat(self, rng):
+        idx = _make(16, train_threshold=10_000)
+        db = _normed(rng, 50, 16)
+        slots = idx.add_batch(db)
+        _, got = idx.search(db[:3], 1)
+        assert (got.ravel() == slots[:3]).all()
+
+    def test_auto_train_on_search(self, rng):
+        idx = _make(16, train_threshold=128)
+        idx.add_batch(_normed(rng, 300, 16))
+        assert not idx.is_trained
+        idx.search(_normed(rng, 1, 16), 3)
+        assert idx.is_trained
+
+    def test_tune(self, rng):
+        d = 32
+        idx = _make(d, nlist=32, nprobe=1)
+        db = _normed(rng, 5000, d)
+        idx.add_batch(db)
+        idx.build()
+        achieved = idx.tune(_normed(rng, 16, d), k=10, target_recall=0.9)
+        assert achieved >= 0.9
+
+    def test_clear(self, rng):
+        idx = _make(16)
+        idx.add_batch(_normed(rng, 500, 16))
+        idx.build()
+        idx.clear()
+        assert idx.count() == 0 and not idx.is_trained
+        slots = idx.add_batch(_normed(rng, 5, 16))
+        assert (slots == np.arange(5)).all()
+
+    def test_factory(self):
+        idx = create_index("ivf_clustered", 8)
+        assert isinstance(idx, ClusteredIVFIndex)
+
+    def test_ip_metric(self, rng):
+        d = 32
+        db = rng.standard_normal((2000, d)).astype(np.float32) * \
+            rng.uniform(0.5, 2.0, size=(2000, 1)).astype(np.float32)
+        idx = _make(d, metric="ip")
+        slots = idx.add_batch(db)
+        idx.build()
+        q = _normed(rng, 4, d)
+        _, got = idx.search(q, 10)
+        exp = slots[np.argsort(-(q @ db.T), axis=-1)[:, :10]]
+        recall = np.mean(
+            [len(set(a.tolist()) & set(b.tolist())) / 10
+             for a, b in zip(got, exp)]
+        )
+        assert recall >= 0.95, recall

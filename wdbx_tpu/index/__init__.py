@@ -6,7 +6,14 @@ slabs instead of per-vector C++ graph walks.
 """
 
 from wdbx_tpu.index.base import VectorIndex, create_index
+from wdbx_tpu.index.clustered import ClusteredIVFIndex
 from wdbx_tpu.index.flat import FlatIndex
 from wdbx_tpu.index.ivf import IVFIndex
 
-__all__ = ["VectorIndex", "FlatIndex", "IVFIndex", "create_index"]
+__all__ = [
+    "VectorIndex",
+    "FlatIndex",
+    "IVFIndex",
+    "ClusteredIVFIndex",
+    "create_index",
+]

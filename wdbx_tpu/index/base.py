@@ -128,6 +128,17 @@ def create_index(kind: str, dim: int, config: Any = None) -> "VectorIndex":
             )
             kwargs["assignments"] = int(config.get("IVF_ASSIGNMENTS", 1))
         return IVFIndex(dim, **kwargs)
+    if kind == "ivf_clustered":
+        from wdbx_tpu.index.clustered import ClusteredIVFIndex
+
+        if config is not None:
+            kwargs["nlist"] = int(config.get("IVF_NLIST", 100))
+            kwargs["nprobe"] = int(config.get("IVF_NPROBE", 8))
+            kwargs["train_threshold"] = int(config.get("IVF_TRAIN_THRESHOLD", 4096))
+            kwargs["rebuild_fraction"] = float(
+                config.get("IVF_REBUILD_FRACTION", 0.2)
+            )
+        return ClusteredIVFIndex(dim, **kwargs)
     if kind == "sharded_flat":
         from wdbx_tpu.parallel.sharded_flat import ShardedFlatIndex
 

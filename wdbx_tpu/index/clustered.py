@@ -1,0 +1,917 @@
+"""Cluster-ordered IVF: the bucket table IS the slab (zero-copy IVF).
+
+``IVFIndex`` (wdbx_tpu/index/ivf.py) materializes probed buckets as a
+dense ``(nlist, cap_b, d)`` side table so probes read contiguous HBM —
+but the table duplicates the corpus (~1.3x with capacity-capped
+placement), which is why 10M x 768 int8 (slab 7.7 GB + tables ~8.9 GB)
+could not fit a single 16 GB chip.
+
+This index removes the duplication entirely, ScaNN-style: ``build()``
+physically reorders the slab into bucket order, so each bucket occupies
+one contiguous row range ``[bucket_start[p], bucket_start[p+1])`` and a
+probe is a plain contiguous DMA of slab rows — the exact access pattern
+the side table bought, at **zero** extra corpus bytes (bookkeeping adds
+~9 bytes/row). There are no bucket capacity caps and no spilled rows:
+extents are exact.
+
+Design points:
+  * **Stable slots.** External slot ids never change across rebuilds —
+    a slot↔position indirection (two host int32 arrays) maps the store's
+    handles to physical rows, so the registry/store layer needs no remap
+    when a rebuild permutes the slab (unlike ``compact()``).
+  * **Block scan.** The slab is viewed as ``(cap/c, c, d)`` blocks; a
+    probed bucket expands to its covering block range (buckets may
+    straddle blocks — a per-row bucket-id array masks neighbours, so
+    buckets need no block alignment and the layout has no padding).
+    The probed multiset dedups to unique blocks (the batch-dedup trick
+    from ``_ivf_search``), each DMA'd once per batch.
+  * **Mutation.** Fresh adds land in free positions with
+    ``row_bucket = -1`` and are brute-scanned via the residual buffer;
+    deletes are tombstones; a recycled/updated position drops out of its
+    old bucket by the same ``row_bucket = -1`` write, so no quarantine
+    list is needed (there is no stale copy to guard against).
+  * **Streaming two-pass build.** ``build_from()`` ingests a re-iterable
+    chunk source directly into cluster order (pass 1 assigns, pass 2
+    scatters), keeping peak HBM at slab + one chunk — this is what fits
+    10M x 768 int8 on one v5e. The in-memory ``build()`` permutes the
+    live slab on device (peak 2x corpus transient).
+
+Reference parity: same HNSW/FAISS-IVF replacement role as ``IVFIndex``
+(reference wdbx/core/indexing.py:470-505, :709-758); auto-train,
+``optimize()`` retrain and tune() are inherited.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wdbx_tpu.index.flat import FlatIndex, _next_pow2
+from wdbx_tpu.index.ivf import IVFIndex
+from wdbx_tpu.ops.kmeans import kmeans
+from wdbx_tpu.ops.normalize import l2_normalize
+
+
+def _block_rows(dim: int, itemsize: int, cap: int) -> int:
+    """Rows per scan block: targets ~0.75 MB DMAs (measured sweet spot
+    for HBM streaming), power of two, and divides the capacity (caps are
+    pow2 below 1M rows and 1M-row multiples above, so any c <= 2^20
+    divides them)."""
+    target = 786_432  # 0.75 MB
+    c = _next_pow2(max(256, target // max(1, dim * itemsize)))
+    c = min(c, 2048)
+    while cap % c != 0 and c > 1:
+        c //= 2
+    return max(1, c)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "nprobe", "u", "m", "c", "precision", "int8",
+                     "normalize"),
+)
+def _clustered_search(
+    slab, valid, scales, row_bucket, centroids, blk_lo, blk_hi,
+    residual_pos, residual_count, q,
+    k, nprobe, u, m, c, precision, int8=False, normalize=False,
+):
+    """Batch-deduplicated block scan over the cluster-ordered slab.
+
+    Probe selection is one small centroid matmul; each probed bucket
+    expands to its covering blocks; the block multiset dedups (sort +
+    first-occurrence) so every block is DMA'd once per batch and scored
+    against the whole query batch. Rows of *other* buckets inside a
+    shared block are masked by ``row_bucket`` — which also hides
+    residual/fresh rows (bucket -1) from the clustered scan.
+    """
+    b, d = q.shape
+    if normalize:
+        q = l2_normalize(q)
+    cs = jax.lax.dot_general(
+        q, centroids, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    p_eff = min(nprobe, centroids.shape[0])
+    _, probe = jax.lax.top_k(cs, p_eff)  # (B, P) bucket ids
+
+    nblocks = slab.shape[0] // c
+    lo = jnp.take(blk_lo, probe)  # (B, P)
+    hi = jnp.take(blk_hi, probe)
+    blocks = lo[..., None] + jnp.arange(m, dtype=jnp.int32)  # (B, P, M)
+    in_range = blocks < hi[..., None]
+    # Sentinel-collapse: every masked lane maps to `nblocks`, so after
+    # sorting, ALL of them contribute a single (masked) unique entry —
+    # the dedup wastes at most one scan step on padding.
+    flat = jnp.where(in_range, blocks, nblocks).reshape(-1)
+    bp = flat.shape[0]
+    u = min(u, bp)
+    sorted_ids = jnp.sort(flat)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
+    )
+    is_first = jnp.logical_and(is_first, sorted_ids < nblocks)
+    prio = jnp.where(is_first, bp - jnp.arange(bp, dtype=jnp.int32), 0)
+    _, sel = jax.lax.top_k(prio, u)
+    uniq = jnp.minimum(jnp.take(sorted_ids, sel), nblocks - 1)
+    uniq_ok = jnp.take(is_first, sel)
+
+    slab3 = slab.reshape(nblocks, c, d)
+    rb2 = row_bucket.reshape(nblocks, c)
+    v2 = valid.reshape(nblocks, c)
+    s2 = scales.reshape(nblocks, c) if int8 else None
+    k_blk = min(k, c)
+
+    def step(carry, x):
+        blk, ok = x
+        rows = jax.lax.dynamic_index_in_dim(slab3, blk, 0, False)  # (c, d)
+        rb = jax.lax.dynamic_index_in_dim(rb2, blk, 0, False)
+        v = jax.lax.dynamic_index_in_dim(v2, blk, 0, False)
+        if int8:
+            sc = jax.lax.dynamic_index_in_dim(s2, blk, 0, False)
+            s = jax.lax.dot_general(
+                q.astype(jnp.bfloat16), rows.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            ) * sc[None, :]
+        else:
+            s = jax.lax.dot_general(
+                q.astype(rows.dtype), rows, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )  # (B, c)
+        member = jnp.any(probe[:, :, None] == rb[None, None, :], axis=1)
+        s = jnp.where(member & v[None, :] & ok, s, -jnp.inf)
+        if s.shape[-1] >= 16 * k_blk:
+            v_, i_ = jax.lax.approx_max_k(s, k_blk, recall_target=0.998)
+        else:
+            v_, i_ = jax.lax.top_k(s, k_blk)
+        return carry, (v_, blk * c + i_)
+
+    _, (vals, pos) = jax.lax.scan(step, 0, (uniq, uniq_ok))  # (u, B, kb)
+    scores = vals.transpose(1, 0, 2).reshape(b, u * k_blk)
+    flat_pos = pos.transpose(1, 0, 2).reshape(b, u * k_blk)
+
+    # Residual (fresh/unclustered) rows: brute-scan by position.
+    r_cap = residual_pos.shape[0]
+    if r_cap:
+        rows = slab[residual_pos]
+        if int8:
+            rows = rows.astype(jnp.bfloat16)
+            rq = q.astype(jnp.bfloat16)
+        else:
+            rq = q.astype(rows.dtype)
+        r_scores = jax.lax.dot_general(
+            rq, rows, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        if int8:
+            r_scores = r_scores * scales[residual_pos][None, :]
+        live = jnp.arange(r_cap) < residual_count
+        r_valid = jnp.logical_and(valid[residual_pos], live)
+        r_scores = jnp.where(r_valid[None, :], r_scores, -jnp.inf)
+        scores = jnp.concatenate([scores, r_scores], axis=-1)
+        flat_pos = jnp.concatenate(
+            [flat_pos, jnp.broadcast_to(residual_pos, (b, r_cap))], axis=-1
+        )
+
+    k_eff = min(k, scores.shape[-1])
+    top, sel_pos = jax.lax.top_k(scores, k_eff)
+    top_pos = jnp.take_along_axis(flat_pos, sel_pos, axis=-1)
+    if k_eff < k:
+        top = jnp.pad(top, ((0, 0), (0, k - k_eff)), constant_values=-jnp.inf)
+        top_pos = jnp.pad(top_pos, ((0, 0), (0, k - k_eff)), constant_values=0)
+    return top, top_pos
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "nprobe", "u", "m", "c", "precision", "int8",
+                     "normalize"),
+)
+def _clustered_search_pipelined(
+    slab, valid, scales, row_bucket, centroids, blk_lo, blk_hi,
+    residual_pos, residual_count, qstack,
+    k, nprobe, u, m, c, precision, int8=False, normalize=False,
+):
+    """lax.scan of the block scan over a (NB, B, d) stack — one dispatch
+    serves NB batches (same serving shape as the flat/IVF pipelines)."""
+
+    def step(carry, q):
+        s, i = _clustered_search(
+            slab, valid, scales, row_bucket, centroids, blk_lo, blk_hi,
+            residual_pos, residual_count, q,
+            k=k, nprobe=nprobe, u=u, m=m, c=c, precision=precision,
+            int8=int8, normalize=normalize,
+        )
+        return carry, (s, i)
+
+    _, (scores, pos) = jax.lax.scan(step, 0, qstack)
+    return scores, pos
+
+
+class ClusteredIVFIndex(IVFIndex):
+    """IVF whose bucket layout lives *in* the slab (no side tables).
+
+    Memory: corpus bytes + ~9 bytes/row of bookkeeping — vs the dense
+    table's ~2.3x corpus. This is the index that fits 10M x 768 int8 on
+    one 16 GB chip.
+    """
+
+    kind = "ivf_clustered"
+
+    def __init__(
+        self,
+        dim: int,
+        metric: str = "cosine",
+        dtype: str = "float32",
+        capacity: int = 1024,
+        nlist: int = 100,
+        nprobe: int = 8,
+        train_threshold: int = 4096,
+        rebuild_fraction: float = 0.2,
+        kmeans_iters: int = 15,
+        train_sample: int = 262_144,
+    ):
+        super().__init__(
+            dim, metric=metric, dtype=dtype, capacity=capacity,
+            nlist=nlist, nprobe=nprobe, train_threshold=train_threshold,
+            rebuild_fraction=rebuild_fraction, kmeans_iters=kmeans_iters,
+            train_sample=train_sample, assignments=1,
+        )
+
+    # -- storage: position space + slot indirection -------------------------
+    def _alloc(self, cap: int) -> None:
+        super()._alloc(cap)
+        # row_bucket: bucket id per PHYSICAL row; -1 = unclustered.
+        self._row_bucket = jnp.full((cap,), -1, jnp.int32)
+        self._slot_of = np.full(cap, -1, np.int32)  # pos -> slot
+        self._pos_of = np.full(cap, -1, np.int32)  # slot -> pos
+        self._free_slots: list[int] = []
+        self._next_ext_slot = 0
+
+    def _grow(self, need: int) -> None:
+        old_cap = self._cap
+        slot_of, pos_of = self._slot_of, self._pos_of
+        free_slots, next_ext = self._free_slots, self._next_ext_slot
+        row_bucket = self._row_bucket
+        # FlatIndex._grow builds fresh slab/valid/scales directly (it does
+        # not call _alloc), so pad the clustered bookkeeping by hand.
+        super()._grow(need)
+        rb = jnp.full((self._cap,), -1, jnp.int32)
+        self._row_bucket = rb.at[:old_cap].set(row_bucket)
+        so = np.full(self._cap, -1, np.int32)
+        so[:old_cap] = slot_of
+        self._slot_of = so
+        po = np.full(self._cap, -1, np.int32)
+        po[:old_cap] = pos_of
+        self._pos_of = po
+        self._free_slots = free_slots
+        self._next_ext_slot = next_ext
+
+    def _reset_overlay(self) -> None:
+        self._centroids = None
+        self._bucket_start: np.ndarray | None = None  # (nlist+1,) int64
+        self._blk_lo = None  # (nlist,) int32 device
+        self._blk_hi = None
+        self._m = 1  # max blocks per bucket (static, pow2)
+        self._u_prefix: np.ndarray | None = None  # sorted-desc blk counts cumsum
+        self._residual: list[int] = []  # POSITIONS of unclustered rows
+        self._residual_base = 0
+        self._built_size = 0
+
+    def _take_ext_slots(self, n: int) -> np.ndarray:
+        slots = []
+        while self._free_slots and len(slots) < n:
+            slots.append(self._free_slots.pop())
+        fresh = n - len(slots)
+        if fresh:
+            slots.extend(
+                range(self._next_ext_slot, self._next_ext_slot + fresh)
+            )
+            self._next_ext_slot += fresh
+        return np.asarray(slots, np.int64)
+
+    def _map_pos_to_slots(self, scores: np.ndarray, pos: np.ndarray):
+        """Translate physical positions to stable external slot ids."""
+        out = self._slot_of[np.clip(pos, 0, self._cap - 1)].astype(np.int64)
+        out[(pos < 0) | (scores == -np.inf)] = -1
+        return scores, out
+
+    def _positions_of(self, slots) -> np.ndarray:
+        idx = np.asarray(slots, np.int64)
+        return self._pos_of[np.clip(idx, 0, self._cap - 1)].astype(np.int64)
+
+    def _unbucket_positions(self, pos: np.ndarray) -> None:
+        """Drop positions out of their cluster (row_bucket = -1): used on
+        update/recycle so a row is only findable via the residual scan."""
+        if len(pos) == 0:
+            return
+        pad_n = _next_pow2(len(pos))
+        p = jnp.asarray(
+            np.pad(np.asarray(pos, np.int64), (0, pad_n - len(pos)),
+                   constant_values=self._cap)
+        )
+        self._row_bucket = _set_row_bucket(self._row_bucket, p)
+
+    # -- mutation -----------------------------------------------------------
+    def add_batch(self, vectors: np.ndarray) -> np.ndarray:
+        with self._mu.write():
+            vectors = self._prep(vectors)
+            n = len(vectors)
+            pos = self._take_slots(n)  # parent bookkeeping = positions
+            self._scatter(pos, vectors, True)
+            self._size += n
+            slots = self._take_ext_slots(n)
+            self._slot_of[pos] = slots.astype(np.int32)
+            self._pos_of[slots] = pos.astype(np.int32)
+            if self.is_trained:
+                # recycled positions may carry a stale bucket id
+                self._unbucket_positions(pos)
+                self._residual.extend(int(p) for p in pos)
+            return slots
+
+    def update_slots(self, slots: np.ndarray, vectors: np.ndarray) -> None:
+        with self._mu.write():
+            vectors = self._prep(vectors)
+            pos = self._positions_of(slots)
+            known = pos >= 0
+            if not known.all():
+                pos, vectors = pos[known], vectors[known]
+                if len(pos) == 0:
+                    return
+            self._scatter(pos, vectors, True)
+            if self.is_trained:
+                self._unbucket_positions(pos)
+                res = set(self._residual)
+                self._residual.extend(
+                    int(p) for p in pos if int(p) not in res
+                )
+
+    def remove_slots(self, slots: np.ndarray) -> None:
+        slots = np.asarray(slots, np.int64)
+        if len(slots) == 0:
+            return
+        with self._mu.write():
+            pos = self._positions_of(slots)
+            known = pos >= 0  # unknown slots are a no-op, not row -1
+            slots, pos = slots[known], pos[known]
+            if len(slots) == 0:
+                return
+            pad_n = _next_pow2(len(pos))
+            ppos = jnp.asarray(
+                np.pad(pos, (0, pad_n - len(pos)), constant_values=self._cap)
+            )
+            self._valid = self._tombstone_arrays(ppos)
+            self._size -= len(slots)
+            # positions recycle through the parent free list; slots
+            # through the external one; the mapping entries are severed
+            self._free.extend(int(p) for p in pos)
+            self._free_slots.extend(int(s) for s in slots)
+            self._slot_of[pos] = -1
+            self._pos_of[slots] = -1
+
+    # clear() is inherited: FlatIndex.clear re-allocs every array
+    # (including row_bucket and the slot maps via _alloc), then
+    # IVFIndex.clear calls this class's _reset_overlay.
+
+    def compact(self):
+        """Rebuilding IS compaction here (the permute packs live rows into
+        [0, n_live)); external slots are stable, so the returned remap is
+        the identity and the store's registry needs no rewrite."""
+        with self._mu.write():
+            if self.is_trained or self._size >= self.train_threshold:
+                self._build_locked()
+            else:
+                self._compact_untrained_locked()
+            live = np.nonzero(self._slot_of >= 0)[0]
+            slots = np.sort(self._slot_of[live].astype(np.int64))
+            return slots, slots
+
+    def _compact_untrained_locked(self) -> None:
+        """Pack live rows below the training threshold (no clustering)."""
+        valid = np.asarray(self._valid)
+        live_pos = np.nonzero(valid)[0]
+        n = len(live_pos)
+        if n and not (live_pos == np.arange(n)).all():
+            rows = FlatIndex.get_vectors(self, live_pos)
+            slot_of_live = self._slot_of[live_pos].copy()
+            free_slots, next_ext = self._free_slots, self._next_ext_slot
+            self._alloc(self._cap)  # resets mappings; slot state restored
+            self._free_slots, self._next_ext_slot = free_slots, next_ext
+            self._size = 0
+            self._free = []
+            self._next_slot = 0
+            new_pos = FlatIndex.add_batch(self, rows)
+            self._size = n
+            self._slot_of[new_pos] = slot_of_live
+            self._pos_of[:] = -1
+            keep = slot_of_live >= 0
+            self._pos_of[slot_of_live[keep]] = new_pos[keep].astype(np.int32)
+        self._free = []
+        self._next_slot = n
+
+    # -- build: permute the slab into cluster order --------------------------
+    def build(self) -> None:
+        with self._mu.write():
+            self._build_locked()
+
+    def _build_locked(self) -> None:
+        hwm = self._next_slot
+        if self._size == 0 or hwm == 0:
+            self._reset_overlay()
+            return
+        valid = np.asarray(self._valid[:hwm])
+        live_pos = np.nonzero(valid)[0].astype(np.int64)
+        n_live = len(live_pos)
+
+        scales = self._scales
+        if scales is None:
+            scales = np.ones((1,), np.float32)
+
+        @jax.jit
+        def gather_rows(slab, scales, idx):
+            rows = slab[idx].astype(jnp.float32)
+            if self._is_int8:
+                rows = rows * scales[idx][:, None]
+            if self.metric == "cosine":
+                rows = rows / jnp.maximum(
+                    jnp.linalg.norm(rows, axis=-1, keepdims=True), 1e-12
+                )
+            return rows
+
+        nlist = min(self.nlist, n_live)
+        sample = live_pos
+        if n_live > self.train_sample:
+            sel = np.random.default_rng(0).choice(
+                n_live, self.train_sample, replace=False
+            )
+            sample = live_pos[np.sort(sel)]
+        train = gather_rows(self._slab, scales, jnp.asarray(sample))
+        centroids, _ = kmeans(
+            train, num_clusters=nlist, iters=self.kmeans_iters
+        )
+        del train
+
+        assign_fn = jax.jit(
+            lambda r, c: jnp.argmax(
+                jax.lax.dot_general(
+                    r, c, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ),
+                axis=-1,
+            ).astype(jnp.int32)
+        )
+        chunk = 131_072
+        assign = np.empty(n_live, np.int32)
+        for i in range(0, n_live, chunk):
+            end = min(i + chunk, n_live)
+            rows_chunk = gather_rows(
+                self._slab, scales, jnp.asarray(live_pos[i:end])
+            )
+            assign[i:end] = np.asarray(assign_fn(rows_chunk, centroids))
+            del rows_chunk
+
+        order = np.argsort(assign, kind="stable")
+        src = live_pos[order]  # old position of the row landing at dest i
+        counts = np.bincount(assign, minlength=nlist)
+
+        # Device permute, chunked with donated destination arrays. Peak
+        # HBM = old slab + new slab + one chunk (2x corpus transient; use
+        # build_from() for corpora above ~45% of HBM).
+        new_slab = jnp.zeros((self._cap, self.dim), self._dtype)
+        new_valid = jnp.zeros((self._cap,), jnp.bool_)
+        new_scales = (
+            jnp.zeros((self._cap,), jnp.float32) if self._is_int8 else None
+        )
+        copy_rows = jax.jit(
+            lambda dst, src_slab, idx, start: jax.lax.dynamic_update_slice(
+                dst, src_slab[idx], (start, 0)
+            ),
+            donate_argnums=(0,), static_argnums=(3,),
+        )
+        copy_scales = jax.jit(
+            lambda dst, src_s, idx, start: jax.lax.dynamic_update_slice(
+                dst, src_s[idx], (start,)
+            ),
+            donate_argnums=(0,), static_argnums=(3,),
+        )
+        for i in range(0, n_live, chunk):
+            end = min(i + chunk, n_live)
+            idx = jnp.asarray(src[i:end])
+            new_slab = copy_rows(new_slab, self._slab, idx, i)
+            if self._is_int8:
+                new_scales = copy_scales(new_scales, self._scales, idx, i)
+        if n_live:
+            new_valid = new_valid.at[:n_live].set(True)
+        self._slab = new_slab
+        self._valid = new_valid
+        if self._is_int8:
+            self._scales = new_scales
+
+        # slot mapping: dest i holds the row that lived at src[i]
+        slot_at_dest = self._slot_of[src]
+        self._slot_of[:] = -1
+        self._slot_of[: n_live] = slot_at_dest
+        self._pos_of[:] = -1
+        keep = slot_at_dest >= 0
+        self._pos_of[slot_at_dest[keep]] = np.arange(n_live, dtype=np.int32)[
+            keep
+        ]
+
+        self._install_layout(np.asarray(centroids), counts, assign[order])
+        self._free = []
+        self._next_slot = n_live
+        self._residual = []
+        self._residual_base = 0
+        self._built_size = self._size
+
+    def _install_layout(
+        self, centroids: np.ndarray, counts: np.ndarray, sorted_assign
+    ) -> None:
+        """Set centroids/extents/row_bucket from bucket counts (rows are
+        already laid out in cluster order in [0, sum(counts)))."""
+        nlist = len(counts)
+        start = np.zeros(nlist + 1, np.int64)
+        np.cumsum(counts, out=start[1:])
+        c = _block_rows(self.dim, np.dtype(self._dtype).itemsize, self._cap)
+        blk_lo = (start[:-1] // c).astype(np.int32)
+        blk_hi = (-(-start[1:] // c)).astype(np.int32)
+        blk_n = blk_hi - blk_lo
+        nonempty = counts > 0
+        m = int(blk_n[nonempty].max()) if nonempty.any() else 1
+        self._m = _next_pow2(max(1, m))
+        self._c = c
+        self._centroids = jnp.asarray(centroids)
+        self._bucket_start = start
+        self._blk_lo = jnp.asarray(blk_lo)
+        self._blk_hi = jnp.asarray(blk_hi)
+        # worst-case distinct blocks for a batch: prefix sums of the
+        # largest buckets' block counts (tightens the static scan length
+        # far below B*P*m for realistic skews)
+        self._u_prefix = np.cumsum(np.sort(blk_n[nonempty])[::-1])
+        n_clustered = int(start[-1])
+        rb = np.full(self._cap, -1, np.int32)
+        rb[:n_clustered] = np.asarray(sorted_assign, np.int32)
+        self._row_bucket = jnp.asarray(rb)
+
+    # -- streaming two-pass build --------------------------------------------
+    def build_from(self, chunks_factory, *, train_chunks: int = 1):
+        """Bulk-load a re-iterable chunk source straight into cluster
+        order (the index must be empty). ``chunks_factory()`` returns an
+        iterator of ``(n_i, dim)`` arrays (numpy or device); it is
+        consumed twice — pass 1 trains centroids (on the first
+        ``train_chunks`` chunks' worth of rows, up to ``train_sample``)
+        and assigns every row, pass 2 writes rows to their final
+        clustered positions. Peak HBM = final slab + one chunk, which is
+        what fits 10M x 768 int8 on a single 16 GB chip.
+
+        Returns ``(n_total,)`` slot ids in source order.
+        """
+        with self._mu.write():
+            if self._size:
+                raise ValueError("build_from requires an empty index")
+
+            @jax.jit
+            def prep_rows(rows):
+                rows = rows.astype(jnp.float32)
+                if self.metric == "cosine":
+                    rows = l2_normalize(rows)
+                return rows
+
+            # ---- pass 1: train + assign ----
+            centroids = None
+            assigns: list[np.ndarray] = []
+            train_buf: list = []
+            train_rows = 0
+            assign_fn = None
+            pending: list = []  # prepped chunks awaiting assignment
+            total = 0
+            for raw in chunks_factory():
+                rows = prep_rows(jnp.asarray(raw) if not isinstance(
+                    raw, jax.Array) else raw)
+                total += rows.shape[0]
+                if centroids is None:
+                    train_buf.append(rows)
+                    train_rows += rows.shape[0]
+                    pending.append(rows)
+                    if (len(train_buf) >= train_chunks
+                            or train_rows >= self.train_sample):
+                        train = jnp.concatenate(train_buf)[: self.train_sample]
+                        nlist = min(self.nlist, int(train.shape[0]))
+                        centroids, _ = kmeans(
+                            train, num_clusters=nlist,
+                            iters=self.kmeans_iters,
+                        )
+                        del train, train_buf
+                        assign_fn = jax.jit(
+                            lambda r, c: jnp.argmax(
+                                jax.lax.dot_general(
+                                    r, c, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                ),
+                                axis=-1,
+                            ).astype(jnp.int32)
+                        )
+                        for p in pending:
+                            assigns.append(np.asarray(assign_fn(p, centroids)))
+                        pending = []
+                else:
+                    assigns.append(np.asarray(assign_fn(rows, centroids)))
+                del rows
+            if centroids is None:  # source smaller than train_chunks
+                if not train_buf:
+                    return np.empty(0, np.int64)
+                train = jnp.concatenate(train_buf)[: self.train_sample]
+                nlist = min(self.nlist, int(train.shape[0]))
+                centroids, _ = kmeans(
+                    train, num_clusters=nlist, iters=self.kmeans_iters
+                )
+                assign_fn = jax.jit(
+                    lambda r, c: jnp.argmax(
+                        jax.lax.dot_general(
+                            r, c, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ),
+                        axis=-1,
+                    ).astype(jnp.int32)
+                )
+                for p in pending:
+                    assigns.append(np.asarray(assign_fn(p, centroids)))
+                del train_buf, pending
+
+            assign = np.concatenate(assigns) if assigns else np.empty(0, np.int32)
+            nlist = int(centroids.shape[0])
+            counts = np.bincount(assign, minlength=nlist)
+            start = np.zeros(nlist + 1, np.int64)
+            np.cumsum(counts, out=start[1:])
+            # dest position of every source row: bucket start + stable
+            # within-bucket rank (one argsort over the corpus)
+            order = np.argsort(assign, kind="stable")
+            dest = np.empty(total, np.int64)
+            dest[order] = np.arange(total)
+
+            # ---- pass 2: scatter rows to final positions ----
+            if self._cap < total:
+                self._grow(total)
+            elif self._round_cap(total) != self._cap:
+                self._cap = self._round_cap(max(total, 1024))
+                self._alloc(self._cap)
+
+            row_off = 0
+            for raw in chunks_factory():
+                rows = prep_rows(jnp.asarray(raw) if not isinstance(
+                    raw, jax.Array) else raw)
+                n = rows.shape[0]
+                d_idx = dest[row_off: row_off + n]
+                pad_n = _next_pow2(max(n, 1))
+                if pad_n != n:
+                    rows = jnp.pad(rows, ((0, pad_n - n), (0, 0)))
+                pslots = jnp.asarray(
+                    np.pad(d_idx, (0, pad_n - n), constant_values=self._cap)
+                )
+                flags = jnp.asarray(
+                    np.pad(np.ones(n, bool), (0, pad_n - n),
+                           constant_values=False)
+                )
+                self._slab, self._valid = self._write_arrays(
+                    rows, pslots, flags
+                )
+                row_off += n
+                del rows
+
+            self._size = total
+            self._next_slot = total
+            self._free = []
+            # slots == positions for a fresh bulk load
+            self._slot_of[:total] = np.arange(total, dtype=np.int32)
+            self._pos_of[:total] = np.arange(total, dtype=np.int32)
+            self._next_ext_slot = total
+            self._install_layout(
+                np.asarray(centroids), counts, assign[order]
+            )
+            self._residual = []
+            self._residual_base = 0
+            self._built_size = total
+            return dest.copy()  # dest == slot ids (identity mapping)
+
+    # -- query ---------------------------------------------------------------
+    def _scan_u(self, pad_b: int, nprobe: int) -> int:
+        """Static dedup width: worst-case distinct blocks for pad_b*nprobe
+        probes (prefix sum over the largest buckets), pow2-rounded."""
+        pref = self._u_prefix
+        nblocks = self._cap // self._c
+        worst = int(pref[min(pad_b * nprobe, len(pref)) - 1]) if len(
+            pref) else 1
+        return min(_next_pow2(max(1, worst) + 1), _next_pow2(nblocks),
+                   pad_b * nprobe * self._m)
+
+    def _search_read_locked(self, queries, k, slot_mask):
+        if not self.is_trained:
+            scores, pos = FlatIndex.search(self, queries, k, self._pos_mask(
+                slot_mask))
+            return self._map_pos_to_slots(scores, pos)
+        queries = self._prep(queries)
+        b = len(queries)
+        pad_b = _next_pow2(max(b, 1))
+        nlist = int(self._centroids.shape[0])
+        nprobe = min(self.nprobe, nlist)
+        u = self._scan_u(pad_b, nprobe)
+        size = self._size
+        if self.batch_flat_fallback and (u * self._c >= max(1, size)):
+            scores, pos = FlatIndex.search(
+                self, queries, k, self._pos_mask(slot_mask)
+            )
+            return self._map_pos_to_slots(scores, pos)
+
+        if isinstance(queries, jax.Array):
+            q = jnp.pad(queries, ((0, pad_b - b), (0, 0)))
+        else:
+            q = np.pad(queries, ((0, pad_b - b), (0, 0)))
+
+        valid = self._valid
+        if slot_mask is not None:
+            valid = jnp.logical_and(
+                valid, jnp.asarray(self._pos_mask(slot_mask))
+            )
+
+        residual = list(self._residual)
+        r_n = len(residual)
+        r_cap = _next_pow2(max(r_n, 1)) if r_n else 0
+        residual_pos = np.pad(
+            np.asarray(residual, np.int32), (0, r_cap - r_n),
+            constant_values=self._cap,
+        )
+        scales = (
+            self._scales if self._scales is not None
+            else np.ones((1,), np.float32)  # unused placeholder (non-int8)
+        )
+        scores, pos = _clustered_search(
+            self._slab, valid, scales,
+            self._row_bucket, self._centroids, self._blk_lo, self._blk_hi,
+            residual_pos, np.int32(r_n), q,
+            k=k, nprobe=nprobe, u=u, m=self._m, c=self._c,
+            precision=self._precision, int8=self._is_int8,
+            normalize=self.metric == "cosine",
+        )
+        scores, pos = jax.device_get((scores[:b], pos[:b]))
+        return self._map_pos_to_slots(
+            np.asarray(scores), np.asarray(pos, np.int64)
+        )
+
+    def _pos_mask(self, slot_mask) -> np.ndarray | None:
+        """Translate a slot-indexed filter mask into position space."""
+        if slot_mask is None:
+            return None
+        mask = np.zeros(self._cap, bool)
+        n = min(len(slot_mask), self._cap)
+        sel = np.nonzero(slot_mask[:n])[0]
+        pos = self._pos_of[sel]
+        mask[pos[pos >= 0]] = True
+        return mask
+
+    # search() is inherited from IVFIndex (build-if-stale under the write
+    # lock, then _search_read_locked under read).
+
+    def search_pipelined(self, qstack, k):
+        if self._needs_build():
+            with self._mu.write():
+                self._maybe_build()
+        with self._mu.read():
+            if not self.is_trained:
+                scores, pos = FlatIndex.search_pipelined(self, qstack, k)
+                nb = scores.shape[0]
+                out_s = np.empty_like(scores)
+                out_p = np.empty_like(pos)
+                for i in range(nb):
+                    out_s[i], out_p[i] = self._map_pos_to_slots(
+                        scores[i], pos[i]
+                    )
+                return out_s, out_p
+            qstack = np.asarray(qstack, np.float32) if not isinstance(
+                qstack, jax.Array) else qstack
+            nb, b, _ = qstack.shape
+            nlist = int(self._centroids.shape[0])
+            nprobe = min(self.nprobe, nlist)
+            u = self._scan_u(b, nprobe)
+            residual = list(self._residual)
+            r_n = len(residual)
+            r_cap = _next_pow2(max(r_n, 1)) if r_n else 0
+            residual_pos = np.pad(
+                np.asarray(residual, np.int32), (0, r_cap - r_n),
+                constant_values=self._cap,
+            )
+            scores, pos = _clustered_search_pipelined(
+                self._slab, self._valid,
+                self._scales if self._scales is not None
+                else np.ones((1,), np.float32),
+                self._row_bucket, self._centroids, self._blk_lo,
+                self._blk_hi, residual_pos, np.int32(r_n), qstack,
+                k=k, nprobe=nprobe, u=u, m=self._m, c=self._c,
+                precision=self._precision, int8=self._is_int8,
+                normalize=self.metric == "cosine",
+            )
+            scores, pos = jax.device_get((scores, pos))
+        scores = np.asarray(scores)
+        pos = np.asarray(pos, np.int64)
+        out_s = np.empty_like(scores)
+        out_p = np.empty_like(pos)
+        for i in range(nb):
+            out_s[i], out_p[i] = self._map_pos_to_slots(scores[i], pos[i])
+        return out_s, out_p
+
+    def _oracle_search(self, queries, k):
+        scores, pos = FlatIndex.search(self, queries, k)
+        return self._map_pos_to_slots(scores, pos)
+
+    def get_vectors(self, slots: np.ndarray) -> np.ndarray:
+        return FlatIndex.get_vectors(self, self._positions_of(slots))
+
+    # -- persistence ----------------------------------------------------------
+    def save(self, path: str) -> None:
+        with self._mu.read():
+            FlatIndex._save_locked(self, path)
+            hwm = self._next_slot
+            arrays = dict(
+                slot_of=self._slot_of[:hwm],
+                row_bucket=np.asarray(self._row_bucket[:hwm]),
+                residual=np.asarray(self._residual, np.int32),
+            )
+            if self.is_trained:
+                arrays["centroids"] = np.asarray(self._centroids)
+                arrays["bucket_start"] = self._bucket_start
+            np.savez(path + ".ivfc.npz", **arrays)
+            with open(path + ".ivfc.json", "w") as f:
+                json.dump(
+                    {
+                        "nlist": self.nlist,
+                        "nprobe": self.nprobe,
+                        "trained": self.is_trained,
+                        "built_size": self._built_size,
+                        "residual_base": self._residual_base,
+                        "next_ext_slot": self._next_ext_slot,
+                        "free_slots": self._free_slots,
+                    },
+                    f,
+                )
+
+    def load(self, path: str) -> bool:
+        with self._mu.write():
+            if not FlatIndex._load_locked(self, path):
+                return False
+            # _load_locked sets _cap/_place without _alloc: size the
+            # clustered bookkeeping to the (possibly new) capacity
+            self._row_bucket = jnp.full((self._cap,), -1, jnp.int32)
+            self._slot_of = np.full(self._cap, -1, np.int32)
+            self._pos_of = np.full(self._cap, -1, np.int32)
+            self._free_slots = []
+            self._next_ext_slot = 0
+            self._reset_overlay()
+            if not os.path.exists(path + ".ivfc.json"):
+                return True
+            with open(path + ".ivfc.json") as f:
+                meta = json.load(f)
+            self.nlist = meta["nlist"]
+            self.nprobe = meta["nprobe"]
+            self._built_size = int(meta.get("built_size", 0))
+            self._residual_base = int(meta.get("residual_base", 0))
+            self._next_ext_slot = int(meta.get("next_ext_slot", 0))
+            self._free_slots = [int(s) for s in meta.get("free_slots", [])]
+            data = np.load(path + ".ivfc.npz")
+            hwm = self._next_slot
+            slot_of = np.asarray(data["slot_of"], np.int32)
+            self._slot_of[:hwm] = slot_of
+            keep = slot_of >= 0
+            self._pos_of[slot_of[keep]] = np.arange(hwm, dtype=np.int32)[keep]
+            self._residual = [int(p) for p in data["residual"]]
+            if meta.get("trained") and "centroids" in data:
+                centroids = np.asarray(data["centroids"])
+                start = np.asarray(data["bucket_start"], np.int64)
+                counts = np.diff(start)
+                rb = np.asarray(data["row_bucket"], np.int32)
+                nc = int(start[-1])
+                self._install_layout(centroids, counts, rb[:nc])
+                # _install_layout rebuilt row_bucket from sorted assign;
+                # the persisted copy also carries -1s for residual rows —
+                # identical by construction, so nothing further to do.
+            return True
+
+    def get_stats(self) -> dict:
+        stats = FlatIndex.get_stats(self)
+        stats.update(
+            nlist=self.nlist,
+            nprobe=self.nprobe,
+            trained=self.is_trained,
+            residual=len(self._residual),
+            layout="clustered",
+        )
+        return stats
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _set_row_bucket(row_bucket, pos):
+    return row_bucket.at[pos].set(-1)
