@@ -283,6 +283,93 @@ class TestClusteredIVF:
         idx = create_index("ivf_clustered", 8)
         assert isinstance(idx, ClusteredIVFIndex)
 
+    def test_kernel_path_matches_lax(self, rng):
+        """Pallas block-scan kernel (interpret mode off-TPU) agrees with
+        the lax scan at full probe — both exact against the oracle."""
+        d = 32
+        db = _normed(rng, 1536, d)
+        q = _normed(rng, 4, d)
+        idx = _make(d, nlist=8, nprobe=8)
+        idx.add_batch(db)
+        idx.build()
+        idx.ivf_kernel = "lax"
+        s_lax, g_lax = idx.search(q, 10)
+        idx.ivf_kernel = "pallas"
+        s_k, g_k = idx.search(q, 10)
+        assert (g_lax == g_k).all(), (g_lax, g_k)
+        np.testing.assert_allclose(s_lax, s_k, rtol=1e-5)
+
+    def test_kernel_path_mutations_no_duplicates(self, rng):
+        """Kernel semantics (no bucket mask) rely on fresh/updated rows
+        never sharing scanned blocks: delete + re-add + update must not
+        double-surface any candidate."""
+        d = 32
+        idx = _make(d, nlist=8, nprobe=8)
+        idx.ivf_kernel = "pallas"
+        db = _normed(rng, 1200, d)
+        slots = idx.add_batch(db)
+        idx.build()
+        idx.remove_slots(slots[:30])
+        # deleted rows invisible (checked before their slot ids recycle)
+        _, gd = idx.search(db[:30], 1)
+        gone = set(slots[:30].tolist())
+        assert not any(int(g) in gone for g in gd.ravel() if g >= 0)
+        fresh = _normed(rng, 30, d)
+        fslots = idx.add_batch(fresh)
+        target = _normed(rng, 1, d)
+        idx.update_slots(slots[50:51], target)
+        _, got = idx.search(target, 10)
+        live = [int(g) for g in got.ravel() if g >= 0]
+        assert len(live) == len(set(live)), got
+        assert int(got.ravel()[0]) == int(slots[50])
+        _, gf = idx.search(fresh, 1)
+        assert (gf.ravel() == fslots).all()
+        # the fresh rows surface exactly once each (no block/residual
+        # double-count for recycled ids either)
+        _, gfa = idx.search(fresh, 10)
+        for row in gfa:
+            ids = [int(g) for g in row if g >= 0]
+            assert len(ids) == len(set(ids)), row
+
+    def test_kernel_pipelined_matches_search(self, rng):
+        d = 32
+        idx = _make(d, nlist=8, nprobe=8)
+        idx.ivf_kernel = "pallas"
+        idx.add_batch(_normed(rng, 1024, d))
+        idx.build()
+        qs = rng.standard_normal((2, 4, d)).astype(np.float32)
+        sp, gp = idx.search_pipelined(qs, 5)
+        for i in range(2):
+            _, gi = idx.search(qs[i], 5)
+            assert (gp[i] == gi).all()
+
+    def test_kernel_int8(self, rng):
+        d = 64
+        db = _normed(rng, 2048, d)
+        q = _normed(rng, 4, d)
+        idx = _make(d, dtype="int8", nlist=8, nprobe=8)
+        idx.ivf_kernel = "pallas"
+        idx.add_batch(db)
+        idx.build()
+        _, got = idx.search(q, 10)
+        exp = np.argsort(-(q @ db.T), axis=-1)[:, :10]
+        recall = np.mean(
+            [len(set(int(x) for x in a) & set(b.tolist())) / 10
+             for a, b in zip(got, exp)]
+        )
+        assert recall >= 0.9, recall
+
+    def test_quarantine_recycles_after_rebuild(self, rng):
+        d = 32
+        idx = _make(d, nlist=8, nprobe=8)
+        slots = idx.add_batch(_normed(rng, 1024, d))
+        idx.build()
+        idx.remove_slots(slots[:64])
+        assert idx.get_stats()["tombstones"] == 64
+        idx.build()
+        assert idx.get_stats()["tombstones"] == 0
+        assert idx.count() == 960
+
     def test_ip_metric(self, rng):
         d = 32
         db = rng.standard_normal((2000, d)).astype(np.float32) * \

@@ -25,11 +25,13 @@ Design points:
     buckets need no block alignment and the layout has no padding).
     The probed multiset dedups to unique blocks (the batch-dedup trick
     from ``_ivf_search``), each DMA'd once per batch.
-  * **Mutation.** Fresh adds land in free positions with
-    ``row_bucket = -1`` and are brute-scanned via the residual buffer;
-    deletes are tombstones; a recycled/updated position drops out of its
-    old bucket by the same ``row_bucket = -1`` write, so no quarantine
-    list is needed (there is no stale copy to guard against).
+  * **Mutation.** Fresh adds land at/above a block-aligned boundary
+    past the clustered region and are brute-scanned via the residual
+    buffer; deletes tombstone + quarantine their position until the next
+    build; updates MOVE the row to a fresh position. Scanned blocks and
+    the residual buffer are therefore always disjoint — the Pallas scan
+    kernel exploits this to skip per-row bucket masking entirely
+    (kernels/clustered_scan.py).
   * **Streaming two-pass build.** ``build_from()`` ingests a re-iterable
     chunk source directly into cluster order (pass 1 assigns, pass 2
     scatters), keeping peak HBM at slab + one chunk — this is what fits
@@ -58,14 +60,38 @@ from wdbx_tpu.ops.kmeans import kmeans
 from wdbx_tpu.ops.normalize import l2_normalize
 
 
-def _block_rows(dim: int, itemsize: int, cap: int) -> int:
-    """Rows per scan block: targets ~0.75 MB DMAs (measured sweet spot
-    for HBM streaming), power of two, and divides the capacity (caps are
-    pow2 below 1M rows and 1M-row multiples above, so any c <= 2^20
-    divides them)."""
-    target = 786_432  # 0.75 MB
+@partial(jax.jit, static_argnames=("block",))
+def _assign_blocked(rows, centroids, block=8192):
+    """argmax centroid assignment without materializing the full
+    (rows, nlist) score matrix (2.1 GB per 131k-row chunk at nlist=4096):
+    lax.map over row blocks keeps the live score tile at block x nlist."""
+    n = rows.shape[0]
+    nb = -(-n // block)
+    pad = nb * block - n
+    if pad:
+        rows = jnp.pad(rows, ((0, pad), (0, 0)))
+    cents16 = centroids.astype(jnp.bfloat16)
+
+    def f(chunk):
+        # bf16 pass: 2x the MXU rate of f32; argmax assignment is robust
+        # to bf16 rounding (ties move a row to an equally-near centroid)
+        s = jax.lax.dot_general(
+            chunk.astype(jnp.bfloat16), cents16, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.argmax(s, axis=-1).astype(jnp.int32)
+    out = jax.lax.map(f, rows.reshape(nb, block, -1))
+    return out.reshape(-1)[:n]
+
+
+def _block_rows(dim: int, itemsize: int, cap: int,
+                target: int = 786_432) -> int:
+    """Rows per scan block: targets ``target`` bytes per DMA (default
+    0.75 MB), power of two, and divides the capacity (caps are pow2
+    below 1M rows and 1M-row multiples above, so any c <= 2^20 divides
+    them)."""
     c = _next_pow2(max(256, target // max(1, dim * itemsize)))
-    c = min(c, 2048)
+    c = min(c, 4096)
     while cap % c != 0 and c > 1:
         c //= 2
     return max(1, c)
@@ -100,40 +126,51 @@ def _clustered_search(
     p_eff = min(nprobe, centroids.shape[0])
     _, probe = jax.lax.top_k(cs, p_eff)  # (B, P) bucket ids
 
+    # Sentinel-collapse inside _dedup_blocks: every out-of-range lane
+    # maps to `nblocks`, contributing one masked entry after dedup; when
+    # u undercuts the true unique count, popularity-ranked priority
+    # drops the least-probed blocks (graceful recall degradation).
     nblocks = slab.shape[0] // c
-    lo = jnp.take(blk_lo, probe)  # (B, P)
-    hi = jnp.take(blk_hi, probe)
-    blocks = lo[..., None] + jnp.arange(m, dtype=jnp.int32)  # (B, P, M)
-    in_range = blocks < hi[..., None]
-    # Sentinel-collapse: every masked lane maps to `nblocks`, so after
-    # sorting, ALL of them contribute a single (masked) unique entry —
-    # the dedup wastes at most one scan step on padding.
-    flat = jnp.where(in_range, blocks, nblocks).reshape(-1)
-    bp = flat.shape[0]
-    u = min(u, bp)
-    sorted_ids = jnp.sort(flat)
-    is_first = jnp.concatenate(
-        [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
-    )
-    is_first = jnp.logical_and(is_first, sorted_ids < nblocks)
-    prio = jnp.where(is_first, bp - jnp.arange(bp, dtype=jnp.int32), 0)
-    _, sel = jax.lax.top_k(prio, u)
-    uniq = jnp.minimum(jnp.take(sorted_ids, sel), nblocks - 1)
-    uniq_ok = jnp.take(is_first, sel)
+    u = min(u, b * min(nprobe, centroids.shape[0]) * m)
+    uniq, uniq_ok = _dedup_blocks(probe, blk_lo, blk_hi, nblocks, u, m)
 
     slab3 = slab.reshape(nblocks, c, d)
     rb2 = row_bucket.reshape(nblocks, c)
     v2 = valid.reshape(nblocks, c)
     s2 = scales.reshape(nblocks, c) if int8 else None
-    k_blk = min(k, c)
+
+    # Group g blocks per scan step: the per-iteration fixed cost
+    # (~45us measured: loop bookkeeping + DMA issue) dominates a single
+    # 0.75 MB block's compute, so bigger steps amortize it; the group
+    # top-k also shrinks the final merge width by g. Block top-k
+    # exactness is preserved: a global top-k candidate is beaten by at
+    # most k-1 rows within its own group, so the group's top-k always
+    # surfaces it.
+    g = max(1, min(8, 8192 // c, u))
+    steps = u // g
+    k_blk = min(k, g * c)
+    uniq_g = uniq.reshape(steps, g)
+    ok_g = uniq_ok.reshape(steps, g)
 
     def step(carry, x):
-        blk, ok = x
-        rows = jax.lax.dynamic_index_in_dim(slab3, blk, 0, False)  # (c, d)
-        rb = jax.lax.dynamic_index_in_dim(rb2, blk, 0, False)
-        v = jax.lax.dynamic_index_in_dim(v2, blk, 0, False)
+        blks, oks = x  # (g,)
+        rows = jnp.concatenate(
+            [jax.lax.dynamic_index_in_dim(slab3, blks[i], 0, False)
+             for i in range(g)], axis=0,
+        )  # (g*c, d)
+        rb = jnp.concatenate(
+            [jax.lax.dynamic_index_in_dim(rb2, blks[i], 0, False)
+             for i in range(g)], axis=0,
+        )
+        v = jnp.concatenate(
+            [jax.lax.dynamic_index_in_dim(v2, blks[i], 0, False)
+             for i in range(g)], axis=0,
+        )
         if int8:
-            sc = jax.lax.dynamic_index_in_dim(s2, blk, 0, False)
+            sc = jnp.concatenate(
+                [jax.lax.dynamic_index_in_dim(s2, blks[i], 0, False)
+                 for i in range(g)], axis=0,
+            )
             s = jax.lax.dot_general(
                 q.astype(jnp.bfloat16), rows.astype(jnp.bfloat16),
                 (((1,), (1,)), ((), ())),
@@ -143,18 +180,24 @@ def _clustered_search(
             s = jax.lax.dot_general(
                 q.astype(rows.dtype), rows, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
-            )  # (B, c)
+            )  # (B, g*c)
         member = jnp.any(probe[:, :, None] == rb[None, None, :], axis=1)
-        s = jnp.where(member & v[None, :] & ok, s, -jnp.inf)
+        okrow = jnp.repeat(oks, c)  # per-source-block dedup validity
+        s = jnp.where(member & v[None, :] & okrow[None, :], s, -jnp.inf)
         if s.shape[-1] >= 16 * k_blk:
             v_, i_ = jax.lax.approx_max_k(s, k_blk, recall_target=0.998)
         else:
             v_, i_ = jax.lax.top_k(s, k_blk)
-        return carry, (v_, blk * c + i_)
+        # decode concat offset -> global position: block blks[j] spans
+        # [j*c, (j+1)*c) of the concat axis
+        base = jnp.repeat(blks * c, c)  # (g*c,)
+        off = jnp.tile(jnp.arange(c, dtype=jnp.int32), g)
+        pos_of_col = base + off
+        return carry, (v_, jnp.take(pos_of_col, i_))
 
-    _, (vals, pos) = jax.lax.scan(step, 0, (uniq, uniq_ok))  # (u, B, kb)
-    scores = vals.transpose(1, 0, 2).reshape(b, u * k_blk)
-    flat_pos = pos.transpose(1, 0, 2).reshape(b, u * k_blk)
+    _, (vals, pos) = jax.lax.scan(step, 0, (uniq_g, ok_g))  # (steps, B, kb)
+    scores = vals.transpose(1, 0, 2).reshape(b, steps * k_blk)
+    flat_pos = pos.transpose(1, 0, 2).reshape(b, steps * k_blk)
 
     # Residual (fresh/unclustered) rows: brute-scan by position.
     r_cap = residual_pos.shape[0]
@@ -180,12 +223,117 @@ def _clustered_search(
         )
 
     k_eff = min(k, scores.shape[-1])
-    top, sel_pos = jax.lax.top_k(scores, k_eff)
+    if scores.shape[-1] >= 64 * k_eff:
+        # Wide merges (large u) would hit lax.top_k's sort lowering;
+        # the TPU selection hardware keeps per-window maxima, and each
+        # candidate appears once (assignments are single), so this stays
+        # effectively exact for the merge of already-selected maxima.
+        top, sel_pos = jax.lax.approx_max_k(
+            scores, k_eff, recall_target=0.998
+        )
+    else:
+        top, sel_pos = jax.lax.top_k(scores, k_eff)
     top_pos = jnp.take_along_axis(flat_pos, sel_pos, axis=-1)
     if k_eff < k:
         top = jnp.pad(top, ((0, 0), (0, k - k_eff)), constant_values=-jnp.inf)
         top_pos = jnp.pad(top_pos, ((0, 0), (0, k - k_eff)), constant_values=0)
     return top, top_pos
+
+
+def _dedup_blocks(probe, blk_lo, blk_hi, nblocks: int, u: int, m: int):
+    """Expand probed buckets to covering blocks and dedup to ``u``
+    popularity-ranked unique block ids (trace-time shapes). Shared by
+    the lax scan and the Pallas kernel paths."""
+    lo = jnp.take(blk_lo, probe)  # (B, P)
+    hi = jnp.take(blk_hi, probe)
+    blocks = lo[..., None] + jnp.arange(m, dtype=jnp.int32)  # (B, P, M)
+    in_range = blocks < hi[..., None]
+    flat = jnp.where(in_range, blocks, nblocks).reshape(-1)
+    bp = flat.shape[0]
+    u = min(u, bp)
+    sorted_ids = jnp.sort(flat)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
+    )
+    is_first = jnp.logical_and(is_first, sorted_ids < nblocks)
+    counts = (
+        jnp.searchsorted(sorted_ids, sorted_ids, side="right")
+        - jnp.searchsorted(sorted_ids, sorted_ids, side="left")
+    ).astype(jnp.int32)
+    prio = jnp.where(
+        is_first, counts * bp + (bp - jnp.arange(bp, dtype=jnp.int32)), 0
+    )
+    _, sel = jax.lax.top_k(prio, u)
+    uniq = jnp.minimum(jnp.take(sorted_ids, sel), nblocks - 1)
+    uniq_ok = jnp.take(is_first, sel)
+    return uniq, uniq_ok
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "nprobe", "u", "m", "c", "precision", "int8",
+                     "normalize", "interpret"),
+)
+def _clustered_search_kernelpath(
+    slab, valid, scales, centroids, blk_lo, blk_hi,
+    residual_pos, residual_count, q,
+    k, nprobe, u, m, c, precision, int8=False, normalize=False,
+    interpret=False,
+):
+    """One-dispatch kernel query: probe selection, block dedup, the
+    scalar-prefetch Pallas block scan, and the residual merge inline in
+    a single compiled program. Candidate positions come back as global
+    slab rows, so the residual merge is shared with the lax path."""
+    from wdbx_tpu.index.ivf import _residual_merge
+    from wdbx_tpu.kernels.clustered_scan import clustered_block_topk
+
+    if normalize:
+        q = l2_normalize(q)
+    cs = jax.lax.dot_general(
+        q, centroids, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    p_eff = min(nprobe, centroids.shape[0])
+    _, probe = jax.lax.top_k(cs, p_eff)
+    nblocks = slab.shape[0] // c
+    uniq, uniq_ok = _dedup_blocks(probe, blk_lo, blk_hi, nblocks, u, m)
+    valid_i8 = valid.astype(jnp.int8).reshape(1, -1)
+    qk = q.astype(jnp.bfloat16) if int8 else q.astype(slab.dtype)
+    kv, kp = clustered_block_topk(
+        slab, valid_i8,
+        scales.astype(jnp.float32).reshape(1, -1) if int8 else None,
+        uniq.astype(jnp.int32), uniq_ok.astype(jnp.int32), qk,
+        k=k, c=c, interpret=interpret,
+    )
+    return _residual_merge(
+        slab, valid, residual_pos, residual_pos.astype(jnp.int32),
+        residual_count, scales, kv, kp, q,
+        k=k, precision=precision, int8=int8,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "nprobe", "u", "m", "c", "precision", "int8",
+                     "normalize", "interpret"),
+)
+def _clustered_kernelpath_pipelined(
+    slab, valid, scales, centroids, blk_lo, blk_hi,
+    residual_pos, residual_count, qstack,
+    k, nprobe, u, m, c, precision, int8=False, normalize=False,
+    interpret=False,
+):
+    def step(carry, q):
+        s, i = _clustered_search_kernelpath(
+            slab, valid, scales, centroids, blk_lo, blk_hi,
+            residual_pos, residual_count, q,
+            k=k, nprobe=nprobe, u=u, m=m, c=c, precision=precision,
+            int8=int8, normalize=normalize, interpret=interpret,
+        )
+        return carry, (s, i)
+
+    _, (scores, pos) = jax.lax.scan(step, 0, qstack)
+    return scores, pos
 
 
 @partial(
@@ -243,6 +391,11 @@ class ClusteredIVFIndex(IVFIndex):
             rebuild_fraction=rebuild_fraction, kmeans_iters=kmeans_iters,
             train_sample=train_sample, assignments=1,
         )
+        #: "auto" (Pallas block-scan kernel on TPU, lax scan elsewhere),
+        #: "pallas" (force; interpret mode off-TPU), or "lax"
+        self.ivf_kernel = "auto"
+        #: scan-block DMA size; effective at the next build
+        self.block_bytes_target = 786_432
 
     # -- storage: position space + slot indirection -------------------------
     def _alloc(self, cap: int) -> None:
@@ -280,9 +433,16 @@ class ClusteredIVFIndex(IVFIndex):
         self._blk_hi = None
         self._m = 1  # max blocks per bucket (static, pow2)
         self._u_prefix: np.ndarray | None = None  # sorted-desc blk counts cumsum
+        self._nonempty = 0
+        self._avg_blocks = 1.0
         self._residual: list[int] = []  # POSITIONS of unclustered rows
         self._residual_base = 0
         self._built_size = 0
+        #: positions freed while trained; held out of reuse until the
+        #: next build so fresh rows never land inside scanned blocks
+        #: (the kernel path has no per-row bucket mask — see
+        #: kernels/clustered_scan.py)
+        self._pos_quarantine: list[int] = []
 
     def _take_ext_slots(self, n: int) -> np.ndarray:
         slots = []
@@ -306,51 +466,60 @@ class ClusteredIVFIndex(IVFIndex):
         idx = np.asarray(slots, np.int64)
         return self._pos_of[np.clip(idx, 0, self._cap - 1)].astype(np.int64)
 
-    def _unbucket_positions(self, pos: np.ndarray) -> None:
-        """Drop positions out of their cluster (row_bucket = -1): used on
-        update/recycle so a row is only findable via the residual scan."""
-        if len(pos) == 0:
-            return
-        pad_n = _next_pow2(len(pos))
-        p = jnp.asarray(
-            np.pad(np.asarray(pos, np.int64), (0, pad_n - len(pos)),
-                   constant_values=self._cap)
-        )
-        self._row_bucket = _set_row_bucket(self._row_bucket, p)
-
     # -- mutation -----------------------------------------------------------
+    # Invariant while trained: every live position below the block-aligned
+    # clustered boundary was placed by build(); fresh rows only ever
+    # occupy positions at/above it. Freed positions are quarantined until
+    # the next build, and updates MOVE the row to a fresh position. The
+    # kernel scan (no per-row bucket mask) relies on this to never
+    # surface a candidate twice (block scan ∩ residual scan = ∅).
     def add_batch(self, vectors: np.ndarray) -> np.ndarray:
         with self._mu.write():
-            vectors = self._prep(vectors)
-            n = len(vectors)
-            pos = self._take_slots(n)  # parent bookkeeping = positions
-            self._scatter(pos, vectors, True)
-            self._size += n
-            slots = self._take_ext_slots(n)
-            self._slot_of[pos] = slots.astype(np.int32)
-            self._pos_of[slots] = pos.astype(np.int32)
-            if self.is_trained:
-                # recycled positions may carry a stale bucket id
-                self._unbucket_positions(pos)
-                self._residual.extend(int(p) for p in pos)
-            return slots
+            return self._add_locked(vectors)
+
+    def _add_locked(self, vectors: np.ndarray) -> np.ndarray:
+        vectors = self._prep(vectors)
+        n = len(vectors)
+        pos = self._take_slots(n)  # parent bookkeeping = positions
+        self._scatter(pos, vectors, True)
+        self._size += n
+        slots = self._take_ext_slots(n)
+        self._slot_of[pos] = slots.astype(np.int32)
+        self._pos_of[slots] = pos.astype(np.int32)
+        if self.is_trained:
+            self._residual.extend(int(p) for p in pos)
+        return slots
 
     def update_slots(self, slots: np.ndarray, vectors: np.ndarray) -> None:
         with self._mu.write():
             vectors = self._prep(vectors)
             pos = self._positions_of(slots)
             known = pos >= 0
+            slots = np.asarray(slots, np.int64)[known]
             if not known.all():
-                pos, vectors = pos[known], vectors[known]
-                if len(pos) == 0:
-                    return
-            self._scatter(pos, vectors, True)
-            if self.is_trained:
-                self._unbucket_positions(pos)
-                res = set(self._residual)
-                self._residual.extend(
-                    int(p) for p in pos if int(p) not in res
-                )
+                vectors = vectors[known]
+            if len(slots) == 0:
+                return
+            pos = pos[known]
+            if not self.is_trained:
+                self._scatter(pos, vectors, True)
+                return
+            # move-on-update: tombstone + quarantine the old position,
+            # land the new row above the clustered boundary
+            self._tombstone_positions(pos)
+            self._pos_quarantine.extend(int(p) for p in pos)
+            new_pos = self._take_slots(len(slots))
+            self._scatter(new_pos, vectors, True)
+            self._slot_of[new_pos] = slots.astype(np.int32)
+            self._pos_of[slots] = new_pos.astype(np.int32)
+            self._residual.extend(int(p) for p in new_pos)
+
+    def _tombstone_positions(self, pos: np.ndarray) -> None:
+        pad_n = _next_pow2(len(pos))
+        ppos = jnp.asarray(
+            np.pad(pos, (0, pad_n - len(pos)), constant_values=self._cap)
+        )
+        self._valid = self._tombstone_arrays(ppos)
 
     def remove_slots(self, slots: np.ndarray) -> None:
         slots = np.asarray(slots, np.int64)
@@ -362,15 +531,16 @@ class ClusteredIVFIndex(IVFIndex):
             slots, pos = slots[known], pos[known]
             if len(slots) == 0:
                 return
-            pad_n = _next_pow2(len(pos))
-            ppos = jnp.asarray(
-                np.pad(pos, (0, pad_n - len(pos)), constant_values=self._cap)
-            )
-            self._valid = self._tombstone_arrays(ppos)
+            self._tombstone_positions(pos)
             self._size -= len(slots)
-            # positions recycle through the parent free list; slots
-            # through the external one; the mapping entries are severed
-            self._free.extend(int(p) for p in pos)
+            # external slots recycle immediately; positions only recycle
+            # after the next build (quarantine) while trained
+            if self.is_trained:
+                self._pos_quarantine.extend(int(p) for p in pos)
+                res = set(int(p) for p in pos)
+                self._residual = [p for p in self._residual if p not in res]
+            else:
+                self._free.extend(int(p) for p in pos)
             self._free_slots.extend(int(s) for s in slots)
             self._slot_of[pos] = -1
             self._pos_of[slots] = -1
@@ -457,15 +627,6 @@ class ClusteredIVFIndex(IVFIndex):
         )
         del train
 
-        assign_fn = jax.jit(
-            lambda r, c: jnp.argmax(
-                jax.lax.dot_general(
-                    r, c, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ),
-                axis=-1,
-            ).astype(jnp.int32)
-        )
         chunk = 131_072
         assign = np.empty(n_live, np.int32)
         for i in range(0, n_live, chunk):
@@ -473,7 +634,7 @@ class ClusteredIVFIndex(IVFIndex):
             rows_chunk = gather_rows(
                 self._slab, scales, jnp.asarray(live_pos[i:end])
             )
-            assign[i:end] = np.asarray(assign_fn(rows_chunk, centroids))
+            assign[i:end] = np.asarray(_assign_blocked(rows_chunk, centroids))
             del rows_chunk
 
         order = np.argsort(assign, kind="stable")
@@ -524,8 +685,11 @@ class ClusteredIVFIndex(IVFIndex):
         ]
 
         self._install_layout(np.asarray(centroids), counts, assign[order])
+        # fresh adds start at the next block boundary: scanned blocks and
+        # the residual buffer stay disjoint (kernel-path invariant)
         self._free = []
-        self._next_slot = n_live
+        self._pos_quarantine = []
+        self._next_slot = min(self._cap, -(-n_live // self._c) * self._c)
         self._residual = []
         self._residual_base = 0
         self._built_size = self._size
@@ -538,7 +702,10 @@ class ClusteredIVFIndex(IVFIndex):
         nlist = len(counts)
         start = np.zeros(nlist + 1, np.int64)
         np.cumsum(counts, out=start[1:])
-        c = _block_rows(self.dim, np.dtype(self._dtype).itemsize, self._cap)
+        c = _block_rows(
+            self.dim, np.dtype(self._dtype).itemsize, self._cap,
+            target=self.block_bytes_target,
+        )
         blk_lo = (start[:-1] // c).astype(np.int32)
         blk_hi = (-(-start[1:] // c)).astype(np.int32)
         blk_n = blk_hi - blk_lo
@@ -554,6 +721,10 @@ class ClusteredIVFIndex(IVFIndex):
         # largest buckets' block counts (tightens the static scan length
         # far below B*P*m for realistic skews)
         self._u_prefix = np.cumsum(np.sort(blk_n[nonempty])[::-1])
+        self._nonempty = int(nonempty.sum())
+        self._avg_blocks = (
+            float(blk_n[nonempty].mean()) if self._nonempty else 1.0
+        )
         n_clustered = int(start[-1])
         rb = np.full(self._cap, -1, np.int32)
         rb[:n_clustered] = np.asarray(sorted_assign, np.int32)
@@ -575,6 +746,8 @@ class ClusteredIVFIndex(IVFIndex):
         with self._mu.write():
             if self._size:
                 raise ValueError("build_from requires an empty index")
+            import time as _time
+            _t0 = _time.perf_counter()
 
             @jax.jit
             def prep_rows(rows):
@@ -586,64 +759,57 @@ class ClusteredIVFIndex(IVFIndex):
             # ---- pass 1: train + assign ----
             centroids = None
             assigns: list[np.ndarray] = []
-            train_buf: list = []
-            train_rows = 0
-            assign_fn = None
-            pending: list = []  # prepped chunks awaiting assignment
+            pending: list = []  # prepped chunks buffered until training
+            pending_rows = 0
             total = 0
-            for raw in chunks_factory():
-                rows = prep_rows(jnp.asarray(raw) if not isinstance(
-                    raw, jax.Array) else raw)
-                total += rows.shape[0]
-                if centroids is None:
-                    train_buf.append(rows)
-                    train_rows += rows.shape[0]
-                    pending.append(rows)
-                    if (len(train_buf) >= train_chunks
-                            or train_rows >= self.train_sample):
-                        train = jnp.concatenate(train_buf)[: self.train_sample]
-                        nlist = min(self.nlist, int(train.shape[0]))
-                        centroids, _ = kmeans(
-                            train, num_clusters=nlist,
-                            iters=self.kmeans_iters,
-                        )
-                        del train, train_buf
-                        assign_fn = jax.jit(
-                            lambda r, c: jnp.argmax(
-                                jax.lax.dot_general(
-                                    r, c, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32,
-                                ),
-                                axis=-1,
-                            ).astype(jnp.int32)
-                        )
-                        for p in pending:
-                            assigns.append(np.asarray(assign_fn(p, centroids)))
-                        pending = []
-                else:
-                    assigns.append(np.asarray(assign_fn(rows, centroids)))
-                del rows
-            if centroids is None:  # source smaller than train_chunks
-                if not train_buf:
-                    return np.empty(0, np.int64)
-                train = jnp.concatenate(train_buf)[: self.train_sample]
+            timings = {"train": 0.0, "gen": 0.0, "assign": 0.0}
+
+            def _train_and_flush():
+                nonlocal centroids, pending
+                tt = _time.perf_counter()
+                train = jnp.concatenate(pending)[: self.train_sample] \
+                    if len(pending) > 1 else pending[0][: self.train_sample]
                 nlist = min(self.nlist, int(train.shape[0]))
                 centroids, _ = kmeans(
                     train, num_clusters=nlist, iters=self.kmeans_iters
                 )
-                assign_fn = jax.jit(
-                    lambda r, c: jnp.argmax(
-                        jax.lax.dot_general(
-                            r, c, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        ),
-                        axis=-1,
-                    ).astype(jnp.int32)
-                )
+                centroids.block_until_ready()
+                timings["train"] += _time.perf_counter() - tt
+                del train
                 for p in pending:
-                    assigns.append(np.asarray(assign_fn(p, centroids)))
-                del train_buf, pending
+                    assigns.append(np.asarray(_assign_blocked(p, centroids)))
+                pending = []
 
+            src = iter(chunks_factory())
+            while True:
+                tt = _time.perf_counter()
+                raw = next(src, None)
+                if raw is None:
+                    break
+                rows = prep_rows(jnp.asarray(raw) if not isinstance(
+                    raw, jax.Array) else raw)
+                rows.block_until_ready()
+                timings["gen"] += _time.perf_counter() - tt
+                total += rows.shape[0]
+                tt = _time.perf_counter()
+                if centroids is None:
+                    pending.append(rows)
+                    pending_rows += rows.shape[0]
+                    if (len(pending) >= train_chunks
+                            or pending_rows >= self.train_sample):
+                        _train_and_flush()
+                else:
+                    assigns.append(np.asarray(_assign_blocked(rows, centroids)))
+                timings["assign"] += _time.perf_counter() - tt
+                del rows
+            if centroids is None:  # source smaller than train_chunks
+                if not pending:
+                    return np.empty(0, np.int64)
+                _train_and_flush()
+
+            import logging
+
+            _t1 = _time.perf_counter()
             assign = np.concatenate(assigns) if assigns else np.empty(0, np.int32)
             nlist = int(centroids.shape[0])
             counts = np.bincount(assign, minlength=nlist)
@@ -685,8 +851,8 @@ class ClusteredIVFIndex(IVFIndex):
                 del rows
 
             self._size = total
-            self._next_slot = total
             self._free = []
+            self._pos_quarantine = []
             # slots == positions for a fresh bulk load
             self._slot_of[:total] = np.arange(total, dtype=np.int32)
             self._pos_of[:total] = np.arange(total, dtype=np.int32)
@@ -694,21 +860,41 @@ class ClusteredIVFIndex(IVFIndex):
             self._install_layout(
                 np.asarray(centroids), counts, assign[order]
             )
+            # block-aligned fresh boundary (kernel-path invariant)
+            self._next_slot = min(self._cap, -(-total // self._c) * self._c)
             self._residual = []
             self._residual_base = 0
             self._built_size = total
+            logging.getLogger("wdbx_tpu.index").info(
+                "build_from: %d rows, pass1 %.1fs (source %.1fs, train "
+                "%.1fs, assign %.1fs), pass2(scatter) %.1fs", total,
+                _t1 - _t0, timings["gen"], timings["train"],
+                timings["assign"], _time.perf_counter() - _t1,
+            )
             return dest.copy()  # dest == slot ids (identity mapping)
 
     # -- query ---------------------------------------------------------------
     def _scan_u(self, pad_b: int, nprobe: int) -> int:
-        """Static dedup width: worst-case distinct blocks for pad_b*nprobe
-        probes (prefix sum over the largest buckets), pow2-rounded."""
+        """Static dedup scan length. Two bounds:
+
+        * worst case — prefix sum of the largest buckets' block counts
+          for pad_b*nprobe probes (never drops a block);
+        * expected case — 1.5x the expected distinct-bucket count (the
+          birthday bound; uniform probe spread maximizes it) times the
+          mean blocks/bucket. At large coalesced batches the worst case
+          over-scans ~2.4x; under this bound the (rare) overflow drops
+          the least-probed blocks (popularity-ranked priority), which
+          tune() measures and compensates for with nprobe.
+        """
         pref = self._u_prefix
         nblocks = self._cap // self._c
-        worst = int(pref[min(pad_b * nprobe, len(pref)) - 1]) if len(
-            pref) else 1
-        return min(_next_pow2(max(1, worst) + 1), _next_pow2(nblocks),
-                   pad_b * nprobe * self._m)
+        draws = pad_b * nprobe
+        worst = int(pref[min(draws, len(pref)) - 1]) if len(pref) else 1
+        ne = max(1, self._nonempty)
+        e_distinct = ne * (1.0 - (1.0 - 1.0 / ne) ** draws)
+        expected = int(math.ceil(1.5 * e_distinct * self._avg_blocks)) + 8
+        return min(_next_pow2(max(1, min(worst, expected)) + 1),
+                   _next_pow2(nblocks), draws * self._m)
 
     def _search_read_locked(self, queries, k, slot_mask):
         if not self.is_trained:
@@ -750,18 +936,37 @@ class ClusteredIVFIndex(IVFIndex):
             self._scales if self._scales is not None
             else np.ones((1,), np.float32)  # unused placeholder (non-int8)
         )
-        scores, pos = _clustered_search(
-            self._slab, valid, scales,
-            self._row_bucket, self._centroids, self._blk_lo, self._blk_hi,
-            residual_pos, np.int32(r_n), q,
-            k=k, nprobe=nprobe, u=u, m=self._m, c=self._c,
-            precision=self._precision, int8=self._is_int8,
-            normalize=self.metric == "cosine",
-        )
+        if self._use_kernel():
+            scores, pos = _clustered_search_kernelpath(
+                self._slab, valid, scales,
+                self._centroids, self._blk_lo, self._blk_hi,
+                residual_pos, np.int32(r_n), q,
+                k=k, nprobe=nprobe, u=u, m=self._m, c=self._c,
+                precision=self._precision, int8=self._is_int8,
+                normalize=self.metric == "cosine",
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            scores, pos = _clustered_search(
+                self._slab, valid, scales,
+                self._row_bucket, self._centroids, self._blk_lo,
+                self._blk_hi, residual_pos, np.int32(r_n), q,
+                k=k, nprobe=nprobe, u=u, m=self._m, c=self._c,
+                precision=self._precision, int8=self._is_int8,
+                normalize=self.metric == "cosine",
+            )
         scores, pos = jax.device_get((scores[:b], pos[:b]))
         return self._map_pos_to_slots(
             np.asarray(scores), np.asarray(pos, np.int64)
         )
+
+    def _use_kernel(self) -> bool:
+        """Pallas block-scan kernel vs the portable lax scan. 'auto'
+        picks the kernel on real TPUs (Mosaic); 'pallas' forces it
+        (interpret mode off-TPU — tests), 'lax' forces the scan."""
+        if self.ivf_kernel == "pallas":
+            return True
+        return self.ivf_kernel == "auto" and jax.default_backend() == "tpu"
 
     def _pos_mask(self, slot_mask) -> np.ndarray | None:
         """Translate a slot-indexed filter mask into position space."""
@@ -805,16 +1010,29 @@ class ClusteredIVFIndex(IVFIndex):
                 np.asarray(residual, np.int32), (0, r_cap - r_n),
                 constant_values=self._cap,
             )
-            scores, pos = _clustered_search_pipelined(
-                self._slab, self._valid,
+            scales = (
                 self._scales if self._scales is not None
-                else np.ones((1,), np.float32),
-                self._row_bucket, self._centroids, self._blk_lo,
-                self._blk_hi, residual_pos, np.int32(r_n), qstack,
-                k=k, nprobe=nprobe, u=u, m=self._m, c=self._c,
-                precision=self._precision, int8=self._is_int8,
-                normalize=self.metric == "cosine",
+                else np.ones((1,), np.float32)
             )
+            if self._use_kernel():
+                scores, pos = _clustered_kernelpath_pipelined(
+                    self._slab, self._valid, scales,
+                    self._centroids, self._blk_lo, self._blk_hi,
+                    residual_pos, np.int32(r_n), qstack,
+                    k=k, nprobe=nprobe, u=u, m=self._m, c=self._c,
+                    precision=self._precision, int8=self._is_int8,
+                    normalize=self.metric == "cosine",
+                    interpret=jax.default_backend() != "tpu",
+                )
+            else:
+                scores, pos = _clustered_search_pipelined(
+                    self._slab, self._valid, scales,
+                    self._row_bucket, self._centroids, self._blk_lo,
+                    self._blk_hi, residual_pos, np.int32(r_n), qstack,
+                    k=k, nprobe=nprobe, u=u, m=self._m, c=self._c,
+                    precision=self._precision, int8=self._is_int8,
+                    normalize=self.metric == "cosine",
+                )
             scores, pos = jax.device_get((scores, pos))
         scores = np.asarray(scores)
         pos = np.asarray(pos, np.int64)
@@ -855,6 +1073,7 @@ class ClusteredIVFIndex(IVFIndex):
                         "residual_base": self._residual_base,
                         "next_ext_slot": self._next_ext_slot,
                         "free_slots": self._free_slots,
+                        "pos_quarantine": self._pos_quarantine,
                     },
                     f,
                 )
@@ -881,6 +1100,9 @@ class ClusteredIVFIndex(IVFIndex):
             self._residual_base = int(meta.get("residual_base", 0))
             self._next_ext_slot = int(meta.get("next_ext_slot", 0))
             self._free_slots = [int(s) for s in meta.get("free_slots", [])]
+            self._pos_quarantine = [
+                int(p) for p in meta.get("pos_quarantine", [])
+            ]
             data = np.load(path + ".ivfc.npz")
             hwm = self._next_slot
             slot_of = np.asarray(data["slot_of"], np.int32)
@@ -908,10 +1130,8 @@ class ClusteredIVFIndex(IVFIndex):
             trained=self.is_trained,
             residual=len(self._residual),
             layout="clustered",
+            # quarantined positions are tombstones awaiting the next
+            # build — count them so store.optimize() triggers compaction
+            tombstones=len(self._free) + len(self._pos_quarantine),
         )
         return stats
-
-
-@partial(jax.jit, donate_argnums=(0,))
-def _set_row_bucket(row_bucket, pos):
-    return row_bucket.at[pos].set(-1)

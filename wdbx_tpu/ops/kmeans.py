@@ -33,7 +33,16 @@ def kmeans(
     """
     data = data.astype(jnp.float32)
     key = jax.random.PRNGKey(seed)
-    centroids = _kmeanspp_init(key, data, num_clusters)
+    # k-means++ picks centers one at a time — num_clusters SEQUENTIAL
+    # full passes over the data (measured ~85s of device time at 262k x
+    # 768 x 4096 on v5e, hidden by async dispatch). Past a few hundred
+    # clusters, switch to k-means||-style batched seeding: a handful of
+    # rounds of (n, round_size) distance matmuls + Gumbel top-k
+    # sampling, which the MXU eats in milliseconds.
+    if num_clusters > 256:
+        centroids = _batched_seed_init(key, data, num_clusters)
+    else:
+        centroids = _kmeanspp_init(key, data, num_clusters)
 
     # Accumulation strategy: the one-hot^T @ data MXU matmul is fastest
     # but materializes an (N, C) f32 one-hot — 2+ GB at 131k x 4096,
@@ -99,6 +108,45 @@ def _kmeanspp_init(key: jax.Array, data: jax.Array, c: int) -> jax.Array:
 
     _, cents, _ = jax.lax.fori_loop(1, c, body, (key, cents, min_d2))
     return _renorm(cents)
+
+
+def _batched_seed_init(
+    key: jax.Array, data: jax.Array, c: int, rounds: int = 8
+) -> jax.Array:
+    """k-means||-flavoured seeding: ``rounds`` passes, each scoring the
+    data against only the centers chosen last round (one MXU matmul) and
+    then drawing the next batch of centers ~ d^2 via Gumbel top-k
+    (distinct samples, proportional-ish to the k-means++ distribution).
+    Same spreading intent as k-means++ at a tiny fraction of the cost:
+    8 matmuls instead of ``c`` sequential data passes."""
+    n, d = data.shape
+    per = -(-c // rounds)
+    key, sub = jax.random.split(key)
+    first = jax.random.choice(sub, n, (per,), replace=False)
+    cents = jnp.zeros((rounds * per, d), jnp.float32)
+    cents = jax.lax.dynamic_update_slice(cents, data[first], (0, 0))
+    min_d2 = jnp.full((n,), 4.0, jnp.float32)  # max sq dist of unit vecs
+
+    def body(r, carry):
+        key, cents, min_d2 = carry
+        new = jax.lax.dynamic_slice(cents, ((r - 1) * per, 0), (per, d))
+        sims = jax.lax.dot_general(
+            data, new, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (n, per)
+        d2 = 2.0 - 2.0 * jnp.max(sims, axis=-1)
+        min_d2 = jnp.minimum(min_d2, d2)
+        key, sub = jax.random.split(key)
+        # Gumbel top-k = sampling without replacement ∝ min_d2
+        g = jax.random.gumbel(sub, (n,)) + jnp.log(
+            jnp.maximum(min_d2, 1e-12)
+        )
+        _, picks = jax.lax.top_k(g, per)
+        cents = jax.lax.dynamic_update_slice(cents, data[picks], (r * per, 0))
+        return key, cents, min_d2
+
+    _, cents, _ = jax.lax.fori_loop(1, rounds, body, (key, cents, min_d2))
+    return _renorm(cents[:c])
 
 
 def _renorm(x: jax.Array) -> jax.Array:
