@@ -91,35 +91,84 @@ def _build_search(mesh: Mesh, axis: str, k: int, precision: str, int8: bool,
         top, pos = jax.lax.top_k(all_s, k_eff)
         return top, jnp.take_along_axis(all_i, pos, axis=1)
 
+    def local_stack(slab_l, valid_l, scales_l, qstack):
+        """Whole (NB, B, d) stack served inside ONE shard_map: the
+        per-device batched kernel scans NB batches locally, then a
+        SINGLE all_gather moves the (NB, B, k) candidate stacks over
+        ICI and the merge vectorizes over NB. Measured 2.3x faster than
+        scan-of-shard_map (per-step partitioning + per-step collectives,
+        benchmarks/mesh_pipeline_exp.py)."""
+        n_dev = jax.lax.axis_size(axis)
+        rows = slab_l.shape[1]
+        k_local = min(k, rows)
+        if method == "fused" and rows % 256 == 0:
+            from wdbx_tpu.kernels.fused_topk import fused_topk_search_batched
+
+            s, i = fused_topk_search_batched(
+                slab_l[0], qstack, valid_l[0], k=k_local,
+                block_n=min(8192, rows), interpret=interpret,
+                scales=scales_l[0] if int8 else None, normalize=normalize,
+            )  # (NB, B, k_local)
+            s = jnp.where(s <= -3.4e38, -jnp.inf, s)
+            i = i.astype(jnp.int32)
+        else:
+            if normalize:
+                nb_, b_, d_ = qstack.shape
+                qstack = l2_normalize(qstack.reshape(-1, d_)).reshape(
+                    qstack.shape
+                )
+
+            def step(carry, q):
+                if int8:
+                    qq = q.astype(jnp.bfloat16)
+                    slab_t = slab_l.astype(jnp.bfloat16)
+                else:
+                    qq = q.astype(slab_l.dtype)
+                    slab_t = slab_l
+                scores = jax.lax.dot_general(
+                    qq, slab_t, (((1,), (2,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision,
+                )[:, 0, :]
+                if int8:
+                    scores = scores * scales_l[0][None, :]
+                scores = jnp.where(valid_l[0][None, :], scores, -jnp.inf)
+                if method == "approx":
+                    s_, i_ = jax.lax.approx_max_k(
+                        scores, k_local, recall_target=0.98
+                    )
+                else:
+                    s_, i_ = jax.lax.top_k(scores, k_local)
+                return carry, (s_, i_.astype(jnp.int32))
+
+            _, (s, i) = jax.lax.scan(step, 0, qstack)
+        gi = i * n_dev + jax.lax.axis_index(axis)
+        all_s = jax.lax.all_gather(s, axis, axis=2, tiled=True)
+        all_i = jax.lax.all_gather(gi, axis, axis=2, tiled=True)
+        k_eff = min(k, all_s.shape[-1])
+        top, pos = jax.lax.top_k(all_s, k_eff)
+        return top, jnp.take_along_axis(all_i, pos, axis=2)
+
     # With a (replica, shard) mesh the slab replicates over the replica
     # axis (absent from its spec) while the QUERY BATCH shards over it —
     # each replica group serves its slice of the batch independently
     # (data-parallel serving on top of corpus sharding).
     q_spec = P(replica_axis, None)
+    slab_specs = (P(axis, None, None), P(axis, None), P(axis, None))
     mapped = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(
-            P(axis, None, None),
-            P(axis, None),
-            P(axis, None),
-            q_spec,
-        ),
+        in_specs=slab_specs + (q_spec,),
         out_specs=(q_spec, q_spec),
         check_vma=False,  # post-all-gather merge is replicated by construction
     )
-
-    @jax.jit
-    def pipelined(slab, valid, scales, qstack):
-        """lax.scan of the shard_map'd search over (NB, B, d) — one
-        dispatch serves NB batches across the whole mesh."""
-
-        def step(carry, q):
-            s, i = mapped(slab, valid, scales, q)
-            return carry, (s, i)
-
-        _, out = jax.lax.scan(step, 0, qstack)
-        return out
+    qs_spec = P(None, replica_axis, None)
+    pipelined = jax.jit(jax.shard_map(
+        local_stack,
+        mesh=mesh,
+        in_specs=slab_specs + (qs_spec,),
+        out_specs=(qs_spec, qs_spec),
+        check_vma=False,
+    ))
 
     fn = jax.jit(mapped)
     fn.pipelined = pipelined
