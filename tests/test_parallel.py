@@ -299,6 +299,98 @@ class TestFailover:
         assert hits[0][0] == "v0"
 
 
+class TestRemesh:
+    def test_flat_remesh_preserves_data(self, rng):
+        """8 -> 4 devices: same slots, same search results, adds work."""
+        idx = ShardedFlatIndex(8, capacity=64)
+        vecs = _normed(rng, 40, 8)
+        slots = idx.add_batch(vecs)
+        _, pre = idx.search(vecs[:5], 3)
+        idx.remesh(make_mesh(4))
+        assert idx.n_devices == 4
+        _, post = idx.search(vecs[:5], 3)
+        assert (pre == post).all()
+        assert idx.count() == 40
+        # mutation still works on the new topology
+        more = idx.add_batch(_normed(rng, 6, 8))
+        _, got = idx.search(np.asarray(idx.get_vectors(more[:1])), 1)
+        assert got.ravel()[0] == more[0]
+        idx.remove_slots(slots[:2])
+        assert idx.count() == 44
+
+    def test_remesh_up(self, rng):
+        idx = ShardedFlatIndex(8, mesh=make_mesh(2), capacity=64)
+        vecs = _normed(rng, 16, 8)
+        idx.add_batch(vecs)
+        idx.remesh(make_mesh(8))
+        assert idx.n_devices == 8
+        _, got = idx.search(vecs[:3], 1)
+        assert (got.ravel() == np.arange(3)).all()
+
+    def test_sharded_ivf_remesh_rebuilds(self, rng):
+        from wdbx_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+        idx = ShardedIVFIndex(16, nlist=8, nprobe=8, train_threshold=64)
+        vecs = _normed(rng, 600, 16)
+        idx.add_batch(vecs)
+        idx.build()
+        assert idx.is_trained
+        idx.remesh(make_mesh(4))
+        assert idx.is_trained  # rebuilt on the new mesh
+        idx.batch_flat_fallback = False
+        _, got = idx.search(vecs[:5], 1)
+        assert (got.ravel() == np.arange(5)).all()
+
+    def test_degraded_mesh_excludes_dead(self, temp_dir):
+        from unittest import mock
+
+        engine = ShardEngine(WDBXConfig({"DATA_DIR": temp_dir}))
+        asyncio.run(engine.initialize())
+        devices = [str(d) for d in engine.mesh.devices.flat]
+        health = {"healthy": False, "devices": {
+            d: ("error: down" if i == 2 else "ok")
+            for i, d in enumerate(devices)
+        }}
+        degraded = engine.degraded_mesh(health)
+        left = [str(d) for d in degraded.devices.flat]
+        assert len(left) == len(devices) - 1 and devices[2] not in left
+        # all healthy -> same mesh object
+        ok = {"healthy": True, "devices": {d: "ok" for d in devices}}
+        assert engine.degraded_mesh(ok) is engine.mesh
+
+    def test_heal_escalates_to_remesh(self, temp_dir):
+        """Layer 3: a dead device leaves the topology; the store's
+        sharded index re-stripes onto the survivors and keeps serving."""
+        from unittest import mock
+
+        from wdbx_tpu import WDBX
+
+        db = WDBX(vector_dimension=8, num_shards=1, data_dir=temp_dir,
+                  enable_plugins=False, enable_distributed=True,
+                  config={"INDEX_TYPE": "sharded_flat"})
+        asyncio.run(db.initialize())
+        rng = np.random.default_rng(1)
+        vecs = rng.standard_normal((24, 8)).astype(np.float32)
+        for i, v in enumerate(vecs):
+            db.vector_store(v, {"i": i}, f"v{i}")
+        db.store.save()
+        n_before = db.store.indices[0].n_devices
+        devices = [str(d) for d in db.shard_engine.mesh.devices.flat]
+        health = {"healthy": False, "devices": {
+            d: ("error: down" if i == 0 else "ok")
+            for i, d in enumerate(devices)
+        }}
+        with mock.patch.object(
+            db.shard_engine, "health_check", return_value=health
+        ):
+            report = db.heal(allow_remesh=True)
+        assert report["remeshed_to"] and len(report["remeshed_to"]) == \
+            n_before - 1
+        assert db.store.indices[0].n_devices == n_before - 1
+        hits = db.vector_search(vecs[3], limit=1)
+        assert hits[0][0] == "v3"
+
+
 MULTIHOST_WORKER = r"""
 import os, sys
 sys.path.insert(0, os.getcwd())  # repo root (python adds the script dir)

@@ -43,6 +43,7 @@ DEFAULTS: dict[str, Any] = {
     # parallel / mesh
     "MESH_AXIS": "shard",
     "MESH_REPLICAS": 1,  # >1 = (replica, shard) mesh, batch shards over replicas
+    "MESH_AUTO_REMESH": False,  # heal() re-stripes onto surviving devices
     "DISTRIBUTED_ENABLED": False,
     "DISTRIBUTED_REPLICATION_FACTOR": 1,
     "DISTRIBUTED_HOST": "localhost",

@@ -191,12 +191,18 @@ class WDBX:
     def optimize(self) -> bool:
         return self.store.optimize()
 
-    def heal(self) -> dict[str, Any]:
+    def heal(self, allow_remesh: bool | None = None) -> dict[str, Any]:
         """Failure detection + checkpoint recovery: probe every mesh
         device, and re-host any shard whose primary is unhealthy from
         its last checkpoint (consuming the ShardEngine's replica plan).
         Replaces the reference's dead socket-failover paths (reference
-        wdbx/core/distributed.py:698-834) with verify->recover."""
+        wdbx/core/distributed.py:698-834) with verify->recover.
+
+        ``allow_remesh`` (default: config ``MESH_AUTO_REMESH``)
+        escalates to LIVE RE-MESHING when devices stay unhealthy:
+        sharded indexes re-stripe onto a mesh of only the surviving
+        devices (slot ids are mesh-independent, so the store's
+        registries are untouched) and serving continues degraded."""
         # Layer 1: bookkeeping integrity — registry/index divergence
         # (state corruption with healthy devices) recovers per shard.
         integrity = self.store.verify()
@@ -231,6 +237,20 @@ class WDBX:
                     recovered.append(shard)
                 else:
                     unrecovered.append(shard)
+        # Layer 3: live re-meshing — devices that stay dead come OUT of
+        # the topology; every mesh-sharded index re-stripes onto the
+        # survivors and serving continues degraded.
+        if allow_remesh is None:
+            allow_remesh = bool(self.config.get("MESH_AUTO_REMESH", False))
+        remeshed_to: list[str] = []
+        if plan and allow_remesh:
+            degraded = self.shard_engine.degraded_mesh(health)
+            if degraded is not self.shard_engine.mesh:
+                for index in self.store.indices:
+                    if hasattr(index, "remesh"):
+                        index.remesh(degraded)
+                self.shard_engine.adopt_mesh(degraded)
+                remeshed_to = [str(d) for d in degraded.devices.flat]
         return {
             "healthy": health["healthy"] and integrity["consistent"],
             "devices": health["devices"],
@@ -238,6 +258,7 @@ class WDBX:
             "device_plan": {str(s): t for s, t in plan.items()},
             "recovered_shards": recovered,
             "unrecovered_shards": unrecovered,
+            "remeshed_to": remeshed_to,
         }
 
     # -- data surface (async) ------------------------------------------------

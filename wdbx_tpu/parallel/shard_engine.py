@@ -158,6 +158,32 @@ class ShardEngine:
                 plan[int(shard_s)] = target
         return plan
 
+    def degraded_mesh(self, health: dict[str, Any] | None = None):
+        """Mesh of only the healthy devices — the live re-meshing target
+        when a device is permanently gone (vs. plan_recovery's same-mesh
+        checkpoint re-hosting for transient failures). Returns the
+        current mesh unchanged when everything is healthy."""
+        import numpy as np
+        from jax.sharding import Mesh
+
+        health = health or self.health_check()
+        mesh = self.mesh or make_mesh(axis=self.axis)
+        devices = list(mesh.devices.flat)
+        healthy = [
+            d for d in devices if health["devices"].get(str(d)) == "ok"
+        ]
+        if not healthy:
+            raise RuntimeError("no healthy devices to remesh onto")
+        if len(healthy) == len(devices):
+            return mesh
+        # replica axes collapse: survival beats data-parallel fan-out
+        return Mesh(np.array(healthy), (self.axis,))
+
+    def adopt_mesh(self, mesh) -> None:
+        """Install a new mesh (post-remesh) and persist the allocation."""
+        self.mesh = mesh
+        self._persist_allocation()
+
     def get_stats(self) -> dict[str, Any]:
         mesh = self.mesh
         return {

@@ -449,6 +449,67 @@ class ShardedFlatIndex(FlatIndex):
         out[scores == -np.inf] = -1
         return scores, out
 
+    # -- live re-meshing ----------------------------------------------------
+    def remesh(self, mesh: Mesh) -> None:
+        """Re-host the index on a different mesh IN PLACE — the
+        degraded-topology failover path (lose a device, keep serving on
+        the survivors) and the scale-up path (add devices, re-stripe).
+
+        Slot ids are mesh-independent integers, so external bookkeeping
+        (store registries) survives untouched; only the physical
+        striping changes: slot ``s`` moves from ``(s % n_old, s // n_old)``
+        to ``(s % n_new, s // n_new)``. Data routes through the host
+        slot-order view (`_place` re-stripes onto the new mesh) — this
+        is a rare disaster-recovery/elasticity event, and the stripe
+        permutation is not expressible as a sharded reshape for a
+        device-to-device path without a bespoke all-to-all program
+        (future optimization).
+        """
+        with self._mu.write():
+            if self.axis not in mesh.axis_names:
+                raise ValueError(
+                    f"new mesh lacks axis {self.axis!r}: {mesh.axis_names}"
+                )
+            hwm = self._next_slot
+            old_ndev = self.n_devices
+            slab_np, valid_np = self._host_slot_view()
+            scales_np = np.asarray(self._scales).T.reshape(-1)
+
+            # adopt the new topology
+            self.mesh = mesh
+            self.replica_axis = (
+                "replica" if "replica" in mesh.axis_names else None
+            )
+            self.replicas = (
+                int(mesh.shape["replica"]) if self.replica_axis else 1
+            )
+            self.n_devices = int(mesh.shape[self.axis])
+            self._search_cache.clear()
+            self._write_fn = None
+            self._tombstone_fn = None
+            new_cap = self._round_cap(max(hwm, 1024))
+
+            def fit(x, fill, dtype):
+                out_shape = (new_cap,) + x.shape[1:]
+                out = np.full(out_shape, fill, dtype)
+                n = min(new_cap, x.shape[0])
+                out[:n] = x[:n]
+                return out
+
+            self._cap = new_cap
+            self._place(
+                fit(slab_np, 0, slab_np.dtype),
+                fit(valid_np, False, bool),
+                fit(scales_np, 1.0, np.float32),
+            )
+            self._free = [s for s in self._free if s < new_cap]
+            import logging
+
+            logging.getLogger("wdbx_tpu.parallel").info(
+                "remeshed %d -> %d devices (cap %d, %d live rows)",
+                old_ndev, self.n_devices, new_cap, self._size,
+            )
+
     def get_vectors(self, slots: np.ndarray) -> np.ndarray:
         slots = np.asarray(slots, np.int64)
         with self._mu.read():

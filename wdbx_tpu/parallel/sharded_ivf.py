@@ -228,6 +228,18 @@ class ShardedIVFIndex(IVFIndex, ShardedFlatIndex):
         with self._mu.write():
             self._sharded_build_locked()
 
+    def remesh(self, mesh) -> None:
+        """Re-stripe the slab on the new mesh, then rebuild the bucket
+        overlay there (tables are mesh-partitioned, so a topology change
+        invalidates them wholesale)."""
+        was_trained = self.is_trained
+        ShardedFlatIndex.remesh(self, mesh)
+        with self._mu.write():
+            self._reset_overlay()
+            self._ivf_search_cache.clear()
+        if was_trained and self._size:
+            self.build()
+
     def _sharded_build_locked(self) -> None:
         hwm = self._next_slot
         if self._size == 0 or hwm == 0:
