@@ -66,12 +66,13 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
     db32 = jax.random.normal(key, (n, dim), jnp.float32)
     db32 = db32 / jnp.linalg.norm(db32, axis=-1, keepdims=True)
+    slab_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     kb = batch * coalesce  # kernel batch width
     qkey = jax.random.PRNGKey(1)
     qstack = jax.random.normal(qkey, (nb, kb, dim), jnp.float32)
-    qstack = (qstack / jnp.linalg.norm(qstack, axis=-1, keepdims=True)).astype(
-        jnp.bfloat16
-    )
+    qstack = qstack / jnp.linalg.norm(qstack, axis=-1, keepdims=True)
+    if slab_dtype != "int8":  # int8 kernels take bf16/f32 queries
+        qstack = qstack.astype(jnp.bfloat16)
 
     def mm(dbx, q, precision):
         return jax.lax.dot_general(
@@ -100,7 +101,7 @@ def main() -> None:
     # kernel, grouped fold, scan-pipelined) -------------------------------
     from wdbx_tpu.index.flat import FlatIndex
 
-    index = FlatIndex(dim=dim, dtype="bfloat16", capacity=n)
+    index = FlatIndex(dim=dim, dtype=slab_dtype, capacity=n)
     t0 = time.perf_counter()
     index.add_batch(db32)  # device-resident ingest: one batched scatter
     jax.block_until_ready(index._slab)
@@ -162,7 +163,7 @@ def main() -> None:
     cpu_qps = cpu_qps_small * (cpu_n / n)  # linear O(N) scaling
 
     result = {
-        "metric": f"QPS at recall@10 ({n}x{dim} bf16, batch={batch})",
+        "metric": f"QPS at recall@10 ({n}x{dim} {slab_dtype}, batch={batch})",
         "value": round(tpu_qps, 1),
         "unit": "queries/s",
         "vs_baseline": round(tpu_qps / cpu_qps, 2),
