@@ -264,8 +264,14 @@ def _dedup_blocks(probe, blk_lo, blk_hi, nblocks: int, u: int, m: int):
         is_first, counts * bp + (bp - jnp.arange(bp, dtype=jnp.int32)), 0
     )
     _, sel = jax.lax.top_k(prio, u)
-    uniq = jnp.minimum(jnp.take(sorted_ids, sel), nblocks - 1)
     uniq_ok = jnp.take(is_first, sel)
+    # Masked entries (dups/sentinel) sort to the tail (prio 0); pin them
+    # all to ONE block id so the kernel's consecutive identical block
+    # indices skip their DMAs entirely.
+    uniq = jnp.where(
+        uniq_ok, jnp.minimum(jnp.take(sorted_ids, sel), nblocks - 1),
+        nblocks - 1,
+    )
     return uniq, uniq_ok
 
 
@@ -649,24 +655,27 @@ class ClusteredIVFIndex(IVFIndex):
         new_scales = (
             jnp.zeros((self._cap,), jnp.float32) if self._is_int8 else None
         )
+        # `start` stays a traced scalar: a static start would compile a
+        # fresh donated-update program per chunk (77 compiles at 10M).
         copy_rows = jax.jit(
             lambda dst, src_slab, idx, start: jax.lax.dynamic_update_slice(
                 dst, src_slab[idx], (start, 0)
             ),
-            donate_argnums=(0,), static_argnums=(3,),
+            donate_argnums=(0,),
         )
         copy_scales = jax.jit(
             lambda dst, src_s, idx, start: jax.lax.dynamic_update_slice(
                 dst, src_s[idx], (start,)
             ),
-            donate_argnums=(0,), static_argnums=(3,),
+            donate_argnums=(0,),
         )
         for i in range(0, n_live, chunk):
             end = min(i + chunk, n_live)
             idx = jnp.asarray(src[i:end])
-            new_slab = copy_rows(new_slab, self._slab, idx, i)
+            start = jnp.int32(i)
+            new_slab = copy_rows(new_slab, self._slab, idx, start)
             if self._is_int8:
-                new_scales = copy_scales(new_scales, self._scales, idx, i)
+                new_scales = copy_scales(new_scales, self._scales, idx, start)
         if n_live:
             new_valid = new_valid.at[:n_live].set(True)
         self._slab = new_slab
