@@ -1,0 +1,199 @@
+"""ShardedClusteredIndex on the faked 8-device CPU mesh: the zero-copy
+cluster-ordered layout striped over a mesh (every bucket ~1/n per
+device, one shard_map query program, all-gather merge)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from wdbx_tpu.index import create_index
+from wdbx_tpu.parallel import ShardedClusteredIndex, make_mesh
+
+
+def _normed(rng, n, d):
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+
+def _make(dim=32, **kw):
+    kw.setdefault("nlist", 16)
+    kw.setdefault("nprobe", 16)
+    kw.setdefault("train_threshold", 256)
+    idx = ShardedClusteredIndex(dim, **kw)
+    idx.batch_flat_fallback = False
+    return idx
+
+
+class TestShardedClustered:
+    def test_full_probe_matches_exact(self, rng):
+        d, n = 32, 3000
+        db = _normed(rng, n, d)
+        idx = _make(d)
+        slots = idx.add_batch(db)
+        idx.build()
+        assert idx.is_trained and idx.n_devices == 8
+        q = _normed(rng, 8, d)
+        _, got = idx.search(q, 10)
+        exact = slots[np.argsort(-(q @ db.T), axis=-1)[:, :10]]
+        recall = np.mean(
+            [len(set(a.tolist()) & set(b.tolist())) / 10
+             for a, b in zip(got, exact)]
+        )
+        assert recall >= 0.99, recall
+        _, selfq = idx.search(db[:8], 1)
+        assert (selfq.ravel() == slots[:8]).all()
+
+    def test_load_balanced_striping(self, rng):
+        """Every device holds ~1/n of every nonempty bucket."""
+        idx = _make(32, nlist=8)
+        idx.add_batch(_normed(rng, 2048, 32))
+        idx.build()
+        counts = idx._local_counts  # (n_dev, nlist)
+        spread = counts.max(axis=0) - counts.min(axis=0)
+        assert (spread[counts.sum(axis=0) > 0] <= 1).all()
+
+    def test_mutations(self, rng):
+        d = 32
+        idx = _make(d)
+        db = _normed(rng, 2000, d)
+        slots = idx.add_batch(db)
+        idx.build()
+        idx.remove_slots(slots[:50])
+        _, gd = idx.search(db[:50], 1)
+        dead = set(slots[:50].tolist())
+        assert not any(int(g) in dead for g in gd.ravel() if g >= 0)
+        fresh = _normed(rng, 20, d)
+        fs = idx.add_batch(fresh)
+        _, gf = idx.search(fresh, 1)
+        assert (gf.ravel() == fs).all()
+        # fresh rows surface exactly once (disjointness invariant)
+        _, g10 = idx.search(fresh, 10)
+        for row in g10:
+            ids = [int(g) for g in row if g >= 0]
+            assert len(ids) == len(set(ids)), row
+
+    def test_update_moves_row(self, rng):
+        d = 32
+        idx = _make(d)
+        db = _normed(rng, 1500, d)
+        slots = idx.add_batch(db)
+        idx.build()
+        target = _normed(rng, 1, d)
+        idx.update_slots(slots[7:8], target)
+        _, got = idx.search(target, 10)
+        assert int(got.ravel()[0]) == int(slots[7])
+        ids = [int(g) for g in got.ravel() if g >= 0]
+        assert len(ids) == len(set(ids))
+
+    def test_rebuild_slot_stability(self, rng):
+        d = 32
+        idx = _make(d)
+        db = _normed(rng, 1500, d)
+        idx.add_batch(db)
+        idx.build()
+        fresh = _normed(rng, 30, d)
+        idx.add_batch(fresh)
+        _, pre = idx.search(fresh, 3)
+        idx.build()
+        _, post = idx.search(fresh, 3)
+        assert (pre == post).all()
+
+    def test_pipelined_matches_search(self, rng):
+        d = 32
+        idx = _make(d)
+        idx.add_batch(_normed(rng, 2000, d))
+        idx.build()
+        qs = rng.standard_normal((2, 4, d)).astype(np.float32)
+        sp, gp = idx.search_pipelined(qs, 5)
+        assert sp.shape == (2, 4, 5)
+        for i in range(2):
+            _, gi = idx.search(qs[i], 5)
+            assert (gp[i] == gi).all()
+
+    def test_persistence_roundtrip(self, rng, temp_dir):
+        d = 32
+        idx = _make(d)
+        db = _normed(rng, 1500, d)
+        slots = idx.add_batch(db)
+        idx.build()
+        idx.remove_slots(slots[:10])
+        fresh = _normed(rng, 5, d)
+        idx.add_batch(fresh)
+        path = os.path.join(temp_dir, "sc")
+        idx.save(path)
+        idx2 = _make(d)
+        assert idx2.load(path)
+        assert idx2.count() == idx.count() and idx2.is_trained
+        _, a = idx.search(fresh, 3)
+        _, b = idx2.search(fresh, 3)
+        assert (a == b).all()
+
+    def test_remesh_rebuilds(self, rng):
+        d = 32
+        idx = _make(d)
+        db = _normed(rng, 1500, d)
+        idx.add_batch(db)
+        idx.build()
+        _, pre = idx.search(db[:5], 3)
+        idx.remesh(make_mesh(4))
+        assert idx.n_devices == 4 and idx.is_trained
+        _, post = idx.search(db[:5], 3)
+        assert (pre == post).all()
+
+    def test_int8(self, rng):
+        d = 64
+        db = _normed(rng, 3000, d)
+        idx = _make(d, dtype="int8")
+        idx.add_batch(db)
+        idx.build()
+        q = _normed(rng, 4, d)
+        _, got = idx.search(q, 10)
+        exact = np.argsort(-(q @ db.T), axis=-1)[:, :10]
+        recall = np.mean(
+            [len(set(int(x) for x in a) & set(b.tolist())) / 10
+             for a, b in zip(got, exact)]
+        )
+        assert recall >= 0.9, recall
+
+    def test_untrained_falls_back(self, rng):
+        idx = _make(16, train_threshold=10_000)
+        db = _normed(rng, 64, 16)
+        slots = idx.add_batch(db)
+        _, got = idx.search(db[:3], 1)
+        assert (got.ravel() == slots[:3]).all()
+
+    def test_slot_mask_routes_exact(self, rng):
+        idx = _make(32)
+        idx.add_batch(_normed(rng, 1024, 32))
+        idx.build()
+        mask = np.zeros(1024, bool)
+        mask[::2] = True
+        _, got = idx.search(_normed(rng, 4, 32), 10, slot_mask=mask)
+        assert all(int(g) % 2 == 0 for g in got.ravel() if g >= 0)
+
+    def test_factory(self):
+        idx = create_index("sharded_clustered", 8)
+        assert isinstance(idx, ShardedClusteredIndex)
+
+    def test_tune(self, rng):
+        d = 32
+        idx = _make(d, nlist=16, nprobe=1)
+        idx.add_batch(_normed(rng, 4000, d))
+        idx.build()
+        achieved = idx.tune(_normed(rng, 16, d), k=10, target_recall=0.9)
+        assert achieved >= 0.9
+
+    def test_kernel_path_interpret(self, rng):
+        """Pallas block-scan kernel inside shard_map (interpret mode)."""
+        d = 32
+        idx = _make(d, nlist=8, nprobe=8)
+        db = _normed(rng, 1024, d)
+        slots = idx.add_batch(db)
+        idx.build()
+        idx.ivf_kernel = "lax"
+        _, g_lax = idx.search(db[:4], 5)
+        idx.ivf_kernel = "pallas"
+        idx._cluster_cache.clear()
+        _, g_k = idx.search(db[:4], 5)
+        assert (g_lax == g_k).all()

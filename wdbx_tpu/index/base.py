@@ -146,6 +146,17 @@ def create_index(kind: str, dim: int, config: Any = None) -> "VectorIndex":
             kwargs["axis"] = config.get("MESH_AXIS", "shard")
             kwargs["replicas"] = int(config.get("MESH_REPLICAS", 1))
         return ShardedFlatIndex(dim, **kwargs)
+    if kind == "sharded_clustered":
+        from wdbx_tpu.parallel.sharded_clustered import ShardedClusteredIndex
+
+        if config is not None:
+            kwargs["axis"] = config.get("MESH_AXIS", "shard")
+            kwargs["nlist"] = int(config.get("IVF_NLIST", 128))
+            kwargs["nprobe"] = int(config.get("IVF_NPROBE", 8))
+            kwargs["train_threshold"] = int(
+                config.get("IVF_TRAIN_THRESHOLD", 4096)
+            )
+        return ShardedClusteredIndex(dim, **kwargs)
     if kind == "sharded_ivf":
         from wdbx_tpu.parallel.sharded_ivf import ShardedIVFIndex
 

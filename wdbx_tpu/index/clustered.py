@@ -704,17 +704,23 @@ class ClusteredIVFIndex(IVFIndex):
         self._built_size = self._size
 
     def _install_layout(
-        self, centroids: np.ndarray, counts: np.ndarray, sorted_assign
+        self, centroids: np.ndarray, counts: np.ndarray, sorted_assign,
+        c: int | None = None,
     ) -> None:
         """Set centroids/extents/row_bucket from bucket counts (rows are
-        already laid out in cluster order in [0, sum(counts)))."""
+        already laid out in cluster order in [0, sum(counts))). ``c``
+        must be the build-time block size when restoring persisted
+        state — recomputing from the current capacity can change the
+        geometry and move the fresh-row boundary inside a scanned block
+        (duplicate candidates)."""
         nlist = len(counts)
         start = np.zeros(nlist + 1, np.int64)
         np.cumsum(counts, out=start[1:])
-        c = _block_rows(
-            self.dim, np.dtype(self._dtype).itemsize, self._cap,
-            target=self.block_bytes_target,
-        )
+        if c is None:
+            c = _block_rows(
+                self.dim, np.dtype(self._dtype).itemsize, self._cap,
+                target=self.block_bytes_target,
+            )
         blk_lo = (start[:-1] // c).astype(np.int32)
         blk_hi = (-(-start[1:] // c)).astype(np.int32)
         blk_n = blk_hi - blk_lo
@@ -1083,6 +1089,7 @@ class ClusteredIVFIndex(IVFIndex):
                         "next_ext_slot": self._next_ext_slot,
                         "free_slots": self._free_slots,
                         "pos_quarantine": self._pos_quarantine,
+                        "block_rows": self._c,
                     },
                     f,
                 )
@@ -1125,7 +1132,10 @@ class ClusteredIVFIndex(IVFIndex):
                 counts = np.diff(start)
                 rb = np.asarray(data["row_bucket"], np.int32)
                 nc = int(start[-1])
-                self._install_layout(centroids, counts, rb[:nc])
+                self._install_layout(
+                    centroids, counts, rb[:nc],
+                    c=int(meta.get("block_rows", 0)) or None,
+                )
                 # _install_layout rebuilt row_bucket from sorted assign;
                 # the persisted copy also carries -1s for residual rows —
                 # identical by construction, so nothing further to do.

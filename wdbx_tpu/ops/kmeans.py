@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("num_clusters", "iters"))
 def kmeans(
     data: jax.Array,
     num_clusters: int,
@@ -30,7 +29,38 @@ def kmeans(
 
     Returns ``(centroids, assignments)``: ``(num_clusters, d)`` float32
     unit centroids and ``(N,)`` int32 cluster ids.
+
+    Mesh-agnostic: when ``data`` carries an Explicit-axes mesh (the
+    sharded index classes pass replicated samples off such meshes), the
+    body runs under ``auto_axes`` in that mesh's context — strict
+    sharding-in-types inference otherwise lands inferred shardings on
+    the seeding gathers and rejects the centroid updates.
     """
+    from jax.sharding import AxisType, PartitionSpec
+
+    sh = getattr(data, "sharding", None)
+    mesh = getattr(sh, "mesh", None)
+    if mesh is not None and any(
+        t == AxisType.Explicit for t in getattr(mesh, "axis_types", ())
+    ):
+        with jax.sharding.set_mesh(mesh):
+            return jax.jit(
+                jax.sharding.auto_axes(
+                    partial(_kmeans_body, num_clusters=num_clusters,
+                            iters=iters, seed=seed),
+                    out_sharding=(PartitionSpec(), PartitionSpec()),
+                )
+            )(data)
+    return _kmeans_jit(data, num_clusters=num_clusters, iters=iters,
+                       seed=seed)
+
+
+def _kmeans_body(
+    data: jax.Array,
+    num_clusters: int,
+    iters: int = 15,
+    seed: int = 0,
+) -> tuple[jax.Array, jax.Array]:
     data = data.astype(jnp.float32)
     key = jax.random.PRNGKey(seed)
     # k-means++ picks centers one at a time — num_clusters SEQUENTIAL
@@ -84,6 +114,11 @@ def kmeans(
     )
     assignments = jnp.argmax(sims, axis=-1).astype(jnp.int32)
     return centroids, assignments
+
+
+_kmeans_jit = partial(jax.jit, static_argnames=("num_clusters", "iters"))(
+    _kmeans_body
+)
 
 
 def _kmeanspp_init(key: jax.Array, data: jax.Array, c: int) -> jax.Array:

@@ -11,10 +11,11 @@ compiled program (SURVEY.md §2.9's mapping table).
 
 from wdbx_tpu.parallel.mesh import make_mesh, make_mesh2
 from wdbx_tpu.parallel.shard_engine import ShardEngine
+from wdbx_tpu.parallel.sharded_clustered import ShardedClusteredIndex
 from wdbx_tpu.parallel.sharded_flat import ShardedFlatIndex
 from wdbx_tpu.parallel.sharded_ivf import ShardedIVFIndex
 
 __all__ = [
     "make_mesh", "make_mesh2", "ShardedFlatIndex", "ShardedIVFIndex",
-    "ShardEngine",
+    "ShardedClusteredIndex", "ShardEngine",
 ]

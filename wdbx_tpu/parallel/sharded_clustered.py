@@ -1,0 +1,824 @@
+"""Mesh-sharded cluster-ordered IVF: zero-copy bucket layout × N chips.
+
+Scales ``ClusteredIVFIndex`` (wdbx_tpu/index/clustered.py) over a device
+mesh while keeping its memory story (the bucket table IS the slab — no
+corpus duplication, so per-chip capacity is the full HBM minus the slab
+itself).
+
+Layout: every bucket's rows stripe ROUND-ROBIN across devices — row r
+of bucket b lives on device ``r % n_dev`` at the next local position of
+that device's copy of b. Each device therefore holds ~1/n of EVERY
+bucket, contiguously, in a locally cluster-ordered slab with its own
+extents. Consequences:
+
+  * storage balance is exact (±1 row per bucket per device);
+  * query load balance is exact: every probe scans ~1/n of its bucket
+    on every device simultaneously;
+  * global position encoding is the striped one ShardedFlatIndex
+    already uses (``pos = local_row * n_dev + device``), so the sharded
+    scatter/tombstone machinery and slot-order persistence work
+    unchanged, and fresh adds allocated past a uniform local boundary
+    land balanced round-robin across devices.
+
+Search is ONE shard_map program: replicated probe selection against
+replicated centroids, per-device block dedup over LOCAL extents,
+per-device block scan (the scalar-prefetch Pallas kernel on TPU, a
+lax scan elsewhere), local residual merge, then a single all-gather of
+the (B, k) candidate sets over ICI and an identical merge everywhere.
+
+The disjointness invariant of the single-device class carries over in
+global position space (freed positions quarantine until rebuild,
+updates move the row, fresh rows start above the block-aligned local
+boundary), so no per-row bucket mask is needed in any scan path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from wdbx_tpu.index.clustered import _block_rows, _dedup_blocks
+from wdbx_tpu.index.flat import _next_pow2
+from wdbx_tpu.index.ivf import IVFIndex
+from wdbx_tpu.ops.kmeans import kmeans
+from wdbx_tpu.ops.normalize import l2_normalize
+from wdbx_tpu.parallel.sharded_flat import ShardedFlatIndex
+
+NEG = -3.4e38
+
+
+def _build_clustered_search(
+    mesh, axis, *, k, nprobe, u, m, c, precision, int8, normalize,
+    use_kernel, interpret,
+):
+    """shard_map'd cluster query; per-batch and (NB,B,d)-stack variants."""
+
+    def local(slab_l, valid_l, scales_l, blk_lo_l, blk_hi_l, centroids,
+              residual_l, rcount_l, q):
+        n_dev = jax.lax.axis_size(axis)
+        rpd = slab_l.shape[1]
+        d = slab_l.shape[2]
+        b = q.shape[0]
+        if normalize:
+            q = l2_normalize(q)
+        cs = jax.lax.dot_general(
+            q, centroids, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        p_eff = min(nprobe, centroids.shape[0])
+        _, probe = jax.lax.top_k(cs, p_eff)
+        nblocks = rpd // c
+        uniq, ok = _dedup_blocks(
+            probe, blk_lo_l[0], blk_hi_l[0], nblocks, u, m
+        )
+        slab2 = slab_l[0]  # (rpd, d) — local inside shard_map
+        valid1 = valid_l[0]
+        scales1 = scales_l[0]
+        if use_kernel:
+            from wdbx_tpu.kernels.clustered_scan import clustered_block_topk
+
+            qk = q.astype(jnp.bfloat16) if int8 else q.astype(slab2.dtype)
+            kv, kp = clustered_block_topk(
+                slab2, valid1.astype(jnp.int8).reshape(1, -1),
+                scales1.astype(jnp.float32).reshape(1, -1) if int8 else None,
+                uniq.astype(jnp.int32), ok.astype(jnp.int32), qk,
+                k=min(k, rpd), c=c, interpret=interpret,
+            )
+            s_loc = jnp.where(kv <= NEG, -jnp.inf, kv)
+        else:
+            # portable lax block scan — kernel semantics (no bucket
+            # mask; disjointness invariant makes foreign rows free
+            # extra candidates)
+            slab3 = slab2.reshape(nblocks, c, d)
+            v2 = valid1.reshape(nblocks, c)
+            s2 = scales1.reshape(nblocks, c)
+            k_blk = min(k, c)
+
+            def step(carry, x):
+                blk, okk = x
+                rows = jax.lax.dynamic_index_in_dim(slab3, blk, 0, False)
+                v = jax.lax.dynamic_index_in_dim(v2, blk, 0, False)
+                if int8:
+                    sc = jax.lax.dynamic_index_in_dim(s2, blk, 0, False)
+                    s = jax.lax.dot_general(
+                        q.astype(jnp.bfloat16), rows.astype(jnp.bfloat16),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    ) * sc[None, :]
+                else:
+                    s = jax.lax.dot_general(
+                        q.astype(rows.dtype), rows, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    )
+                s = jnp.where(v[None, :] & okk, s, -jnp.inf)
+                if s.shape[-1] >= 16 * k_blk:
+                    v_, i_ = jax.lax.approx_max_k(
+                        s, k_blk, recall_target=0.998
+                    )
+                else:
+                    v_, i_ = jax.lax.top_k(s, k_blk)
+                return carry, (v_, blk * c + i_)
+
+            _, (vals, pos) = jax.lax.scan(step, 0, (uniq, ok))
+            u_eff = vals.shape[0]
+            flat_s = vals.transpose(1, 0, 2).reshape(b, u_eff * k_blk)
+            flat_p = pos.transpose(1, 0, 2).reshape(b, u_eff * k_blk)
+            k_eff = min(k, flat_s.shape[-1])
+            s_loc, sel = jax.lax.top_k(flat_s, k_eff)
+            kp = jnp.take_along_axis(flat_p, sel, axis=-1)
+            if k_eff < k:
+                s_loc = jnp.pad(s_loc, ((0, 0), (0, k - k_eff)),
+                                constant_values=-jnp.inf)
+                kp = jnp.pad(kp, ((0, 0), (0, k - k_eff)),
+                             constant_values=0)
+
+        # local residual (fresh rows on THIS device)
+        r_cap = residual_l.shape[1]
+        if r_cap:
+            rpos = residual_l[0]
+            rows = slab2[rpos]
+            if int8:
+                rows = rows.astype(jnp.bfloat16)
+                rq = q.astype(jnp.bfloat16)
+            else:
+                rq = q.astype(rows.dtype)
+            r_s = jax.lax.dot_general(
+                rq, rows, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            if int8:
+                r_s = r_s * scales1[rpos][None, :]
+            live = jnp.arange(r_cap) < rcount_l[0]
+            r_valid = jnp.logical_and(valid1[rpos], live)
+            r_s = jnp.where(r_valid[None, :], r_s, -jnp.inf)
+            all_s = jnp.concatenate([s_loc, r_s], axis=-1)
+            all_p = jnp.concatenate(
+                [kp, jnp.broadcast_to(rpos, (b, r_cap))], axis=-1
+            )
+            s_loc, sel = jax.lax.top_k(all_s, k)
+            kp = jnp.take_along_axis(all_p, sel, axis=-1)
+
+        # local row -> global striped position, then ICI merge
+        gp = kp * n_dev + jax.lax.axis_index(axis)
+        gp = jnp.where(s_loc == -jnp.inf, -1, gp)
+        all_s = jax.lax.all_gather(s_loc, axis, axis=1, tiled=True)
+        all_p = jax.lax.all_gather(gp, axis, axis=1, tiled=True)
+        top, sel = jax.lax.top_k(all_s, min(k, all_s.shape[-1]))
+        return top, jnp.take_along_axis(all_p, sel, axis=1)
+
+    slab_specs = (
+        P(axis, None, None), P(axis, None), P(axis, None),
+        P(axis, None), P(axis, None), P(), P(axis, None), P(axis),
+    )
+    mapped = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=slab_specs + (P(None, None),),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    ))
+
+    def local_stack(slab_l, valid_l, scales_l, blk_lo_l, blk_hi_l,
+                    centroids, residual_l, rcount_l, qstack):
+        def step(carry, q):
+            s, i = local(slab_l, valid_l, scales_l, blk_lo_l, blk_hi_l,
+                         centroids, residual_l, rcount_l, q)
+            return carry, (s, i)
+
+        _, out = jax.lax.scan(step, 0, qstack)
+        return out
+
+    pipelined = jax.jit(jax.shard_map(
+        local_stack, mesh=mesh,
+        in_specs=slab_specs + (P(None, None, None),),
+        out_specs=(P(None, None, None), P(None, None, None)),
+        check_vma=False,
+    ))
+    mapped.pipelined = pipelined
+    return mapped
+
+
+class ShardedClusteredIndex(IVFIndex, ShardedFlatIndex):
+    """Cluster-ordered IVF striped over a mesh (see module docstring).
+
+    MRO mirrors ShardedIVFIndex: IVF triggers/tuning above
+    ShardedFlatIndex storage. Memory per chip = corpus/n_dev + ~9
+    bytes/row of bookkeeping — the multi-chip extension of the index
+    that fits 10M x 768 int8 on one chip.
+    """
+
+    kind = "sharded_clustered"
+
+    def __init__(self, dim, metric="cosine", dtype="float32",
+                 capacity=1024, mesh=None, axis="shard", nlist=128,
+                 nprobe=8, train_threshold=4096, rebuild_fraction=0.2,
+                 kmeans_iters=15, train_sample=262_144):
+        ShardedFlatIndex.__init__(
+            self, dim, metric=metric, dtype=dtype, capacity=capacity,
+            mesh=mesh, axis=axis,
+        )
+        self.nlist = nlist
+        self.nprobe = nprobe
+        self.assignments = 1
+        self.train_threshold = train_threshold
+        self.rebuild_fraction = rebuild_fraction
+        self.kmeans_iters = kmeans_iters
+        self.train_sample = train_sample
+        self.batch_flat_fallback = True
+        self.topk_method = "auto"
+        self.block_bytes_target = 786_432
+        #: "auto" | "pallas" | "lax" (see ClusteredIVFIndex)
+        self.ivf_kernel = "auto"
+        self._cluster_cache: dict[tuple, object] = {}
+        self._reset_overlay()
+
+    # -- overlay state -------------------------------------------------------
+    def _reset_overlay(self) -> None:
+        self._centroids = None  # (nlist, d) replicated
+        self._blk_lo = None  # (n_dev, nlist) int32, sharded
+        self._blk_hi = None
+        self._local_counts: np.ndarray | None = None  # (n_dev, nlist)
+        self._m = 1
+        self._c = 1
+        self._u_prefix: np.ndarray | None = None
+        self._nonempty = 0
+        self._avg_blocks = 1.0
+        self._residual: list[int] = []  # GLOBAL striped positions
+        self._residual_base = 0
+        self._built_size = 0
+        self._pos_quarantine: list[int] = []
+        self._slot_of = np.full(self._cap, -1, np.int32)
+        self._pos_of = np.full(self._cap, -1, np.int32)
+        self._free_slots: list[int] = []
+        self._next_ext_slot = 0
+        self._cluster_cache = getattr(self, "_cluster_cache", {})
+        self._cluster_cache.clear()
+
+    def _grow(self, need: int) -> None:
+        old_cap = self._cap
+        slot_of, pos_of = self._slot_of, self._pos_of
+        ShardedFlatIndex._grow(self, need)
+        so = np.full(self._cap, -1, np.int32)
+        so[:old_cap] = slot_of
+        self._slot_of = so
+        po = np.full(self._cap, -1, np.int32)
+        po[:old_cap] = pos_of
+        self._pos_of = po
+
+    @property
+    def is_trained(self) -> bool:
+        return self._centroids is not None
+
+    def _map_pos_to_slots(self, scores, pos):
+        out = self._slot_of[np.clip(pos, 0, self._cap - 1)].astype(np.int64)
+        out[(pos < 0) | (scores == -np.inf)] = -1
+        return scores, out
+
+    def _positions_of(self, slots) -> np.ndarray:
+        idx = np.asarray(slots, np.int64)
+        return self._pos_of[np.clip(idx, 0, self._cap - 1)].astype(np.int64)
+
+    def _take_ext_slots(self, n: int) -> np.ndarray:
+        slots = []
+        while self._free_slots and len(slots) < n:
+            slots.append(self._free_slots.pop())
+        fresh = n - len(slots)
+        if fresh:
+            slots.extend(
+                range(self._next_ext_slot, self._next_ext_slot + fresh)
+            )
+            self._next_ext_slot += fresh
+        return np.asarray(slots, np.int64)
+
+    # -- mutation (global striped position space) ----------------------------
+    def add_batch(self, vectors: np.ndarray) -> np.ndarray:
+        with self._mu.write():
+            vectors = self._prep(vectors)
+            n = len(vectors)
+            pos = self._take_slots(n)
+            self._scatter(pos, vectors, True)
+            self._size += n
+            slots = self._take_ext_slots(n)
+            self._slot_of[pos] = slots.astype(np.int32)
+            self._pos_of[slots] = pos.astype(np.int32)
+            if self.is_trained:
+                self._residual.extend(int(p) for p in pos)
+            return slots
+
+    def update_slots(self, slots, vectors) -> None:
+        with self._mu.write():
+            vectors = self._prep(vectors)
+            pos = self._positions_of(slots)
+            known = pos >= 0
+            slots = np.asarray(slots, np.int64)[known]
+            if not known.all():
+                vectors = vectors[known]
+            if len(slots) == 0:
+                return
+            pos = pos[known]
+            if not self.is_trained:
+                self._scatter(pos, vectors, True)
+                return
+            self._tombstone_positions(pos)
+            self._pos_quarantine.extend(int(p) for p in pos)
+            new_pos = self._take_slots(len(slots))
+            self._scatter(new_pos, vectors, True)
+            self._slot_of[new_pos] = slots.astype(np.int32)
+            self._pos_of[slots] = new_pos.astype(np.int32)
+            self._residual.extend(int(p) for p in new_pos)
+
+    def _tombstone_positions(self, pos) -> None:
+        pad_n = _next_pow2(len(pos))
+        ppos = jnp.asarray(
+            np.pad(pos, (0, pad_n - len(pos)), constant_values=self._cap)
+        )
+        self._valid = self._tombstone_arrays(ppos)
+
+    def remove_slots(self, slots) -> None:
+        slots = np.asarray(slots, np.int64)
+        if len(slots) == 0:
+            return
+        with self._mu.write():
+            pos = self._positions_of(slots)
+            known = pos >= 0
+            slots, pos = slots[known], pos[known]
+            if len(slots) == 0:
+                return
+            self._tombstone_positions(pos)
+            self._size -= len(slots)
+            if self.is_trained:
+                self._pos_quarantine.extend(int(p) for p in pos)
+                res = set(int(p) for p in pos)
+                self._residual = [p for p in self._residual if p not in res]
+            else:
+                self._free.extend(int(p) for p in pos)
+            self._free_slots.extend(int(s) for s in slots)
+            self._slot_of[pos] = -1
+            self._pos_of[slots] = -1
+
+    def clear(self) -> None:
+        with self._mu.write():
+            ShardedFlatIndex.clear(self)
+            self._reset_overlay()
+
+    def optimize(self) -> None:
+        if self._size > 0:
+            self.build()
+
+    def compact(self):
+        with self._mu.write():
+            self._build_locked()
+            live = np.nonzero(self._slot_of >= 0)[0]
+            slots = np.sort(self._slot_of[live].astype(np.int64))
+            return slots, slots
+
+    # -- build ---------------------------------------------------------------
+    def build(self) -> None:
+        with self._mu.write():
+            self._build_locked()
+
+    def _build_locked(self) -> None:
+        hwm = self._next_slot
+        if self._size == 0 or hwm == 0:
+            self._reset_overlay()
+            return
+        n_dev = self.n_devices
+        valid_h = np.asarray(self._valid).T.reshape(-1)[:hwm]
+        live_pos = np.nonzero(valid_h)[0].astype(np.int64)
+        n_live = len(live_pos)
+
+        repl = self._sharding(P())
+
+        @jax.jit
+        def gather_rows(slab, scales, pos):
+            dev, row = pos % n_dev, pos // n_dev
+            # gathers from sharded operands need an explicit out sharding
+            rows = slab.at[dev, row].get(out_sharding=repl).astype(
+                jnp.float32
+            )
+            if self._is_int8:
+                scl = scales.at[dev, row].get(out_sharding=repl)
+                rows = rows * scl[:, None]
+            if self.metric == "cosine":
+                rows = rows / jnp.maximum(
+                    jnp.linalg.norm(rows, axis=-1, keepdims=True), 1e-12
+                )
+            return rows
+
+        nlist = min(self.nlist, n_live)
+        sample = live_pos
+        if n_live > self.train_sample:
+            sel = np.random.default_rng(0).choice(
+                n_live, self.train_sample, replace=False
+            )
+            sample = live_pos[np.sort(sel)]
+        train = gather_rows(self._slab, self._scales, jnp.asarray(sample))
+        centroids, _ = kmeans(
+            train, num_clusters=nlist, iters=self.kmeans_iters
+        )
+        del train
+
+        from wdbx_tpu.index.clustered import _assign_blocked
+
+        chunk = 131_072
+        assign = np.empty(n_live, np.int32)
+        for i in range(0, n_live, chunk):
+            end = min(i + chunk, n_live)
+            rows_chunk = gather_rows(
+                self._slab, self._scales, jnp.asarray(live_pos[i:end])
+            )
+            assign[i:end] = np.asarray(_assign_blocked(rows_chunk, centroids))
+            del rows_chunk
+
+        # --- striped cluster layout ---
+        # rows of bucket b, in stable order, go to device (rank % n_dev)
+        # at local rank (rank // n_dev); device-local layout is bucket-
+        # contiguous over that device's subset.
+        order = np.argsort(assign, kind="stable")
+        sorted_assign = assign[order]
+        counts = np.bincount(assign, minlength=nlist)
+        starts = np.zeros(nlist + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        rank_in_bucket = np.arange(n_live) - starts[sorted_assign]
+        dev = (rank_in_bucket % n_dev).astype(np.int64)
+        local_rank = rank_in_bucket // n_dev
+        # per-(device, bucket) counts and local starts
+        local_counts = np.zeros((n_dev, nlist), np.int64)
+        np.add.at(local_counts, (dev, sorted_assign), 1)
+        local_starts = np.zeros((n_dev, nlist + 1), np.int64)
+        np.cumsum(local_counts, axis=1, out=local_starts[:, 1:])
+        local_row = local_starts[dev, sorted_assign] + local_rank
+        dest = (local_row * n_dev + dev).astype(np.int64)  # global striped
+
+        # Round-robin striping hands low-numbered devices up to one
+        # extra row per bucket, so the max per-device row count can
+        # exceed rows_per_device at high occupancy — grow first (striped
+        # global positions survive a grow: s % n_dev is unchanged).
+        need_local = int(local_starts[:, -1].max()) if n_live else 0
+        if need_local > self.rows_per_device:
+            self._grow(need_local * n_dev)
+
+        # rebuild the slab: gather rows from old positions, scatter to
+        # dest (both striped) — chunked device passes with fresh arrays
+        old_slab, old_valid, old_scales = (
+            self._slab, self._valid, self._scales,
+        )
+        self._alloc(self._cap)
+        src_global = live_pos[order]
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def move(slab_new, valid_new, scales_new, slab_old, scales_old,
+                 src, dst):
+            sdev, srow = src % n_dev, src // n_dev
+            ddev, drow = dst % n_dev, dst // n_dev
+            slab_s = self._sharding(P(self.axis, None, None))
+            v_s = self._sharding(P(self.axis, None))
+            rows = slab_old.at[sdev, srow].get(out_sharding=repl)
+            sc = scales_old.at[sdev, srow].get(out_sharding=repl)
+            slab_new = slab_new.at[ddev, drow].set(rows, out_sharding=slab_s)
+            scales_new = scales_new.at[ddev, drow].set(sc, out_sharding=v_s)
+            valid_new = valid_new.at[ddev, drow].set(True, out_sharding=v_s)
+            return slab_new, valid_new, scales_new
+
+        slab_n, valid_n, scales_n = self._slab, self._valid, self._scales
+        for i in range(0, n_live, chunk):
+            end = min(i + chunk, n_live)
+            slab_n, valid_n, scales_n = move(
+                slab_n, valid_n, scales_n, old_slab, old_scales,
+                jnp.asarray(src_global[i:end]), jnp.asarray(dest[i:end]),
+            )
+        self._slab, self._valid, self._scales = slab_n, valid_n, scales_n
+        del old_slab, old_valid, old_scales
+
+        # host slot mapping follows the permutation
+        slot_at_dest = self._slot_of[src_global]
+        self._slot_of[:] = -1
+        self._slot_of[dest] = slot_at_dest
+        self._pos_of[:] = -1
+        keep = slot_at_dest >= 0
+        self._pos_of[slot_at_dest[keep]] = dest[keep].astype(np.int32)
+
+        self._install_layout(np.asarray(centroids), local_counts)
+        self._free = []
+        self._pos_quarantine = []
+        # uniform local boundary: max aligned local clustered end
+        max_local = int(local_starts[:, -1].max()) if n_live else 0
+        boundary = -(-max_local // self._c) * self._c
+        self._next_slot = min(self._cap, boundary * n_dev)
+        self._residual = []
+        self._residual_base = 0
+        self._built_size = self._size
+
+    def _install_layout(
+        self, centroids: np.ndarray, local_counts: np.ndarray,
+        c: int | None = None,
+    ) -> None:
+        n_dev, nlist = local_counts.shape
+        rpd = self.rows_per_device
+        if c is None:
+            c = _block_rows(
+                self.dim, np.dtype(self._dtype).itemsize, rpd,
+                target=self.block_bytes_target,
+            )
+        # NOTE: load() passes the PERSISTED c — recomputing from the
+        # current capacity can change the block geometry and move the
+        # fresh-row boundary inside a scanned block (duplicate results).
+        self._c = c
+        local_starts = np.zeros((n_dev, nlist + 1), np.int64)
+        np.cumsum(local_counts, axis=1, out=local_starts[:, 1:])
+        blk_lo = (local_starts[:, :-1] // c).astype(np.int32)
+        blk_hi = (-(-local_starts[:, 1:] // c)).astype(np.int32)
+        blk_n = blk_hi - blk_lo
+        nonempty = local_counts > 0
+        self._m = _next_pow2(
+            max(1, int(blk_n[nonempty].max()) if nonempty.any() else 1)
+        )
+        self._nonempty = int(nonempty.any(axis=0).sum())
+        self._avg_blocks = (
+            float(blk_n[nonempty].mean()) if nonempty.any() else 1.0
+        )
+        # worst-case prefix over the max-per-bucket block counts
+        per_bucket_max = blk_n.max(axis=0)
+        self._u_prefix = np.cumsum(
+            np.sort(per_bucket_max[per_bucket_max > 0])[::-1]
+        )
+        self._local_counts = local_counts
+        sh = self._sharding(P(self.axis, None))
+        self._centroids = jax.device_put(
+            jnp.asarray(centroids, jnp.float32), self._sharding(P())
+        )
+        self._blk_lo = jax.device_put(jnp.asarray(blk_lo), sh)
+        self._blk_hi = jax.device_put(jnp.asarray(blk_hi), sh)
+        self._cluster_cache.clear()
+
+    # -- query ---------------------------------------------------------------
+    def _scan_u(self, pad_b: int, nprobe: int) -> int:
+        import math
+
+        pref = self._u_prefix
+        nblocks = self.rows_per_device // self._c
+        draws = pad_b * nprobe
+        worst = int(pref[min(draws, len(pref)) - 1]) if len(pref) else 1
+        ne = max(1, self._nonempty)
+        e_distinct = ne * (1.0 - (1.0 - 1.0 / ne) ** draws)
+        expected = int(math.ceil(1.5 * e_distinct * self._avg_blocks)) + 8
+        return min(_next_pow2(max(1, min(worst, expected)) + 1),
+                   _next_pow2(max(1, nblocks)), draws * self._m)
+
+    def _use_kernel(self) -> bool:
+        if self.ivf_kernel == "pallas":
+            return True
+        return self.ivf_kernel == "auto" and jax.default_backend() == "tpu"
+
+    def _residual_arrays(self):
+        """Pack global residual positions into a per-device (n_dev,
+        r_cap) LOCAL-row table + per-device counts."""
+        n_dev = self.n_devices
+        res = np.asarray(self._residual, np.int64)
+        per_dev: list[np.ndarray] = [
+            res[res % n_dev == j] // n_dev for j in range(n_dev)
+        ]
+        r_max = max((len(p) for p in per_dev), default=0)
+        r_cap = _next_pow2(max(r_max, 1)) if r_max else 0
+        table = np.full((n_dev, max(r_cap, 1)), self.rows_per_device,
+                        np.int32)
+        counts = np.zeros((n_dev,), np.int32)
+        for j, p in enumerate(per_dev):
+            table[j, : len(p)] = p.astype(np.int32)
+            counts[j] = len(p)
+        if r_cap == 0:
+            table = table[:, :0]
+        return table, counts
+
+    def _search_fn(self, k, nprobe, u):
+        key = (k, nprobe, u, self._m, self._c, self._cap,
+               self._use_kernel())
+        fn = self._cluster_cache.get(key)
+        if fn is None:
+            fn = _build_clustered_search(
+                self.mesh, self.axis, k=k, nprobe=nprobe, u=u, m=self._m,
+                c=self._c, precision=self._precision, int8=self._is_int8,
+                normalize=self.metric == "cosine",
+                use_kernel=self._use_kernel(),
+                interpret=jax.default_backend() != "tpu",
+            )
+            self._cluster_cache[key] = fn
+        return fn
+
+    def search(self, queries, k, slot_mask=None):
+        if self._needs_build():
+            with self._mu.write():
+                self._maybe_build()
+        with self._mu.read():
+            if not self.is_trained:
+                scores, pos = ShardedFlatIndex.search(
+                    self, queries, k, self._pos_mask(slot_mask)
+                )
+                return self._map_pos_to_slots(scores, pos)
+            queries = self._prep(queries)
+            b = len(queries)
+            pad_b = _next_pow2(max(b, 1))
+            nlist = int(self._centroids.shape[0])
+            nprobe = min(self.nprobe, nlist)
+            u = self._scan_u(pad_b, nprobe)
+            if self.batch_flat_fallback and (
+                u * self._c * self.n_devices >= max(1, self._size)
+            ):
+                scores, pos = ShardedFlatIndex.search(
+                    self, queries, k, self._pos_mask(slot_mask)
+                )
+                return self._map_pos_to_slots(scores, pos)
+            if slot_mask is not None:
+                # device pre-filtering on the clustered path would need
+                # a sharded mask AND; route through the exact path
+                scores, pos = ShardedFlatIndex.search(
+                    self, queries, k, self._pos_mask(slot_mask)
+                )
+                return self._map_pos_to_slots(scores, pos)
+            q = np.pad(np.asarray(queries, np.float32),
+                       ((0, pad_b - b), (0, 0)))
+            table, counts = self._residual_arrays()
+            fn = self._search_fn(k, nprobe, u)
+            scores, pos = fn(
+                self._slab, self._valid, self._scales, self._blk_lo,
+                self._blk_hi, self._centroids,
+                jax.device_put(jnp.asarray(table),
+                               self._sharding(P(self.axis, None))),
+                jax.device_put(jnp.asarray(counts),
+                               self._sharding(P(self.axis))),
+                q,
+            )
+            scores, pos = jax.device_get((scores[:b], pos[:b]))
+        return self._map_pos_to_slots(
+            np.asarray(scores), np.asarray(pos, np.int64)
+        )
+
+    def search_pipelined(self, qstack, k):
+        if self._needs_build():
+            with self._mu.write():
+                self._maybe_build()
+        with self._mu.read():
+            if not self.is_trained:
+                scores, pos = ShardedFlatIndex.search_pipelined(
+                    self, qstack, k
+                )
+                nb = scores.shape[0]
+                out_s = np.empty_like(scores)
+                out_p = np.empty_like(pos)
+                for i in range(nb):
+                    out_s[i], out_p[i] = self._map_pos_to_slots(
+                        scores[i], pos[i]
+                    )
+                return out_s, out_p
+            qstack = np.asarray(qstack, np.float32) if not isinstance(
+                qstack, jax.Array) else qstack
+            nb, b, _ = qstack.shape
+            nlist = int(self._centroids.shape[0])
+            nprobe = min(self.nprobe, nlist)
+            u = self._scan_u(b, nprobe)
+            table, counts = self._residual_arrays()
+            fn = self._search_fn(k, nprobe, u)
+            scores, pos = fn.pipelined(
+                self._slab, self._valid, self._scales, self._blk_lo,
+                self._blk_hi, self._centroids,
+                jax.device_put(jnp.asarray(table),
+                               self._sharding(P(self.axis, None))),
+                jax.device_put(jnp.asarray(counts),
+                               self._sharding(P(self.axis))),
+                qstack,
+            )
+            scores, pos = jax.device_get((scores, pos))
+        scores = np.asarray(scores)
+        pos = np.asarray(pos, np.int64)
+        out_s = np.empty_like(scores)
+        out_p = np.empty_like(pos)
+        for i in range(nb):
+            out_s[i], out_p[i] = self._map_pos_to_slots(scores[i], pos[i])
+        return out_s, out_p
+
+    def _pos_mask(self, slot_mask):
+        if slot_mask is None:
+            return None
+        mask = np.zeros(self._cap, bool)
+        n = min(len(slot_mask), self._cap)
+        sel = np.nonzero(slot_mask[:n])[0]
+        pos = self._pos_of[sel]
+        mask[pos[pos >= 0]] = True
+        return mask
+
+    def _oracle_search(self, queries, k):
+        scores, pos = ShardedFlatIndex.search(self, queries, k)
+        return self._map_pos_to_slots(scores, pos)
+
+    def get_vectors(self, slots: np.ndarray) -> np.ndarray:
+        return ShardedFlatIndex.get_vectors(self, self._positions_of(slots))
+
+    def remesh(self, mesh) -> None:
+        """Re-stripe onto a new mesh and rebuild the cluster layout
+        there (extents are per-device, so topology invalidates them)."""
+        was_trained = self.is_trained
+        ShardedFlatIndex.remesh(self, mesh)
+        with self._mu.write():
+            # remesh preserved global positions; only the overlay and
+            # the oversized mapping arrays need refitting
+            slot_of, pos_of = self._slot_of, self._pos_of
+            resid, quar = self._residual, self._pos_quarantine
+            free_s, next_ext = self._free_slots, self._next_ext_slot
+            self._reset_overlay()
+            n = min(len(slot_of), self._cap)
+            self._slot_of[:n] = slot_of[:n]
+            self._pos_of[:n] = pos_of[:n]
+            self._residual = [p for p in resid if p < self._cap]
+            self._pos_quarantine = [p for p in quar if p < self._cap]
+            self._free_slots = free_s
+            self._next_ext_slot = next_ext
+        if was_trained and self._size:
+            self.build()
+
+    # -- persistence ---------------------------------------------------------
+    def save(self, path: str) -> None:
+        import json
+
+        with self._mu.read():
+            self._sharded_save_locked(path)
+            hwm = self._next_slot
+            arrays = dict(
+                slot_of=self._slot_of[:hwm],
+                residual=np.asarray(self._residual, np.int64),
+            )
+            if self.is_trained:
+                arrays["centroids"] = np.asarray(self._centroids)
+                arrays["local_counts"] = self._local_counts
+            np.savez(path + ".ivfsc.npz", **arrays)
+            with open(path + ".ivfsc.json", "w") as f:
+                json.dump(
+                    {
+                        "nlist": self.nlist,
+                        "nprobe": self.nprobe,
+                        "trained": self.is_trained,
+                        "built_size": self._built_size,
+                        "residual_base": self._residual_base,
+                        "next_ext_slot": self._next_ext_slot,
+                        "free_slots": self._free_slots,
+                        "pos_quarantine": self._pos_quarantine,
+                        "next_slot": self._next_slot,
+                        "block_rows": self._c,
+                    },
+                    f,
+                )
+
+    def load(self, path: str) -> bool:
+        import json
+        import os
+
+        with self._mu.write():
+            if not ShardedFlatIndex._load_locked(self, path):
+                return False
+            self._reset_overlay()
+            self._slot_of = np.full(self._cap, -1, np.int32)
+            self._pos_of = np.full(self._cap, -1, np.int32)
+            if not os.path.exists(path + ".ivfsc.json"):
+                return True
+            with open(path + ".ivfsc.json") as f:
+                meta = json.load(f)
+            self.nlist = meta["nlist"]
+            self.nprobe = meta["nprobe"]
+            self._built_size = int(meta.get("built_size", 0))
+            self._residual_base = int(meta.get("residual_base", 0))
+            self._next_ext_slot = int(meta.get("next_ext_slot", 0))
+            self._free_slots = [int(s) for s in meta.get("free_slots", [])]
+            self._pos_quarantine = [
+                int(p) for p in meta.get("pos_quarantine", [])
+            ]
+            self._next_slot = int(meta.get("next_slot", self._next_slot))
+            data = np.load(path + ".ivfsc.npz")
+            hwm = min(len(data["slot_of"]), self._cap)
+            slot_of = np.asarray(data["slot_of"], np.int32)[:hwm]
+            self._slot_of[:hwm] = slot_of
+            keep = slot_of >= 0
+            self._pos_of[slot_of[keep]] = np.arange(hwm, dtype=np.int32)[keep]
+            self._residual = [int(p) for p in data["residual"]]
+            if meta.get("trained") and "centroids" in data:
+                self._install_layout(
+                    np.asarray(data["centroids"]),
+                    np.asarray(data["local_counts"], np.int64),
+                    c=int(meta.get("block_rows", 0)) or None,
+                )
+            return True
+
+    def get_stats(self) -> dict:
+        stats = ShardedFlatIndex.get_stats(self)
+        stats.update(
+            nlist=self.nlist,
+            nprobe=self.nprobe,
+            trained=self.is_trained,
+            residual=len(self._residual),
+            layout="sharded_clustered",
+            tombstones=len(self._free) + len(self._pos_quarantine),
+        )
+        return stats
