@@ -359,6 +359,35 @@ class TestClusteredIVF:
         )
         assert recall >= 0.9, recall
 
+    def test_residual_region_positions_recycle_immediately(self, rng):
+        """Freed fresh-row positions (never block-scanned) go straight
+        back to the free list; only clustered-region frees quarantine."""
+        d = 32
+        idx = _make(d, nlist=8, nprobe=8)
+        idx.add_batch(_normed(rng, 1024, d))
+        idx.build()
+        fresh = _normed(rng, 16, d)
+        fslots = idx.add_batch(fresh)
+        t0 = idx.get_stats()["tombstones"]
+        idx.remove_slots(fslots[:8])  # residual-region rows
+        # tombstones counts free+quarantine; the positions are reusable
+        assert len(idx._pos_quarantine) == 0
+        more = idx.add_batch(_normed(rng, 8, d))
+        _, got = idx.search(_normed(rng, 2, d), 10)
+        ids = [int(g) for g in got.ravel() if g >= 0]
+        assert len(ids) == len(set(ids))
+
+    def test_delete_churn_triggers_rebuild(self, rng):
+        d = 32
+        idx = _make(d, nlist=8, nprobe=8, rebuild_fraction=0.1)
+        slots = idx.add_batch(_normed(rng, 1000, d))
+        idx.build()
+        idx.remove_slots(slots[:200])  # 20% > rebuild_fraction
+        assert idx._needs_build()
+        idx.search(_normed(rng, 1, d), 3)  # triggers the rebuild
+        assert len(idx._pos_quarantine) == 0
+        assert idx.count() == 800
+
     def test_quarantine_recycles_after_rebuild(self, rng):
         d = 32
         idx = _make(d, nlist=8, nprobe=8)

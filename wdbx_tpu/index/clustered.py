@@ -444,11 +444,13 @@ class ClusteredIVFIndex(IVFIndex):
         self._residual: list[int] = []  # POSITIONS of unclustered rows
         self._residual_base = 0
         self._built_size = 0
-        #: positions freed while trained; held out of reuse until the
-        #: next build so fresh rows never land inside scanned blocks
-        #: (the kernel path has no per-row bucket mask — see
-        #: kernels/clustered_scan.py)
+        #: positions freed while trained INSIDE the clustered region;
+        #: held out of reuse until the next build so fresh rows never
+        #: land inside scanned blocks (the kernel path has no per-row
+        #: bucket mask — see kernels/clustered_scan.py). Freed RESIDUAL-
+        #: region positions (>= _fresh_base) recycle immediately.
         self._pos_quarantine: list[int] = []
+        self._fresh_base = 0
 
     def _take_ext_slots(self, n: int) -> np.ndarray:
         slots = []
@@ -510,10 +512,15 @@ class ClusteredIVFIndex(IVFIndex):
             if not self.is_trained:
                 self._scatter(pos, vectors, True)
                 return
-            # move-on-update: tombstone + quarantine the old position,
-            # land the new row above the clustered boundary
+            # move-on-update: tombstone the old position (quarantined
+            # if inside the clustered region, recycled otherwise), land
+            # the new row above the clustered boundary
             self._tombstone_positions(pos)
-            self._pos_quarantine.extend(int(p) for p in pos)
+            clustered = pos < self._fresh_base
+            self._pos_quarantine.extend(int(p) for p in pos[clustered])
+            self._free.extend(int(p) for p in pos[~clustered])
+            gone = set(int(x) for x in pos[~clustered])
+            self._residual = [p for p in self._residual if p not in gone]
             new_pos = self._take_slots(len(slots))
             self._scatter(new_pos, vectors, True)
             self._slot_of[new_pos] = slots.astype(np.int32)
@@ -539,10 +546,15 @@ class ClusteredIVFIndex(IVFIndex):
                 return
             self._tombstone_positions(pos)
             self._size -= len(slots)
-            # external slots recycle immediately; positions only recycle
-            # after the next build (quarantine) while trained
+            # external slots recycle immediately; clustered-region
+            # positions quarantine until the next build, residual-region
+            # positions (never block-scanned) recycle right away
             if self.is_trained:
-                self._pos_quarantine.extend(int(p) for p in pos)
+                clustered = pos < self._fresh_base
+                self._pos_quarantine.extend(
+                    int(p) for p in pos[clustered]
+                )
+                self._free.extend(int(p) for p in pos[~clustered])
                 res = set(int(p) for p in pos)
                 self._residual = [p for p in self._residual if p not in res]
             else:
@@ -699,6 +711,7 @@ class ClusteredIVFIndex(IVFIndex):
         self._free = []
         self._pos_quarantine = []
         self._next_slot = min(self._cap, -(-n_live // self._c) * self._c)
+        self._fresh_base = self._next_slot
         self._residual = []
         self._residual_base = 0
         self._built_size = self._size
@@ -877,6 +890,7 @@ class ClusteredIVFIndex(IVFIndex):
             )
             # block-aligned fresh boundary (kernel-path invariant)
             self._next_slot = min(self._cap, -(-total // self._c) * self._c)
+            self._fresh_base = self._next_slot
             self._residual = []
             self._residual_base = 0
             self._built_size = total
@@ -1090,6 +1104,7 @@ class ClusteredIVFIndex(IVFIndex):
                         "free_slots": self._free_slots,
                         "pos_quarantine": self._pos_quarantine,
                         "block_rows": self._c,
+                        "fresh_base": self._fresh_base,
                     },
                     f,
                 )
@@ -1119,6 +1134,7 @@ class ClusteredIVFIndex(IVFIndex):
             self._pos_quarantine = [
                 int(p) for p in meta.get("pos_quarantine", [])
             ]
+            self._fresh_base = int(meta.get("fresh_base", 0))
             data = np.load(path + ".ivfc.npz")
             hwm = self._next_slot
             slot_of = np.asarray(data["slot_of"], np.int32)
@@ -1140,6 +1156,16 @@ class ClusteredIVFIndex(IVFIndex):
                 # the persisted copy also carries -1s for residual rows —
                 # identical by construction, so nothing further to do.
             return True
+
+    def _needs_build(self) -> bool:
+        if IVFIndex._needs_build(self):
+            return True
+        # tombstone bloat: quarantined positions only return to service
+        # at a rebuild, so heavy delete churn triggers one
+        return bool(self._built_size) and (
+            len(self._pos_quarantine)
+            > self.rebuild_fraction * self._built_size
+        )
 
     def get_stats(self) -> dict:
         stats = FlatIndex.get_stats(self)

@@ -252,6 +252,7 @@ class ShardedClusteredIndex(IVFIndex, ShardedFlatIndex):
         self._residual_base = 0
         self._built_size = 0
         self._pos_quarantine: list[int] = []
+        self._fresh_base = 0  # positions >= this are residual-region
         self._slot_of = np.full(self._cap, -1, np.int32)
         self._pos_of = np.full(self._cap, -1, np.int32)
         self._free_slots: list[int] = []
@@ -325,7 +326,11 @@ class ShardedClusteredIndex(IVFIndex, ShardedFlatIndex):
                 self._scatter(pos, vectors, True)
                 return
             self._tombstone_positions(pos)
-            self._pos_quarantine.extend(int(p) for p in pos)
+            clustered = pos < self._fresh_base
+            self._pos_quarantine.extend(int(p) for p in pos[clustered])
+            self._free.extend(int(p) for p in pos[~clustered])
+            gone = set(int(x) for x in pos[~clustered])
+            self._residual = [p for p in self._residual if p not in gone]
             new_pos = self._take_slots(len(slots))
             self._scatter(new_pos, vectors, True)
             self._slot_of[new_pos] = slots.astype(np.int32)
@@ -352,7 +357,9 @@ class ShardedClusteredIndex(IVFIndex, ShardedFlatIndex):
             self._tombstone_positions(pos)
             self._size -= len(slots)
             if self.is_trained:
-                self._pos_quarantine.extend(int(p) for p in pos)
+                clustered = pos < self._fresh_base
+                self._pos_quarantine.extend(int(p) for p in pos[clustered])
+                self._free.extend(int(p) for p in pos[~clustered])
                 res = set(int(p) for p in pos)
                 self._residual = [p for p in self._residual if p not in res]
             else:
@@ -510,6 +517,7 @@ class ShardedClusteredIndex(IVFIndex, ShardedFlatIndex):
         max_local = int(local_starts[:, -1].max()) if n_live else 0
         boundary = -(-max_local // self._c) * self._c
         self._next_slot = min(self._cap, boundary * n_dev)
+        self._fresh_base = self._next_slot
         self._residual = []
         self._residual_base = 0
         self._built_size = self._size
@@ -569,6 +577,15 @@ class ShardedClusteredIndex(IVFIndex, ShardedFlatIndex):
         expected = int(math.ceil(1.5 * e_distinct * self._avg_blocks)) + 8
         return min(_next_pow2(max(1, min(worst, expected)) + 1),
                    _next_pow2(max(1, nblocks)), draws * self._m)
+
+    def _needs_build(self) -> bool:
+        if IVFIndex._needs_build(self):
+            return True
+        # tombstone bloat: quarantined positions only recycle at rebuild
+        return bool(self._built_size) and (
+            len(self._pos_quarantine)
+            > self.rebuild_fraction * self._built_size
+        )
 
     def _use_kernel(self) -> bool:
         if self.ivf_kernel == "pallas":
@@ -768,6 +785,7 @@ class ShardedClusteredIndex(IVFIndex, ShardedFlatIndex):
                         "pos_quarantine": self._pos_quarantine,
                         "next_slot": self._next_slot,
                         "block_rows": self._c,
+                        "fresh_base": self._fresh_base,
                     },
                     f,
                 )
@@ -795,6 +813,7 @@ class ShardedClusteredIndex(IVFIndex, ShardedFlatIndex):
             self._pos_quarantine = [
                 int(p) for p in meta.get("pos_quarantine", [])
             ]
+            self._fresh_base = int(meta.get("fresh_base", 0))
             self._next_slot = int(meta.get("next_slot", self._next_slot))
             data = np.load(path + ".ivfsc.npz")
             hwm = min(len(data["slot_of"]), self._cap)
