@@ -211,6 +211,48 @@ class TestVectorStore:
         hits = store.search(vecs["v42"], limit=1)
         assert hits[0][0] == "v42"
 
+    @pytest.mark.parametrize(
+        "kind", ["ivf_clustered", "sharded_clustered"]
+    )
+    def test_clustered_store_lifecycle(self, temp_dir, rng, kind):
+        """Full store lifecycle over the cluster-ordered layouts:
+        batch_store -> optimize (build permutes the slab; registry must
+        survive via stable slots) -> filtered search -> delete/update ->
+        persistence restart."""
+        store = make_store(
+            temp_dir, dim=8, shards=1, INDEX_TYPE=kind,
+            IVF_TRAIN_THRESHOLD=64, IVF_NLIST=4, IVF_NPROBE=4,
+        )
+        vecs = {
+            f"v{i}": rng.standard_normal(8).astype(np.float32)
+            for i in range(120)
+        }
+        metas = {k: {"i": int(k[1:])} for k in vecs}
+        store.batch_store(vecs, metas)
+        store.optimize()  # triggers the clustered build
+        hits = store.search(vecs["v42"], limit=1)
+        assert hits[0][0] == "v42"
+        # filtered search through the store's mask machinery
+        hits = store.search(
+            vecs["v42"], limit=5, filter_metadata={"i": {"$lt": 50}}
+        )
+        assert hits and all(h[2]["i"] < 50 for h in hits)
+        # mutation via the store
+        assert store.delete("v42")
+        hits = store.search(vecs["v42"], limit=1)
+        assert hits[0][0] != "v42"
+        store.update_metadata("v41", {"i": 1000})
+        assert store.get("v41")[1]["i"] == 1000
+        # restart-resume
+        store.save()
+        store2 = make_store(
+            temp_dir, dim=8, shards=1, INDEX_TYPE=kind,
+            IVF_TRAIN_THRESHOLD=64, IVF_NLIST=4, IVF_NPROBE=4,
+        )
+        assert store2.count() == 119
+        hits = store2.search(vecs["v41"], limit=1)
+        assert hits[0][0] == "v41"
+
 
 class TestVerifyRecover:
     def test_verify_consistent(self, temp_dir, rng):
