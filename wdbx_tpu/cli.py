@@ -308,7 +308,16 @@ class WDBXCLI:
         import asyncio
         import json as _json
 
-        report = await asyncio.to_thread(self.wdbx.heal)
+        ap = argparse.ArgumentParser(prog="heal")
+        ap.add_argument(
+            "--remesh", action="store_true",
+            help="escalate to live re-meshing: re-stripe sharded indexes "
+                 "onto the surviving devices if some stay dead",
+        )
+        ns = ap.parse_args(args)
+        report = await asyncio.to_thread(
+            self.wdbx.heal, True if ns.remesh else None
+        )
         print(_json.dumps(report, indent=2, default=str))
 
     def _cmd_exit(self, args: list[str]) -> None:
