@@ -422,7 +422,90 @@ print(f"proc{pid} OK local={local}", flush=True)
 """
 
 
+MULTIHOST_DATA_WORKER = r"""
+import os, sys
+sys.path.insert(0, os.getcwd())
+port, pid = sys.argv[1], int(sys.argv[2])
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+)
+import numpy as np
+from wdbx_tpu.parallel.sharded_flat import ShardedFlatIndex
+from wdbx_tpu.parallel.sharded_clustered import ShardedClusteredIndex
+from wdbx_tpu.parallel.mesh import make_mesh
+
+# data plane: add/search/tombstone on a mesh spanning both processes
+mesh = make_mesh()
+assert mesh.devices.size == 8
+idx = ShardedFlatIndex(dim=16, capacity=8 * 16, mesh=mesh)
+rng = np.random.default_rng(0)  # identical inserts on both controllers
+vecs = rng.standard_normal((32, 16)).astype(np.float32)
+slots = idx.add_batch(vecs)
+scores, got = idx.search(vecs[:8], k=3)
+assert (got[:, 0] == slots[:8]).all(), got[:, 0]
+idx.remove_slots(slots[:2])
+_, got2 = idx.search(vecs[:2], k=1)
+assert got2[0, 0] != slots[0] and got2[1, 0] != slots[1]
+
+# clustered build: kmeans + striped permute + shard_map query over DCN
+c = ShardedClusteredIndex(dim=16, nlist=8, nprobe=8, train_threshold=64)
+c.batch_flat_fallback = False
+cv = rng.standard_normal((600, 16)).astype(np.float32)
+cv /= np.linalg.norm(cv, axis=-1, keepdims=True)
+cs = c.add_batch(cv)
+c.build()
+assert c.is_trained
+_, cg = c.search(cv[:8], k=3)
+assert (cg[:, 0] == cs[:8]).all(), cg[:, 0]
+print(f"proc{pid} DATA OK", flush=True)
+"""
+
+
 class TestMultiHost:
+    def _run_workers(self, script_text, tmp_path, extra_args=(), timeout=240):
+        import socket
+        import subprocess
+        import sys
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        script = tmp_path / "worker.py"
+        script.write_text(script_text)
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script), str(port), str(pid),
+                 *extra_args],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                cwd="/root/repo",
+            )
+            for pid in range(2)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate()
+            outs.append((p.returncode, out))
+        return outs
+
+    def test_two_process_data_plane(self, tmp_path):
+        """Multi-controller DATA plane: striped scatter insert, shard_map
+        search + all-gather merge, tombstones, and the full clustered
+        build (kmeans, permute, block-scan query) across two processes
+        over the gloo/DCN backend."""
+        outs = self._run_workers(MULTIHOST_DATA_WORKER, tmp_path)
+        for rc, out in outs:
+            assert rc == 0, f"worker failed rc={rc}:\n{out[-2000:]}"
+        assert "proc0 DATA OK" in outs[0][1]
+        assert "proc1 DATA OK" in outs[1][1]
+
     def test_two_process_shard_engine(self, temp_dir, tmp_path):
         """Real multi-controller smoke test: two jax.distributed CPU
         processes (4 fake devices each) form one 8-device runtime;

@@ -395,7 +395,7 @@ class ShardedClusteredIndex(IVFIndex, ShardedFlatIndex):
             self._reset_overlay()
             return
         n_dev = self.n_devices
-        valid_h = np.asarray(self._valid).T.reshape(-1)[:hwm]
+        valid_h = self._host_replicated(self._valid).T.reshape(-1)[:hwm]
         live_pos = np.nonzero(valid_h)[0].astype(np.int64)
         n_live = len(live_pos)
 

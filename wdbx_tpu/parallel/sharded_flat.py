@@ -348,6 +348,17 @@ class ShardedFlatIndex(FlatIndex):
             jnp.asarray(scales2), self._sharding(P(self.axis, None))
         )
 
+    def _host_replicated(self, x) -> np.ndarray:
+        """Host copy of a mesh-sharded array. Under multi-controller, a
+        sharded array spans non-addressable devices and cannot be
+        fetched directly — replicate it over the mesh first (an
+        all-gather every process participates in)."""
+        if jax.process_count() > 1:
+            x = jax.jit(
+                lambda a: a, out_shardings=self._sharding(P())
+            )(x)
+        return np.asarray(x)
+
     def _host_slot_view(self) -> tuple[np.ndarray, np.ndarray]:
         """Full slab gathered to host in slot order (cap, dim)."""
         slab = np.asarray(self._slab).transpose(1, 0, 2).reshape(-1, self.dim)

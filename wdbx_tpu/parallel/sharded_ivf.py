@@ -249,7 +249,7 @@ class ShardedIVFIndex(IVFIndex, ShardedFlatIndex):
         # gathered from the striped slab on DEVICE in chunks — a dense
         # host gather is 30 GB of f32 at 10M x 768 and runs at this
         # sandbox's ~15 MB/s host first-touch.
-        valid_h = np.asarray(self._valid).T.reshape(-1)[:hwm]
+        valid_h = self._host_replicated(self._valid).T.reshape(-1)[:hwm]
         live_slots = np.nonzero(valid_h)[0].astype(np.int32)
         n_live = len(live_slots)
         n_dev = self.n_devices
