@@ -368,7 +368,179 @@ def _clustered_search_pipelined(
     return scores, pos
 
 
-class ClusteredIVFIndex(IVFIndex):
+class ClusteredSlotMixin:
+    """Shared slot↔position bookkeeping and mutation rules for the
+    cluster-ordered layouts (single-device and mesh-striped).
+
+    Invariant while trained: every live position below the block-aligned
+    clustered boundary (``_fresh_base``) was placed by build(); fresh
+    rows only ever occupy positions at/above it. Freed clustered-region
+    positions are quarantined until the next build and updates MOVE the
+    row, so the block scan and the residual scan never overlap — the
+    Pallas kernel paths rely on this to skip per-row bucket masking.
+    """
+
+    def _take_ext_slots(self, n: int) -> np.ndarray:
+        slots = []
+        while self._free_slots and len(slots) < n:
+            slots.append(self._free_slots.pop())
+        fresh = n - len(slots)
+        if fresh:
+            slots.extend(
+                range(self._next_ext_slot, self._next_ext_slot + fresh)
+            )
+            self._next_ext_slot += fresh
+        return np.asarray(slots, np.int64)
+
+    def _map_pos_to_slots(self, scores: np.ndarray, pos: np.ndarray):
+        """Translate physical positions to stable external slot ids."""
+        out = self._slot_of[np.clip(pos, 0, self._cap - 1)].astype(np.int64)
+        out[(pos < 0) | (scores == -np.inf)] = -1
+        return scores, out
+
+    def _positions_of(self, slots) -> np.ndarray:
+        idx = np.asarray(slots, np.int64)
+        return self._pos_of[np.clip(idx, 0, self._cap - 1)].astype(np.int64)
+
+    # -- mutation -----------------------------------------------------------
+    def add_batch(self, vectors: np.ndarray) -> np.ndarray:
+        with self._mu.write():
+            vectors = self._prep(vectors)
+            n = len(vectors)
+            pos = self._take_slots(n)  # parent bookkeeping = positions
+            self._scatter(pos, vectors, True)
+            self._size += n
+            slots = self._take_ext_slots(n)
+            self._slot_of[pos] = slots.astype(np.int32)
+            self._pos_of[slots] = pos.astype(np.int32)
+            if self.is_trained:
+                self._residual.extend(int(p) for p in pos)
+            return slots
+
+    def update_slots(self, slots: np.ndarray, vectors: np.ndarray) -> None:
+        with self._mu.write():
+            vectors = self._prep(vectors)
+            pos = self._positions_of(slots)
+            known = pos >= 0
+            slots = np.asarray(slots, np.int64)[known]
+            if not known.all():
+                vectors = vectors[known]
+            if len(slots) == 0:
+                return
+            pos = pos[known]
+            if not self.is_trained:
+                self._scatter(pos, vectors, True)
+                return
+            # move-on-update: tombstone the old position (quarantined
+            # if inside the clustered region, recycled otherwise), land
+            # the new row above the clustered boundary
+            self._tombstone_positions(pos)
+            clustered = pos < self._fresh_base
+            self._pos_quarantine.extend(int(p) for p in pos[clustered])
+            self._free.extend(int(p) for p in pos[~clustered])
+            gone = set(int(x) for x in pos[~clustered])
+            self._residual = [p for p in self._residual if p not in gone]
+            new_pos = self._take_slots(len(slots))
+            self._scatter(new_pos, vectors, True)
+            self._slot_of[new_pos] = slots.astype(np.int32)
+            self._pos_of[slots] = new_pos.astype(np.int32)
+            self._residual.extend(int(p) for p in new_pos)
+
+    def _tombstone_positions(self, pos: np.ndarray) -> None:
+        pad_n = _next_pow2(len(pos))
+        ppos = jnp.asarray(
+            np.pad(pos, (0, pad_n - len(pos)), constant_values=self._cap)
+        )
+        self._valid = self._tombstone_arrays(ppos)
+
+    def remove_slots(self, slots: np.ndarray) -> None:
+        slots = np.asarray(slots, np.int64)
+        if len(slots) == 0:
+            return
+        with self._mu.write():
+            pos = self._positions_of(slots)
+            known = pos >= 0  # unknown slots are a no-op, not row -1
+            slots, pos = slots[known], pos[known]
+            if len(slots) == 0:
+                return
+            self._tombstone_positions(pos)
+            self._size -= len(slots)
+            # external slots recycle immediately; clustered-region
+            # positions quarantine until the next build, residual-region
+            # positions (never block-scanned) recycle right away
+            if self.is_trained:
+                clustered = pos < self._fresh_base
+                self._pos_quarantine.extend(
+                    int(p) for p in pos[clustered]
+                )
+                self._free.extend(int(p) for p in pos[~clustered])
+                res = set(int(p) for p in pos)
+                self._residual = [p for p in self._residual if p not in res]
+            else:
+                self._free.extend(int(p) for p in pos)
+            self._free_slots.extend(int(s) for s in slots)
+            self._slot_of[pos] = -1
+            self._pos_of[slots] = -1
+
+    # -- shared query helpers -----------------------------------------------
+    def _scan_rows(self) -> int:
+        """Rows covered by one block grid (per device in mesh layouts)."""
+        return self._cap
+
+    def _scan_u(self, pad_b: int, nprobe: int) -> int:
+        """Static dedup scan length. Two bounds:
+
+        * worst case — prefix sum of the largest buckets' block counts
+          for pad_b*nprobe probes (never drops a block);
+        * expected case — 1.5x the expected distinct-bucket count (the
+          birthday bound; uniform probe spread maximizes it) times the
+          mean blocks/bucket. At large coalesced batches the worst case
+          over-scans ~2.4x; under this bound the (rare) overflow drops
+          the least-probed blocks (popularity-ranked priority), which
+          tune() measures and compensates for with nprobe.
+        """
+        pref = self._u_prefix
+        nblocks = self._scan_rows() // self._c
+        draws = pad_b * nprobe
+        worst = int(pref[min(draws, len(pref)) - 1]) if len(pref) else 1
+        ne = max(1, self._nonempty)
+        e_distinct = ne * (1.0 - (1.0 - 1.0 / ne) ** draws)
+        expected = int(math.ceil(1.5 * e_distinct * self._avg_blocks)) + 8
+        return min(_next_pow2(max(1, min(worst, expected)) + 1),
+                   _next_pow2(max(1, nblocks)), draws * self._m)
+
+    def _use_kernel(self) -> bool:
+        """Pallas block-scan kernel vs the portable lax scan. 'auto'
+        picks the kernel on real TPUs (Mosaic); 'pallas' forces it
+        (interpret mode off-TPU — tests), 'lax' forces the scan."""
+        if self.ivf_kernel == "pallas":
+            return True
+        return self.ivf_kernel == "auto" and jax.default_backend() == "tpu"
+
+    def _needs_build(self) -> bool:
+        if IVFIndex._needs_build(self):
+            return True
+        # tombstone bloat: quarantined positions only return to service
+        # at a rebuild, so heavy delete churn triggers one
+        return bool(self._built_size) and (
+            len(self._pos_quarantine)
+            > self.rebuild_fraction * self._built_size
+        )
+
+    def _pos_mask(self, slot_mask) -> np.ndarray | None:
+        """Translate a slot-indexed filter mask into position space."""
+        if slot_mask is None:
+            return None
+        mask = np.zeros(self._cap, bool)
+        n = min(len(slot_mask), self._cap)
+        sel = np.nonzero(slot_mask[:n])[0]
+        pos = self._pos_of[sel]
+        mask[pos[pos >= 0]] = True
+        return mask
+
+
+class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
+
     """IVF whose bucket layout lives *in* the slab (no side tables).
 
     Memory: corpus bytes + ~9 bytes/row of bookkeeping — vs the dense
@@ -451,117 +623,6 @@ class ClusteredIVFIndex(IVFIndex):
         #: region positions (>= _fresh_base) recycle immediately.
         self._pos_quarantine: list[int] = []
         self._fresh_base = 0
-
-    def _take_ext_slots(self, n: int) -> np.ndarray:
-        slots = []
-        while self._free_slots and len(slots) < n:
-            slots.append(self._free_slots.pop())
-        fresh = n - len(slots)
-        if fresh:
-            slots.extend(
-                range(self._next_ext_slot, self._next_ext_slot + fresh)
-            )
-            self._next_ext_slot += fresh
-        return np.asarray(slots, np.int64)
-
-    def _map_pos_to_slots(self, scores: np.ndarray, pos: np.ndarray):
-        """Translate physical positions to stable external slot ids."""
-        out = self._slot_of[np.clip(pos, 0, self._cap - 1)].astype(np.int64)
-        out[(pos < 0) | (scores == -np.inf)] = -1
-        return scores, out
-
-    def _positions_of(self, slots) -> np.ndarray:
-        idx = np.asarray(slots, np.int64)
-        return self._pos_of[np.clip(idx, 0, self._cap - 1)].astype(np.int64)
-
-    # -- mutation -----------------------------------------------------------
-    # Invariant while trained: every live position below the block-aligned
-    # clustered boundary was placed by build(); fresh rows only ever
-    # occupy positions at/above it. Freed positions are quarantined until
-    # the next build, and updates MOVE the row to a fresh position. The
-    # kernel scan (no per-row bucket mask) relies on this to never
-    # surface a candidate twice (block scan ∩ residual scan = ∅).
-    def add_batch(self, vectors: np.ndarray) -> np.ndarray:
-        with self._mu.write():
-            return self._add_locked(vectors)
-
-    def _add_locked(self, vectors: np.ndarray) -> np.ndarray:
-        vectors = self._prep(vectors)
-        n = len(vectors)
-        pos = self._take_slots(n)  # parent bookkeeping = positions
-        self._scatter(pos, vectors, True)
-        self._size += n
-        slots = self._take_ext_slots(n)
-        self._slot_of[pos] = slots.astype(np.int32)
-        self._pos_of[slots] = pos.astype(np.int32)
-        if self.is_trained:
-            self._residual.extend(int(p) for p in pos)
-        return slots
-
-    def update_slots(self, slots: np.ndarray, vectors: np.ndarray) -> None:
-        with self._mu.write():
-            vectors = self._prep(vectors)
-            pos = self._positions_of(slots)
-            known = pos >= 0
-            slots = np.asarray(slots, np.int64)[known]
-            if not known.all():
-                vectors = vectors[known]
-            if len(slots) == 0:
-                return
-            pos = pos[known]
-            if not self.is_trained:
-                self._scatter(pos, vectors, True)
-                return
-            # move-on-update: tombstone the old position (quarantined
-            # if inside the clustered region, recycled otherwise), land
-            # the new row above the clustered boundary
-            self._tombstone_positions(pos)
-            clustered = pos < self._fresh_base
-            self._pos_quarantine.extend(int(p) for p in pos[clustered])
-            self._free.extend(int(p) for p in pos[~clustered])
-            gone = set(int(x) for x in pos[~clustered])
-            self._residual = [p for p in self._residual if p not in gone]
-            new_pos = self._take_slots(len(slots))
-            self._scatter(new_pos, vectors, True)
-            self._slot_of[new_pos] = slots.astype(np.int32)
-            self._pos_of[slots] = new_pos.astype(np.int32)
-            self._residual.extend(int(p) for p in new_pos)
-
-    def _tombstone_positions(self, pos: np.ndarray) -> None:
-        pad_n = _next_pow2(len(pos))
-        ppos = jnp.asarray(
-            np.pad(pos, (0, pad_n - len(pos)), constant_values=self._cap)
-        )
-        self._valid = self._tombstone_arrays(ppos)
-
-    def remove_slots(self, slots: np.ndarray) -> None:
-        slots = np.asarray(slots, np.int64)
-        if len(slots) == 0:
-            return
-        with self._mu.write():
-            pos = self._positions_of(slots)
-            known = pos >= 0  # unknown slots are a no-op, not row -1
-            slots, pos = slots[known], pos[known]
-            if len(slots) == 0:
-                return
-            self._tombstone_positions(pos)
-            self._size -= len(slots)
-            # external slots recycle immediately; clustered-region
-            # positions quarantine until the next build, residual-region
-            # positions (never block-scanned) recycle right away
-            if self.is_trained:
-                clustered = pos < self._fresh_base
-                self._pos_quarantine.extend(
-                    int(p) for p in pos[clustered]
-                )
-                self._free.extend(int(p) for p in pos[~clustered])
-                res = set(int(p) for p in pos)
-                self._residual = [p for p in self._residual if p not in res]
-            else:
-                self._free.extend(int(p) for p in pos)
-            self._free_slots.extend(int(s) for s in slots)
-            self._slot_of[pos] = -1
-            self._pos_of[slots] = -1
 
     # clear() is inherited: FlatIndex.clear re-allocs every array
     # (including row_bucket and the slot maps via _alloc), then
@@ -903,28 +964,6 @@ class ClusteredIVFIndex(IVFIndex):
             return dest.copy()  # dest == slot ids (identity mapping)
 
     # -- query ---------------------------------------------------------------
-    def _scan_u(self, pad_b: int, nprobe: int) -> int:
-        """Static dedup scan length. Two bounds:
-
-        * worst case — prefix sum of the largest buckets' block counts
-          for pad_b*nprobe probes (never drops a block);
-        * expected case — 1.5x the expected distinct-bucket count (the
-          birthday bound; uniform probe spread maximizes it) times the
-          mean blocks/bucket. At large coalesced batches the worst case
-          over-scans ~2.4x; under this bound the (rare) overflow drops
-          the least-probed blocks (popularity-ranked priority), which
-          tune() measures and compensates for with nprobe.
-        """
-        pref = self._u_prefix
-        nblocks = self._cap // self._c
-        draws = pad_b * nprobe
-        worst = int(pref[min(draws, len(pref)) - 1]) if len(pref) else 1
-        ne = max(1, self._nonempty)
-        e_distinct = ne * (1.0 - (1.0 - 1.0 / ne) ** draws)
-        expected = int(math.ceil(1.5 * e_distinct * self._avg_blocks)) + 8
-        return min(_next_pow2(max(1, min(worst, expected)) + 1),
-                   _next_pow2(nblocks), draws * self._m)
-
     def _search_read_locked(self, queries, k, slot_mask):
         if not self.is_trained:
             scores, pos = FlatIndex.search(self, queries, k, self._pos_mask(
@@ -988,25 +1027,6 @@ class ClusteredIVFIndex(IVFIndex):
         return self._map_pos_to_slots(
             np.asarray(scores), np.asarray(pos, np.int64)
         )
-
-    def _use_kernel(self) -> bool:
-        """Pallas block-scan kernel vs the portable lax scan. 'auto'
-        picks the kernel on real TPUs (Mosaic); 'pallas' forces it
-        (interpret mode off-TPU — tests), 'lax' forces the scan."""
-        if self.ivf_kernel == "pallas":
-            return True
-        return self.ivf_kernel == "auto" and jax.default_backend() == "tpu"
-
-    def _pos_mask(self, slot_mask) -> np.ndarray | None:
-        """Translate a slot-indexed filter mask into position space."""
-        if slot_mask is None:
-            return None
-        mask = np.zeros(self._cap, bool)
-        n = min(len(slot_mask), self._cap)
-        sel = np.nonzero(slot_mask[:n])[0]
-        pos = self._pos_of[sel]
-        mask[pos[pos >= 0]] = True
-        return mask
 
     # search() is inherited from IVFIndex (build-if-stale under the write
     # lock, then _search_read_locked under read).
@@ -1156,16 +1176,6 @@ class ClusteredIVFIndex(IVFIndex):
                 # the persisted copy also carries -1s for residual rows —
                 # identical by construction, so nothing further to do.
             return True
-
-    def _needs_build(self) -> bool:
-        if IVFIndex._needs_build(self):
-            return True
-        # tombstone bloat: quarantined positions only return to service
-        # at a rebuild, so heavy delete churn triggers one
-        return bool(self._built_size) and (
-            len(self._pos_quarantine)
-            > self.rebuild_fraction * self._built_size
-        )
 
     def get_stats(self) -> dict:
         stats = FlatIndex.get_stats(self)

@@ -41,7 +41,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from wdbx_tpu.index.clustered import _block_rows, _dedup_blocks
+from wdbx_tpu.index.clustered import (
+    ClusteredSlotMixin, _block_rows, _dedup_blocks,
+)
 from wdbx_tpu.index.flat import _next_pow2
 from wdbx_tpu.index.ivf import IVFIndex
 from wdbx_tpu.ops.kmeans import kmeans
@@ -203,7 +205,7 @@ def _build_clustered_search(
     return mapped
 
 
-class ShardedClusteredIndex(IVFIndex, ShardedFlatIndex):
+class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
     """Cluster-ordered IVF striped over a mesh (see module docstring).
 
     MRO mirrors ShardedIVFIndex: IVF triggers/tuning above
@@ -270,103 +272,6 @@ class ShardedClusteredIndex(IVFIndex, ShardedFlatIndex):
         po = np.full(self._cap, -1, np.int32)
         po[:old_cap] = pos_of
         self._pos_of = po
-
-    @property
-    def is_trained(self) -> bool:
-        return self._centroids is not None
-
-    def _map_pos_to_slots(self, scores, pos):
-        out = self._slot_of[np.clip(pos, 0, self._cap - 1)].astype(np.int64)
-        out[(pos < 0) | (scores == -np.inf)] = -1
-        return scores, out
-
-    def _positions_of(self, slots) -> np.ndarray:
-        idx = np.asarray(slots, np.int64)
-        return self._pos_of[np.clip(idx, 0, self._cap - 1)].astype(np.int64)
-
-    def _take_ext_slots(self, n: int) -> np.ndarray:
-        slots = []
-        while self._free_slots and len(slots) < n:
-            slots.append(self._free_slots.pop())
-        fresh = n - len(slots)
-        if fresh:
-            slots.extend(
-                range(self._next_ext_slot, self._next_ext_slot + fresh)
-            )
-            self._next_ext_slot += fresh
-        return np.asarray(slots, np.int64)
-
-    # -- mutation (global striped position space) ----------------------------
-    def add_batch(self, vectors: np.ndarray) -> np.ndarray:
-        with self._mu.write():
-            vectors = self._prep(vectors)
-            n = len(vectors)
-            pos = self._take_slots(n)
-            self._scatter(pos, vectors, True)
-            self._size += n
-            slots = self._take_ext_slots(n)
-            self._slot_of[pos] = slots.astype(np.int32)
-            self._pos_of[slots] = pos.astype(np.int32)
-            if self.is_trained:
-                self._residual.extend(int(p) for p in pos)
-            return slots
-
-    def update_slots(self, slots, vectors) -> None:
-        with self._mu.write():
-            vectors = self._prep(vectors)
-            pos = self._positions_of(slots)
-            known = pos >= 0
-            slots = np.asarray(slots, np.int64)[known]
-            if not known.all():
-                vectors = vectors[known]
-            if len(slots) == 0:
-                return
-            pos = pos[known]
-            if not self.is_trained:
-                self._scatter(pos, vectors, True)
-                return
-            self._tombstone_positions(pos)
-            clustered = pos < self._fresh_base
-            self._pos_quarantine.extend(int(p) for p in pos[clustered])
-            self._free.extend(int(p) for p in pos[~clustered])
-            gone = set(int(x) for x in pos[~clustered])
-            self._residual = [p for p in self._residual if p not in gone]
-            new_pos = self._take_slots(len(slots))
-            self._scatter(new_pos, vectors, True)
-            self._slot_of[new_pos] = slots.astype(np.int32)
-            self._pos_of[slots] = new_pos.astype(np.int32)
-            self._residual.extend(int(p) for p in new_pos)
-
-    def _tombstone_positions(self, pos) -> None:
-        pad_n = _next_pow2(len(pos))
-        ppos = jnp.asarray(
-            np.pad(pos, (0, pad_n - len(pos)), constant_values=self._cap)
-        )
-        self._valid = self._tombstone_arrays(ppos)
-
-    def remove_slots(self, slots) -> None:
-        slots = np.asarray(slots, np.int64)
-        if len(slots) == 0:
-            return
-        with self._mu.write():
-            pos = self._positions_of(slots)
-            known = pos >= 0
-            slots, pos = slots[known], pos[known]
-            if len(slots) == 0:
-                return
-            self._tombstone_positions(pos)
-            self._size -= len(slots)
-            if self.is_trained:
-                clustered = pos < self._fresh_base
-                self._pos_quarantine.extend(int(p) for p in pos[clustered])
-                self._free.extend(int(p) for p in pos[~clustered])
-                res = set(int(p) for p in pos)
-                self._residual = [p for p in self._residual if p not in res]
-            else:
-                self._free.extend(int(p) for p in pos)
-            self._free_slots.extend(int(s) for s in slots)
-            self._slot_of[pos] = -1
-            self._pos_of[slots] = -1
 
     def clear(self) -> None:
         with self._mu.write():
@@ -565,32 +470,8 @@ class ShardedClusteredIndex(IVFIndex, ShardedFlatIndex):
         self._cluster_cache.clear()
 
     # -- query ---------------------------------------------------------------
-    def _scan_u(self, pad_b: int, nprobe: int) -> int:
-        import math
-
-        pref = self._u_prefix
-        nblocks = self.rows_per_device // self._c
-        draws = pad_b * nprobe
-        worst = int(pref[min(draws, len(pref)) - 1]) if len(pref) else 1
-        ne = max(1, self._nonempty)
-        e_distinct = ne * (1.0 - (1.0 - 1.0 / ne) ** draws)
-        expected = int(math.ceil(1.5 * e_distinct * self._avg_blocks)) + 8
-        return min(_next_pow2(max(1, min(worst, expected)) + 1),
-                   _next_pow2(max(1, nblocks)), draws * self._m)
-
-    def _needs_build(self) -> bool:
-        if IVFIndex._needs_build(self):
-            return True
-        # tombstone bloat: quarantined positions only recycle at rebuild
-        return bool(self._built_size) and (
-            len(self._pos_quarantine)
-            > self.rebuild_fraction * self._built_size
-        )
-
-    def _use_kernel(self) -> bool:
-        if self.ivf_kernel == "pallas":
-            return True
-        return self.ivf_kernel == "auto" and jax.default_backend() == "tpu"
+    def _scan_rows(self) -> int:
+        return self.rows_per_device
 
     def _residual_arrays(self):
         """Pack global residual positions into a per-device (n_dev,
@@ -717,16 +598,6 @@ class ShardedClusteredIndex(IVFIndex, ShardedFlatIndex):
         for i in range(nb):
             out_s[i], out_p[i] = self._map_pos_to_slots(scores[i], pos[i])
         return out_s, out_p
-
-    def _pos_mask(self, slot_mask):
-        if slot_mask is None:
-            return None
-        mask = np.zeros(self._cap, bool)
-        n = min(len(slot_mask), self._cap)
-        sel = np.nonzero(slot_mask[:n])[0]
-        pos = self._pos_of[sel]
-        mask[pos[pos >= 0]] = True
-        return mask
 
     def _oracle_search(self, queries, k):
         scores, pos = ShardedFlatIndex.search(self, queries, k)
