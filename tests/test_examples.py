@@ -60,3 +60,16 @@ def test_production_serving_runs(tmp_path, monkeypatch):
 
     monkeypatch.setattr(sys, "argv", ["prod.py"])
     runpy.run_path(str(path), run_name="__main__")
+
+
+def test_clustered_at_scale_runs(tmp_path):
+    src = _FORCE_CPU + open("examples/clustered_at_scale.py").read()
+    # shrink for CI speed; the flow is identical
+    src = src.replace("CHUNK = 4_096", "CHUNK = 1_024")
+    script = tmp_path / "clustered.py"
+    script.write_text(src)
+    result = _run(str(script), cwd=os.getcwd())
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "bulk-loaded" in result.stdout
+    assert "ids stable" in result.stdout
+    assert "save/load round trip OK" in result.stdout
