@@ -66,7 +66,8 @@ def main() -> None:
           f"nlist={index.nlist})")
 
     # 2. recall tuning against the built-in exact oracle
-    sample = np.concatenate([c for c in chunk_source()])[:64]
+    # (sample from the first chunk only — never materialize the corpus)
+    sample = next(iter(chunk_source()))[:64]
     index.batch_flat_fallback = False  # exercise the real block scan
     recall = index.tune(sample, k=10, target_recall=0.95)
     print(f"tuned nprobe={index.nprobe} -> recall@10 {recall:.3f}")
@@ -86,9 +87,7 @@ def main() -> None:
     _, hit = index.search(fresh[:1], k=1)
     assert hit[0, 0] == fresh_slots[0], "fresh row must be instantly visible"
     index.remove_slots(slots[:3])
-    _, gone = index.search(
-        np.concatenate([c for c in chunk_source()])[:3], k=1
-    )
+    _, gone = index.search(next(iter(chunk_source()))[:3], k=1)
     assert not set(gone.ravel().tolist()) & set(slots[:3].tolist())
     index.build()  # absorb churn; external ids survive the permutation
     _, hit2 = index.search(fresh[:1], k=1)

@@ -89,6 +89,11 @@ class TestFromFile:
             "    nprobe: 4\n"
             "api:\n"
             "  port: 9001\n"
+            "parallel:\n"
+            "  mesh_axis: shard\n"
+            "  replicas: 2\n"
+            "  auto_remesh: true\n"
+            "  replication_factor: 2\n"
             "plugins:\n"
             "  enabled: false\n"
             "  ollama:\n"
@@ -102,6 +107,10 @@ class TestFromFile:
         assert cfg.get("IVF_NLIST") == 64
         assert cfg.get("IVF_NPROBE") == 4
         assert cfg.get("API_PORT") == 9001
+        assert cfg.get("MESH_AXIS") == "shard"
+        assert cfg.get("MESH_REPLICAS") == 2
+        assert cfg.get("MESH_AUTO_REMESH") is True
+        assert cfg.get("DISTRIBUTED_REPLICATION_FACTOR") == 2
         assert cfg.get("PLUGINS_ENABLED") is False
         assert cfg.get("OLLAMA_MODEL") == "mistral"
 

@@ -358,6 +358,81 @@ class TestRemesh:
         ok = {"healthy": True, "devices": {d: "ok" for d in devices}}
         assert engine.degraded_mesh(ok) is engine.mesh
 
+    def test_cold_rehost_adopt_mesh(self, rng, temp_dir):
+        """adopt_mesh + checkpoint reload: the fallback when the old
+        mesh is unreachable and a live remesh gather is impossible."""
+        idx = ShardedFlatIndex(8, capacity=64)
+        vecs = _normed(rng, 24, 8)
+        slots = idx.add_batch(vecs)
+        import os
+
+        path = os.path.join(temp_dir, "cold")
+        idx.save(path)
+        idx.adopt_mesh(make_mesh(4))
+        assert idx.n_devices == 4 and idx.count() == 0  # cold = empty
+        assert idx.load(path)  # reload lands on the new mesh
+        _, got = idx.search(vecs[:5], 1)
+        assert (got.ravel() == slots[:5]).all()
+
+    def test_heal_cold_rehosts_when_remesh_fails(self, temp_dir):
+        """A truly-dead device makes the live remesh gather raise; heal
+        must fall back to adopt_mesh + checkpoint reload, not abort."""
+        from unittest import mock
+
+        from wdbx_tpu import WDBX
+
+        db = WDBX(vector_dimension=8, num_shards=1, data_dir=temp_dir,
+                  enable_plugins=False, enable_distributed=True,
+                  config={"INDEX_TYPE": "sharded_flat"})
+        asyncio.run(db.initialize())
+        rng = np.random.default_rng(3)
+        vecs = rng.standard_normal((16, 8)).astype(np.float32)
+        for i, v in enumerate(vecs):
+            db.vector_store(v, {"i": i}, f"v{i}")
+        db.store.save()
+        n_before = db.store.indices[0].n_devices
+        devices = [str(d) for d in db.shard_engine.mesh.devices.flat]
+        health = {"healthy": False, "devices": {
+            d: ("error: down" if i == 0 else "ok")
+            for i, d in enumerate(devices)
+        }}
+        with mock.patch.object(
+            db.shard_engine, "health_check", return_value=health
+        ), mock.patch.object(
+            db.store.indices[0], "remesh",
+            side_effect=RuntimeError("device unreachable"),
+        ):
+            report = db.heal(allow_remesh=True)
+        assert report["remeshed_to"]
+        assert db.store.indices[0].n_devices == n_before - 1
+        hits = db.vector_search(vecs[2], limit=1)
+        assert hits[0][0] == "v2"
+
+    def test_sharded_clustered_load_on_different_mesh(self, rng, temp_dir):
+        """A trained checkpoint from an 8-device mesh must rebuild its
+        per-device extents when loaded on a 4-device mesh (installing
+        the persisted (8, nlist) extents would silently corrupt
+        results)."""
+        import os
+
+        from wdbx_tpu.parallel.sharded_clustered import ShardedClusteredIndex
+
+        idx = ShardedClusteredIndex(16, nlist=8, nprobe=8,
+                                    train_threshold=64)
+        idx.batch_flat_fallback = False
+        vecs = _normed(rng, 600, 16)
+        slots = idx.add_batch(vecs)
+        idx.build()
+        path = os.path.join(temp_dir, "xmesh")
+        idx.save(path)
+        idx2 = ShardedClusteredIndex(16, mesh=make_mesh(4), nlist=8,
+                                     nprobe=8, train_threshold=64)
+        idx2.batch_flat_fallback = False
+        assert idx2.load(path)
+        assert idx2.is_trained and idx2.n_devices == 4
+        _, got = idx2.search(vecs[:8], 1)
+        assert (got.ravel() == slots[:8]).all()
+
     def test_heal_escalates_to_remesh(self, temp_dir):
         """Layer 3: a dead device leaves the topology; the store's
         sharded index re-stripes onto the survivors and keeps serving."""

@@ -314,7 +314,10 @@ class WDBXCLI:
             help="escalate to live re-meshing: re-stripe sharded indexes "
                  "onto the surviving devices if some stay dead",
         )
-        ns = ap.parse_args(args)
+        try:
+            ns = ap.parse_args(args)
+        except (argparse.ArgumentError, SystemExit):
+            return 1
         report = await asyncio.to_thread(
             self.wdbx.heal, True if ns.remesh else None
         )

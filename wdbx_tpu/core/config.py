@@ -97,6 +97,8 @@ _SECTION_MAP = {
     "INDEXING_IVF_": "IVF_",
     "INDEXING_": "INDEX_",
     "PARALLEL_MESH_AXIS": "MESH_AXIS",
+    "PARALLEL_REPLICAS": "MESH_REPLICAS",
+    "PARALLEL_AUTO_REMESH": "MESH_AUTO_REMESH",
     "PARALLEL_REPLICATION_FACTOR": "DISTRIBUTED_REPLICATION_FACTOR",
     "PLUGINS_ENABLED": "PLUGINS_ENABLED",
     "PLUGINS_": "",

@@ -227,30 +227,50 @@ class WDBX:
         # shards.
         health = self.shard_engine.health_check()
         plan = self.shard_engine.plan_recovery(health)
-        if plan:
+        if allow_remesh is None:
+            allow_remesh = bool(self.config.get("MESH_AUTO_REMESH", False))
+        remeshed_to: list[str] = []
+        # Layer 3 runs FIRST when devices are genuinely unreachable:
+        # checkpoint re-hosting onto the old mesh would device_put onto
+        # the dead device and abort. The re-mesh moves live data when
+        # the "dead" device still answers (flapping health), and falls
+        # back to a cold re-host (empty arrays on the survivors +
+        # checkpoint reload) when it does not.
+        if plan and allow_remesh:
+            degraded = self.shard_engine.degraded_mesh(health)
+            if degraded is not self.shard_engine.mesh:
+                for shard, index in enumerate(self.store.indices):
+                    if not hasattr(index, "remesh"):
+                        continue
+                    try:
+                        index.remesh(degraded)
+                    except Exception:
+                        # old mesh unreachable: cold re-host from disk
+                        try:
+                            index.adopt_mesh(degraded)
+                            if not self.store.recover(
+                                shard, clear_on_failure=False
+                            ):
+                                unrecovered.append(shard)
+                        except Exception:
+                            unrecovered.append(shard)
+                self.shard_engine.adopt_mesh(degraded)
+                remeshed_to = [str(d) for d in degraded.devices.flat]
+        if plan and not remeshed_to:
             for shard in range(len(self.store.indices)):
                 if shard in recovered:
                     continue
                 # a flapping device must never wipe live unsaved rows:
-                # restore only when a checkpoint actually loads
-                if self.store.recover(shard, clear_on_failure=False):
+                # restore only when a checkpoint actually loads — and a
+                # truly-dead device must not abort the whole heal
+                try:
+                    ok = self.store.recover(shard, clear_on_failure=False)
+                except Exception:
+                    ok = False
+                if ok:
                     recovered.append(shard)
                 else:
                     unrecovered.append(shard)
-        # Layer 3: live re-meshing — devices that stay dead come OUT of
-        # the topology; every mesh-sharded index re-stripes onto the
-        # survivors and serving continues degraded.
-        if allow_remesh is None:
-            allow_remesh = bool(self.config.get("MESH_AUTO_REMESH", False))
-        remeshed_to: list[str] = []
-        if plan and allow_remesh:
-            degraded = self.shard_engine.degraded_mesh(health)
-            if degraded is not self.shard_engine.mesh:
-                for index in self.store.indices:
-                    if hasattr(index, "remesh"):
-                        index.remesh(degraded)
-                self.shard_engine.adopt_mesh(degraded)
-                remeshed_to = [str(d) for d in degraded.devices.flat]
         return {
             "healthy": health["healthy"] and integrity["consistent"],
             "devices": health["devices"],

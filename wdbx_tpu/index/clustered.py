@@ -1038,14 +1038,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
         with self._mu.read():
             if not self.is_trained:
                 scores, pos = FlatIndex.search_pipelined(self, qstack, k)
-                nb = scores.shape[0]
-                out_s = np.empty_like(scores)
-                out_p = np.empty_like(pos)
-                for i in range(nb):
-                    out_s[i], out_p[i] = self._map_pos_to_slots(
-                        scores[i], pos[i]
-                    )
-                return out_s, out_p
+                return self._map_pos_to_slots(scores, pos)
             qstack = np.asarray(qstack, np.float32) if not isinstance(
                 qstack, jax.Array) else qstack
             nb, b, _ = qstack.shape
@@ -1083,13 +1076,10 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
                     normalize=self.metric == "cosine",
                 )
             scores, pos = jax.device_get((scores, pos))
-        scores = np.asarray(scores)
-        pos = np.asarray(pos, np.int64)
-        out_s = np.empty_like(scores)
-        out_p = np.empty_like(pos)
-        for i in range(nb):
-            out_s[i], out_p[i] = self._map_pos_to_slots(scores[i], pos[i])
-        return out_s, out_p
+        # _map_pos_to_slots is elementwise: map the (NB, B, k) stack at once
+        return self._map_pos_to_slots(
+            np.asarray(scores), np.asarray(pos, np.int64)
+        )
 
     def _oracle_search(self, queries, k):
         scores, pos = FlatIndex.search(self, queries, k)
@@ -1154,7 +1144,12 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
             self._pos_quarantine = [
                 int(p) for p in meta.get("pos_quarantine", [])
             ]
-            self._fresh_base = int(meta.get("fresh_base", 0))
+            # legacy checkpoints (no fresh_base) default to the high-water
+            # mark: conservatively quarantine everything below it rather
+            # than risking recycled positions inside scanned blocks
+            self._fresh_base = int(
+                meta.get("fresh_base", self._next_slot)
+            )
             data = np.load(path + ".ivfc.npz")
             hwm = self._next_slot
             slot_of = np.asarray(data["slot_of"], np.int32)

@@ -13,7 +13,7 @@ objective when search similarity is inner product of unit vectors.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache as _lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -44,15 +44,25 @@ def kmeans(
         t == AxisType.Explicit for t in getattr(mesh, "axis_types", ())
     ):
         with jax.sharding.set_mesh(mesh):
-            return jax.jit(
-                jax.sharding.auto_axes(
-                    partial(_kmeans_body, num_clusters=num_clusters,
-                            iters=iters, seed=seed),
-                    out_sharding=(PartitionSpec(), PartitionSpec()),
-                )
-            )(data)
+            return _kmeans_auto_jit(mesh, num_clusters, iters, seed)(data)
     return _kmeans_jit(data, num_clusters=num_clusters, iters=iters,
                        seed=seed)
+
+
+@_lru_cache(maxsize=64)
+def _kmeans_auto_jit(mesh, num_clusters: int, iters: int, seed: int):
+    """Cached jit of the auto_axes-wrapped body — building a fresh
+    jit(auto_axes(partial(...))) per call would retrace and recompile
+    the whole Lloyd loop on every sharded build."""
+    from jax.sharding import PartitionSpec
+
+    return jax.jit(
+        jax.sharding.auto_axes(
+            partial(_kmeans_body, num_clusters=num_clusters, iters=iters,
+                    seed=seed),
+            out_sharding=(PartitionSpec(), PartitionSpec()),
+        )
+    )
 
 
 def _kmeans_body(

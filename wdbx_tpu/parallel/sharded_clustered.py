@@ -91,6 +91,11 @@ def _build_clustered_search(
                 k=min(k, rpd), c=c, interpret=interpret,
             )
             s_loc = jnp.where(kv <= NEG, -jnp.inf, kv)
+            if s_loc.shape[-1] < k:  # k can exceed rows_per_device
+                pad = k - s_loc.shape[-1]
+                s_loc = jnp.pad(s_loc, ((0, 0), (0, pad)),
+                                constant_values=-jnp.inf)
+                kp = jnp.pad(kp, ((0, 0), (0, pad)), constant_values=0)
         else:
             # portable lax block scan — kernel semantics (no bucket
             # mask; disjointness invariant makes foreign rows free
@@ -565,14 +570,7 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
                 scores, pos = ShardedFlatIndex.search_pipelined(
                     self, qstack, k
                 )
-                nb = scores.shape[0]
-                out_s = np.empty_like(scores)
-                out_p = np.empty_like(pos)
-                for i in range(nb):
-                    out_s[i], out_p[i] = self._map_pos_to_slots(
-                        scores[i], pos[i]
-                    )
-                return out_s, out_p
+                return self._map_pos_to_slots(scores, pos)
             qstack = np.asarray(qstack, np.float32) if not isinstance(
                 qstack, jax.Array) else qstack
             nb, b, _ = qstack.shape
@@ -591,13 +589,11 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
                 qstack,
             )
             scores, pos = jax.device_get((scores, pos))
-        scores = np.asarray(scores)
-        pos = np.asarray(pos, np.int64)
-        out_s = np.empty_like(scores)
-        out_p = np.empty_like(pos)
-        for i in range(nb):
-            out_s[i], out_p[i] = self._map_pos_to_slots(scores[i], pos[i])
-        return out_s, out_p
+        # _map_pos_to_slots is elementwise: the (NB, B, k) stack maps in
+        # one pass
+        return self._map_pos_to_slots(
+            np.asarray(scores), np.asarray(pos, np.int64)
+        )
 
     def _oracle_search(self, queries, k):
         scores, pos = ShardedFlatIndex.search(self, queries, k)
@@ -605,6 +601,13 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
 
     def get_vectors(self, slots: np.ndarray) -> np.ndarray:
         return ShardedFlatIndex.get_vectors(self, self._positions_of(slots))
+
+    def adopt_mesh(self, mesh) -> None:
+        """Cold re-host: empty storage on the new topology (the caller
+        reloads from checkpoint); cluster overlay resets with it."""
+        ShardedFlatIndex.adopt_mesh(self, mesh)
+        with self._mu.write():
+            self._reset_overlay()
 
     def remesh(self, mesh) -> None:
         """Re-stripe onto a new mesh and rebuild the cluster layout
@@ -684,8 +687,11 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
             self._pos_quarantine = [
                 int(p) for p in meta.get("pos_quarantine", [])
             ]
-            self._fresh_base = int(meta.get("fresh_base", 0))
             self._next_slot = int(meta.get("next_slot", self._next_slot))
+            # legacy default = high-water mark (conservative quarantine)
+            self._fresh_base = int(
+                meta.get("fresh_base", self._next_slot)
+            )
             data = np.load(path + ".ivfsc.npz")
             hwm = min(len(data["slot_of"]), self._cap)
             slot_of = np.asarray(data["slot_of"], np.int32)[:hwm]
@@ -694,11 +700,26 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
             self._pos_of[slot_of[keep]] = np.arange(hwm, dtype=np.int32)[keep]
             self._residual = [int(p) for p in data["residual"]]
             if meta.get("trained") and "centroids" in data:
-                self._install_layout(
-                    np.asarray(data["centroids"]),
-                    np.asarray(data["local_counts"], np.int64),
-                    c=int(meta.get("block_rows", 0)) or None,
-                )
+                local_counts = np.asarray(data["local_counts"], np.int64)
+                if local_counts.shape[0] != self.n_devices:
+                    # checkpoint from a different mesh size: the striped
+                    # row layout was already re-striped by the base
+                    # loader, but per-device extents are meaningless on
+                    # this topology — rebuild the overlay here instead
+                    # of installing silently-wrong extents
+                    import logging
+
+                    logging.getLogger("wdbx_tpu.parallel").info(
+                        "checkpoint built on %d devices, mesh has %d — "
+                        "rebuilding cluster layout",
+                        local_counts.shape[0], self.n_devices,
+                    )
+                    self._build_locked()
+                else:
+                    self._install_layout(
+                        np.asarray(data["centroids"]), local_counts,
+                        c=int(meta.get("block_rows", 0)) or None,
+                    )
             return True
 
     def get_stats(self) -> dict:

@@ -360,9 +360,15 @@ class ShardedFlatIndex(FlatIndex):
         return np.asarray(x)
 
     def _host_slot_view(self) -> tuple[np.ndarray, np.ndarray]:
-        """Full slab gathered to host in slot order (cap, dim)."""
-        slab = np.asarray(self._slab).transpose(1, 0, 2).reshape(-1, self.dim)
-        valid = np.asarray(self._valid).T.reshape(-1)
+        """Full slab gathered to host in slot order (cap, dim). Under
+        multi-controller the fetch replicates first (every device holds
+        a full copy transiently — for pod-scale slabs use the orbax
+        persistence backend instead of npz/remesh paths that need
+        this)."""
+        slab = self._host_replicated(self._slab).transpose(1, 0, 2).reshape(
+            -1, self.dim
+        )
+        valid = self._host_replicated(self._valid).T.reshape(-1)
         return slab, valid
 
     # -- sharded search ----------------------------------------------------
@@ -461,6 +467,36 @@ class ShardedFlatIndex(FlatIndex):
         return scores, out
 
     # -- live re-meshing ----------------------------------------------------
+    def adopt_mesh(self, mesh: Mesh) -> None:
+        """Install a new topology with EMPTY storage (cold re-host).
+
+        ``remesh()`` moves live data, which requires reading the old
+        mesh — impossible when a device is truly unreachable. This
+        variant discards in-memory state and re-allocates on the new
+        mesh; the caller then reloads from checkpoint (``load()`` /
+        ``store.recover()`` place onto the current mesh only)."""
+        with self._mu.write():
+            if self.axis not in mesh.axis_names:
+                raise ValueError(
+                    f"new mesh lacks axis {self.axis!r}: {mesh.axis_names}"
+                )
+            self.mesh = mesh
+            self.replica_axis = (
+                "replica" if "replica" in mesh.axis_names else None
+            )
+            self.replicas = (
+                int(mesh.shape["replica"]) if self.replica_axis else 1
+            )
+            self.n_devices = int(mesh.shape[self.axis])
+            self._search_cache.clear()
+            self._write_fn = None
+            self._tombstone_fn = None
+            self._cap = self._round_cap(max(self._next_slot, 1024))
+            self._alloc(self._cap)
+            self._size = 0
+            self._free = []
+            self._next_slot = 0
+
     def remesh(self, mesh: Mesh) -> None:
         """Re-host the index on a different mesh IN PLACE — the
         degraded-topology failover path (lose a device, keep serving on
@@ -484,7 +520,7 @@ class ShardedFlatIndex(FlatIndex):
             hwm = self._next_slot
             old_ndev = self.n_devices
             slab_np, valid_np = self._host_slot_view()
-            scales_np = np.asarray(self._scales).T.reshape(-1)
+            scales_np = self._host_replicated(self._scales).T.reshape(-1)
 
             # adopt the new topology
             self.mesh = mesh
@@ -527,7 +563,7 @@ class ShardedFlatIndex(FlatIndex):
             slab, _ = self._host_slot_view()
             rows = slab[slots].astype(np.float32)
             if self._is_int8:
-                scales = np.asarray(self._scales).T.reshape(-1)
+                scales = self._host_replicated(self._scales).T.reshape(-1)
                 rows = rows * scales[slots][:, None]
         return rows
 
@@ -581,7 +617,7 @@ class ShardedFlatIndex(FlatIndex):
             slab = slab.view(np.uint16)
         arrays = {"slab": slab, "valid": valid[:hwm]}
         if self._is_int8:
-            arrays["scales"] = np.asarray(self._scales).T.reshape(-1)[:hwm]
+            arrays["scales"] = self._host_replicated(self._scales).T.reshape(-1)[:hwm]
         np.savez(path + ".npz", **arrays)
         with open(path + ".meta.json", "w") as f:
             json.dump(self._persist_meta(), f)

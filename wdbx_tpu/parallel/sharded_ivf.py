@@ -228,6 +228,14 @@ class ShardedIVFIndex(IVFIndex, ShardedFlatIndex):
         with self._mu.write():
             self._sharded_build_locked()
 
+    def adopt_mesh(self, mesh) -> None:
+        """Cold re-host: empty storage on the new topology (caller
+        reloads from checkpoint); the bucket overlay resets."""
+        ShardedFlatIndex.adopt_mesh(self, mesh)
+        with self._mu.write():
+            self._reset_overlay()
+            self._ivf_search_cache.clear()
+
     def remesh(self, mesh) -> None:
         """Re-stripe the slab on the new mesh, then rebuild the bucket
         overlay there (tables are mesh-partitioned, so a topology change
