@@ -184,6 +184,27 @@ class TestShardedClustered:
         achieved = idx.tune(_normed(rng, 16, d), k=10, target_recall=0.9)
         assert achieved >= 0.9
 
+    def test_replica_mesh_serving(self, rng):
+        """2-D (replica, shard) mesh: slab/extents replicate, the query
+        batch shards over replicas — results identical to 1-D."""
+        d = 16
+        idx = _make(d, nlist=8, nprobe=8, replicas=2)
+        assert idx.replicas == 2 and idx.n_devices == 4
+        db = _normed(rng, 600, d)
+        slots = idx.add_batch(db)
+        idx.build()
+        _, got = idx.search(db[:8], 3)
+        assert (got[:, 0] == slots[:8]).all()
+        # odd batch sizes pad to the replica multiple
+        _, g1 = idx.search(db[:1], 3)
+        assert g1.shape == (1, 3) and g1[0, 0] == slots[0]
+        qs = rng.standard_normal((2, 6, d)).astype(np.float32)
+        sp, gp = idx.search_pipelined(qs, 3)
+        assert sp.shape == (2, 6, 3)
+        for i in range(2):
+            _, gi = idx.search(qs[i], 3)
+            assert (gp[i] == gi).all()
+
     def test_kernel_path_interpret(self, rng):
         """Pallas block-scan kernel inside shard_map (interpret mode)."""
         d = 32

@@ -151,6 +151,7 @@ def create_index(kind: str, dim: int, config: Any = None) -> "VectorIndex":
 
         if config is not None:
             kwargs["axis"] = config.get("MESH_AXIS", "shard")
+            kwargs["replicas"] = int(config.get("MESH_REPLICAS", 1))
             kwargs["nlist"] = int(config.get("IVF_NLIST", 128))
             kwargs["nprobe"] = int(config.get("IVF_NPROBE", 8))
             kwargs["train_threshold"] = int(

@@ -55,7 +55,7 @@ NEG = -3.4e38
 
 def _build_clustered_search(
     mesh, axis, *, k, nprobe, u, m, c, precision, int8, normalize,
-    use_kernel, interpret,
+    use_kernel, interpret, replica_axis=None,
 ):
     """shard_map'd cluster query; per-batch and (NB,B,d)-stack variants."""
 
@@ -179,14 +179,19 @@ def _build_clustered_search(
         top, sel = jax.lax.top_k(all_s, min(k, all_s.shape[-1]))
         return top, jnp.take_along_axis(all_p, sel, axis=1)
 
+    # On a (replica, shard) mesh the slab/extents replicate over the
+    # replica axis (absent from their specs) while the query batch
+    # shards over it — data-parallel serving on top of corpus sharding,
+    # same scheme as ShardedFlatIndex.
     slab_specs = (
         P(axis, None, None), P(axis, None), P(axis, None),
         P(axis, None), P(axis, None), P(), P(axis, None), P(axis),
     )
+    q_spec = P(replica_axis, None)
     mapped = jax.jit(jax.shard_map(
         local, mesh=mesh,
-        in_specs=slab_specs + (P(None, None),),
-        out_specs=(P(None, None), P(None, None)),
+        in_specs=slab_specs + (q_spec,),
+        out_specs=(q_spec, q_spec),
         check_vma=False,
     ))
 
@@ -200,10 +205,11 @@ def _build_clustered_search(
         _, out = jax.lax.scan(step, 0, qstack)
         return out
 
+    qs_spec = P(None, replica_axis, None)
     pipelined = jax.jit(jax.shard_map(
         local_stack, mesh=mesh,
-        in_specs=slab_specs + (P(None, None, None),),
-        out_specs=(P(None, None, None), P(None, None, None)),
+        in_specs=slab_specs + (qs_spec,),
+        out_specs=(qs_spec, qs_spec),
         check_vma=False,
     ))
     mapped.pipelined = pipelined
@@ -224,10 +230,10 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
     def __init__(self, dim, metric="cosine", dtype="float32",
                  capacity=1024, mesh=None, axis="shard", nlist=128,
                  nprobe=8, train_threshold=4096, rebuild_fraction=0.2,
-                 kmeans_iters=15, train_sample=262_144):
+                 kmeans_iters=15, train_sample=262_144, replicas=1):
         ShardedFlatIndex.__init__(
             self, dim, metric=metric, dtype=dtype, capacity=capacity,
-            mesh=mesh, axis=axis,
+            mesh=mesh, axis=axis, replicas=replicas,
         )
         self.nlist = nlist
         self.nprobe = nprobe
@@ -509,6 +515,7 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
                 normalize=self.metric == "cosine",
                 use_kernel=self._use_kernel(),
                 interpret=jax.default_backend() != "tpu",
+                replica_axis=self.replica_axis,
             )
             self._cluster_cache[key] = fn
         return fn
@@ -525,7 +532,8 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
                 return self._map_pos_to_slots(scores, pos)
             queries = self._prep(queries)
             b = len(queries)
-            pad_b = _next_pow2(max(b, 1))
+            # batch shards over the replica axis; keep it divisible
+            pad_b = max(_next_pow2(max(b, 1)), self.replicas)
             nlist = int(self._centroids.shape[0])
             nprobe = min(self.nprobe, nlist)
             u = self._scan_u(pad_b, nprobe)
@@ -556,9 +564,11 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
                                self._sharding(P(self.axis))),
                 q,
             )
-            scores, pos = jax.device_get((scores[:b], pos[:b]))
+            # full host gather, then slice: partial slices of replica-
+            # sharded outputs are ambiguous for the partitioner
+            scores, pos = jax.device_get((scores, pos))
         return self._map_pos_to_slots(
-            np.asarray(scores), np.asarray(pos, np.int64)
+            np.asarray(scores)[:b], np.asarray(pos, np.int64)[:b]
         )
 
     def search_pipelined(self, qstack, k):
@@ -574,6 +584,12 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
             qstack = np.asarray(qstack, np.float32) if not isinstance(
                 qstack, jax.Array) else qstack
             nb, b, _ = qstack.shape
+            pad_b = max(_next_pow2(max(b, 1)), self.replicas)
+            if pad_b != b:
+                qstack = np.pad(
+                    np.asarray(qstack, np.float32),
+                    ((0, 0), (0, pad_b - b), (0, 0)),
+                )
             nlist = int(self._centroids.shape[0])
             nprobe = min(self.nprobe, nlist)
             u = self._scan_u(b, nprobe)
@@ -588,11 +604,13 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
                                self._sharding(P(self.axis))),
                 qstack,
             )
+            # full host gather, then slice (partial slices of replica-
+            # sharded outputs are ambiguous for the partitioner)
             scores, pos = jax.device_get((scores, pos))
         # _map_pos_to_slots is elementwise: the (NB, B, k) stack maps in
         # one pass
         return self._map_pos_to_slots(
-            np.asarray(scores), np.asarray(pos, np.int64)
+            np.asarray(scores)[:, :b], np.asarray(pos, np.int64)[:, :b]
         )
 
     def _oracle_search(self, queries, k):
