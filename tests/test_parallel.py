@@ -536,6 +536,17 @@ c.build()
 assert c.is_trained
 _, cg = c.search(cv[:8], k=3)
 assert (cg[:, 0] == cs[:8]).all(), cg[:, 0]
+
+# orbax persistence: per-process shard I/O, no host gather
+tmpdir = sys.argv[3]
+idx.persist_backend = "orbax"
+path = os.path.join(tmpdir, "mh_orbax")
+idx.save(path)
+idx2 = ShardedFlatIndex(dim=16, capacity=8 * 16, mesh=mesh)
+idx2.persist_backend = "orbax"
+assert idx2.load(path), "orbax multi-host load failed"
+_, og = idx2.search(vecs[2:6], k=1)
+assert (og.ravel() == slots[2:6]).all(), og.ravel()
 print(f"proc{pid} DATA OK", flush=True)
 """
 
@@ -570,12 +581,15 @@ class TestMultiHost:
             outs.append((p.returncode, out))
         return outs
 
-    def test_two_process_data_plane(self, tmp_path):
+    def test_two_process_data_plane(self, tmp_path, temp_dir):
         """Multi-controller DATA plane: striped scatter insert, shard_map
-        search + all-gather merge, tombstones, and the full clustered
-        build (kmeans, permute, block-scan query) across two processes
-        over the gloo/DCN backend."""
-        outs = self._run_workers(MULTIHOST_DATA_WORKER, tmp_path)
+        search + all-gather merge, tombstones, the full clustered build
+        (kmeans, permute, block-scan query), and an orbax save/load
+        round trip (per-process shard I/O) across two processes over
+        the gloo/DCN backend."""
+        outs = self._run_workers(
+            MULTIHOST_DATA_WORKER, tmp_path, extra_args=(temp_dir,)
+        )
         for rc, out in outs:
             assert rc == 0, f"worker failed rc={rc}:\n{out[-2000:]}"
         assert "proc0 DATA OK" in outs[0][1]
