@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -3.4e38  # effective -inf as a Python float (kernels can't capture arrays)
 
 
-def _group_reduce(scores, base_idx, group: int):
+def _group_reduce(scores, base_idx, group: int, col_pos=None):
     """One-pass segmented max: fold the (B, C) tile into (B, group)
     per-group maxima + their global indices. Groups are INTERLEAVED
     (group g holds columns g, g+group, g+2*group, ...) so each pass
@@ -49,21 +49,35 @@ def _group_reduce(scores, base_idx, group: int):
     group per tile, so two true top-k rows landing in the same group of
     the same tile lose one — with T tiles the expected recall@k is
     ~1 - C(k,2)/(T*group*k), i.e. >=0.999 for k=10 at 64+ tiles.
-    VPU cost drops from k passes over (B, C) to ~2."""
+    VPU cost drops from k passes over (B, C) to ~2.
+
+    ``col_pos`` ((1, C) int32) overrides the contiguous base_idx+iota
+    index math — used when tile columns map to non-contiguous global
+    positions (multi-block kernel steps)."""
     b, c = scores.shape
     steps = c // group
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (b, group), 1)
     m = scores[:, :group]
-    mi = col_iota + base_idx
+    if col_pos is None:
+        mi = col_iota + base_idx
+    else:
+        mi = jnp.broadcast_to(col_pos[:, :group], (b, group))
     for s in range(1, steps):
         chunk = scores[:, s * group:(s + 1) * group]
         upd = chunk > m
-        mi = jnp.where(upd, col_iota + (s * group + base_idx), mi)
+        if col_pos is None:
+            idx_chunk = col_iota + (s * group + base_idx)
+        else:
+            idx_chunk = jnp.broadcast_to(
+                col_pos[:, s * group:(s + 1) * group], (b, group)
+            )
+        mi = jnp.where(upd, idx_chunk, mi)
         m = jnp.where(upd, chunk, m)
     return m, mi
 
 
-def _fold_topk(scores, base_idx, tv, ti, k: int, group: int = 0):
+def _fold_topk(scores, base_idx, tv, ti, k: int, group: int = 0,
+               col_pos=None):
     """Merge a (B, C) score tile into the running (B, k) scratch REFS:
     tile and running candidates side by side, then k passes of
     max/argmax/mask on the VPU extract the new descending top-k.
@@ -71,15 +85,20 @@ def _fold_topk(scores, base_idx, tv, ti, k: int, group: int = 0):
     has no scatter/dynamic_update_slice on values). With ``group`` > 0
     the tile is first segment-max-reduced to (B, group) in one pass —
     the k passes then run over ~group instead of C columns (the
-    difference between VPU-bound and HBM-bound at 1M+ rows)."""
+    difference between VPU-bound and HBM-bound at 1M+ rows).
+    ``col_pos`` ((1, C) int32) supplies explicit global positions for
+    non-contiguous tiles."""
     b, c = scores.shape
     if group and group < c:
-        scores, tile_idx = _group_reduce(scores, base_idx, group)
+        scores, tile_idx = _group_reduce(scores, base_idx, group,
+                                         col_pos=col_pos)
         c = group
-    else:
+    elif col_pos is None:
         tile_idx = (
             jax.lax.broadcasted_iota(jnp.int32, (b, c), 1) + base_idx
         )
+    else:
+        tile_idx = jnp.broadcast_to(col_pos, (b, c))
     work_v = jnp.concatenate([scores, tv[:]], axis=1)  # (B, C+k)
     work_i = jnp.concatenate([tile_idx, ti[:]], axis=1)
     col = jax.lax.broadcasted_iota(jnp.int32, (b, c + k), 1)
