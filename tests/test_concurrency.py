@@ -238,3 +238,67 @@ def test_search_retries_on_slot_recycle(temp_dir):
     # the top hit is v0's vector; after the recycle its id is vNEW — any
     # answer must pair consistently (vNEW), never the stale v0 label
     assert hits[0][0] == "vNEW", hits
+
+
+def test_clustered_search_during_mutation_and_rebuild(temp_dir):
+    """Clustered index under concurrent search + add/delete churn: the
+    rebuild permutes the slab mid-stream, so this exercises the write
+    lock around the permute, the stable-slot mapping, and the store's
+    epoch-validated retries all at once."""
+    store = VectorStore(
+        WDBXConfig(
+            {
+                "VECTOR_DIMENSION": 8,
+                "NUM_SHARDS": 1,
+                "DATA_DIR": temp_dir,
+                "VECTOR_STORE_AUTOSAVE_INTERVAL": 0,
+                "INDEX_TYPE": "ivf_clustered",
+                "IVF_TRAIN_THRESHOLD": 64,
+                "IVF_NLIST": 4,
+                "IVF_NPROBE": 4,
+                "IVF_REBUILD_FRACTION": 0.05,  # rebuild often
+            }
+        )
+    )
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((200, 8)).astype(np.float32)
+    store.batch_store({f"v{i}": base[i] for i in range(200)})
+    store.optimize()  # initial build
+    errors = []
+    stop = threading.Event()
+
+    def churner():
+        try:
+            r = np.random.default_rng(1)
+            for i in range(60):
+                store.store(f"c{i}", r.standard_normal(8).astype(np.float32))
+                if i % 3 == 0:
+                    store.delete(f"v{i}")
+                if i % 10 == 0:
+                    store.optimize()  # forces compact/rebuild
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+        finally:
+            stop.set()
+
+    def searcher():
+        try:
+            while not stop.is_set():
+                hits = store.search(base[150], limit=5)
+                ids = [h[0] for h in hits]
+                assert len(ids) == len(set(ids)), f"dup results {ids}"
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=churner)] + [
+        threading.Thread(target=searcher) for _ in range(3)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    # stable ids: an untouched row still resolves by search
+    hits = store.search(base[150], limit=1)
+    assert hits[0][0] == "v150"
+    assert store.get("c59") is not None
