@@ -59,21 +59,24 @@ def _kernel(uniq_ref, ok_ref, q_ref, *rest, k: int, c: int, group: int,
         tv[:] = jnp.full_like(tv, NEG)
         ti[:] = jnp.full_like(ti, -1)
 
-    rows = jnp.concatenate([r[:] for r in blk_refs], axis=0)  # (W*c, d)
-    if int8:
-        scores = jax.lax.dot_general(
-            q_ref[:], rows.astype(q_ref.dtype),
+    # Per-way matmuls, then concat the small (B, c) f32 score tiles —
+    # concatenating the ROW tiles first would copy 6-12 MB of VMEM per
+    # step for no compute benefit.
+    q = q_ref[:]
+    way_scores = []
+    for j in range(n_ways):
+        rows = blk_refs[j][:]
+        s = jax.lax.dot_general(
+            q, rows.astype(q.dtype) if int8 else rows,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (B, W*c)
-        scales = jnp.concatenate([r[:] for r in scale_refs], axis=1)
-        scores = scores * scales
-    else:
-        scores = jax.lax.dot_general(
-            q_ref[:], rows,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        )  # (B, c)
+        if int8:
+            s = s * scale_refs[j][:]
+        way_scores.append(s)
+    scores = (
+        jnp.concatenate(way_scores, axis=1) if n_ways > 1 else way_scores[0]
+    )
     # per-way validity (dedup ok is a scalar per way) and global
     # positions for the fold's non-contiguous columns
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
