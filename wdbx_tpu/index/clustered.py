@@ -21,16 +21,17 @@ Design points:
     when a rebuild permutes the slab (unlike ``compact()``).
   * **Block scan.** The slab is viewed as ``(cap/c, c, d)`` blocks; a
     probed bucket expands to its covering block range (buckets may
-    straddle blocks — a per-row bucket-id array masks neighbours, so
-    buckets need no block alignment and the layout has no padding).
-    The probed multiset dedups to unique blocks (the batch-dedup trick
-    from ``_ivf_search``), each DMA'd once per batch.
+    straddle blocks — co-resident rows of neighbouring buckets are
+    valid extra candidates, so buckets need no block alignment and the
+    layout has no padding). The probed multiset dedups to unique blocks
+    (the batch-dedup trick from ``_ivf_search``), each DMA'd once per
+    batch.
   * **Mutation.** Fresh adds land at/above a block-aligned boundary
     past the clustered region and are brute-scanned via the residual
     buffer; deletes tombstone + quarantine their position until the next
     build; updates MOVE the row to a fresh position. Scanned blocks and
-    the residual buffer are therefore always disjoint — the Pallas scan
-    kernel exploits this to skip per-row bucket masking entirely
+    the residual buffer are therefore always disjoint — both scan paths
+    exploit this to skip per-row bucket masking entirely
     (kernels/clustered_scan.py).
   * **Streaming two-pass build.** ``build_from()`` ingests a re-iterable
     chunk source directly into cluster order (pass 1 assigns, pass 2
@@ -103,7 +104,7 @@ def _block_rows(dim: int, itemsize: int, cap: int,
                      "normalize"),
 )
 def _clustered_search(
-    slab, valid, scales, row_bucket, centroids, blk_lo, blk_hi,
+    slab, valid, scales, centroids, blk_lo, blk_hi,
     residual_pos, residual_count, q,
     k, nprobe, u, m, c, precision, int8=False, normalize=False,
 ):
@@ -112,9 +113,11 @@ def _clustered_search(
     Probe selection is one small centroid matmul; each probed bucket
     expands to its covering blocks; the block multiset dedups (sort +
     first-occurrence) so every block is DMA'd once per batch and scored
-    against the whole query batch. Rows of *other* buckets inside a
-    shared block are masked by ``row_bucket`` — which also hides
-    residual/fresh rows (bucket -1) from the clustered scan.
+    against the whole query batch. No per-row bucket mask: rows of
+    *other* buckets sharing a scanned block are valid extra candidates
+    (true similarities — they can only improve recall), and the
+    mutation invariant keeps fresh/residual rows out of scanned blocks
+    entirely. Same semantics as the Pallas kernel path.
     """
     b, d = q.shape
     if normalize:
@@ -135,7 +138,6 @@ def _clustered_search(
     uniq, uniq_ok = _dedup_blocks(probe, blk_lo, blk_hi, nblocks, u, m)
 
     slab3 = slab.reshape(nblocks, c, d)
-    rb2 = row_bucket.reshape(nblocks, c)
     v2 = valid.reshape(nblocks, c)
     s2 = scales.reshape(nblocks, c) if int8 else None
 
@@ -158,10 +160,6 @@ def _clustered_search(
             [jax.lax.dynamic_index_in_dim(slab3, blks[i], 0, False)
              for i in range(g)], axis=0,
         )  # (g*c, d)
-        rb = jnp.concatenate(
-            [jax.lax.dynamic_index_in_dim(rb2, blks[i], 0, False)
-             for i in range(g)], axis=0,
-        )
         v = jnp.concatenate(
             [jax.lax.dynamic_index_in_dim(v2, blks[i], 0, False)
              for i in range(g)], axis=0,
@@ -181,9 +179,8 @@ def _clustered_search(
                 q.astype(rows.dtype), rows, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
             )  # (B, g*c)
-        member = jnp.any(probe[:, :, None] == rb[None, None, :], axis=1)
         okrow = jnp.repeat(oks, c)  # per-source-block dedup validity
-        s = jnp.where(member & v[None, :] & okrow[None, :], s, -jnp.inf)
+        s = jnp.where(v[None, :] & okrow[None, :], s, -jnp.inf)
         if s.shape[-1] >= 16 * k_blk:
             v_, i_ = jax.lax.approx_max_k(s, k_blk, recall_target=0.998)
         else:
@@ -348,7 +345,7 @@ def _clustered_kernelpath_pipelined(
                      "normalize"),
 )
 def _clustered_search_pipelined(
-    slab, valid, scales, row_bucket, centroids, blk_lo, blk_hi,
+    slab, valid, scales, centroids, blk_lo, blk_hi,
     residual_pos, residual_count, qstack,
     k, nprobe, u, m, c, precision, int8=False, normalize=False,
 ):
@@ -357,7 +354,7 @@ def _clustered_search_pipelined(
 
     def step(carry, q):
         s, i = _clustered_search(
-            slab, valid, scales, row_bucket, centroids, blk_lo, blk_hi,
+            slab, valid, scales, centroids, blk_lo, blk_hi,
             residual_pos, residual_count, q,
             k=k, nprobe=nprobe, u=u, m=m, c=c, precision=precision,
             int8=int8, normalize=normalize,
@@ -578,8 +575,6 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
     # -- storage: position space + slot indirection -------------------------
     def _alloc(self, cap: int) -> None:
         super()._alloc(cap)
-        # row_bucket: bucket id per PHYSICAL row; -1 = unclustered.
-        self._row_bucket = jnp.full((cap,), -1, jnp.int32)
         self._slot_of = np.full(cap, -1, np.int32)  # pos -> slot
         self._pos_of = np.full(cap, -1, np.int32)  # slot -> pos
         self._free_slots: list[int] = []
@@ -589,12 +584,9 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
         old_cap = self._cap
         slot_of, pos_of = self._slot_of, self._pos_of
         free_slots, next_ext = self._free_slots, self._next_ext_slot
-        row_bucket = self._row_bucket
         # FlatIndex._grow builds fresh slab/valid/scales directly (it does
         # not call _alloc), so pad the clustered bookkeeping by hand.
         super()._grow(need)
-        rb = jnp.full((self._cap,), -1, jnp.int32)
-        self._row_bucket = rb.at[:old_cap].set(row_bucket)
         so = np.full(self._cap, -1, np.int32)
         so[:old_cap] = slot_of
         self._slot_of = so
@@ -625,8 +617,8 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
         self._fresh_base = 0
 
     # clear() is inherited: FlatIndex.clear re-allocs every array
-    # (including row_bucket and the slot maps via _alloc), then
-    # IVFIndex.clear calls this class's _reset_overlay.
+    # (including the slot maps via _alloc), then IVFIndex.clear calls
+    # this class's _reset_overlay.
 
     def compact(self):
         """Rebuilding IS compaction here (the permute packs live rows into
@@ -766,7 +758,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
             keep
         ]
 
-        self._install_layout(np.asarray(centroids), counts, assign[order])
+        self._install_layout(np.asarray(centroids), counts)
         # fresh adds start at the next block boundary: scanned blocks and
         # the residual buffer stay disjoint (kernel-path invariant)
         self._free = []
@@ -778,14 +770,14 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
         self._built_size = self._size
 
     def _install_layout(
-        self, centroids: np.ndarray, counts: np.ndarray, sorted_assign,
+        self, centroids: np.ndarray, counts: np.ndarray,
         c: int | None = None,
     ) -> None:
-        """Set centroids/extents/row_bucket from bucket counts (rows are
-        already laid out in cluster order in [0, sum(counts))). ``c``
-        must be the build-time block size when restoring persisted
-        state — recomputing from the current capacity can change the
-        geometry and move the fresh-row boundary inside a scanned block
+        """Set centroids/extents from bucket counts (rows are already
+        laid out in cluster order in [0, sum(counts))). ``c`` must be
+        the build-time block size when restoring persisted state —
+        recomputing from the current capacity can change the geometry
+        and move the fresh-row boundary inside a scanned block
         (duplicate candidates)."""
         nlist = len(counts)
         start = np.zeros(nlist + 1, np.int64)
@@ -814,10 +806,6 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
         self._avg_blocks = (
             float(blk_n[nonempty].mean()) if self._nonempty else 1.0
         )
-        n_clustered = int(start[-1])
-        rb = np.full(self._cap, -1, np.int32)
-        rb[:n_clustered] = np.asarray(sorted_assign, np.int32)
-        self._row_bucket = jnp.asarray(rb)
 
     # -- streaming two-pass build --------------------------------------------
     def build_from(self, chunks_factory, *, train_chunks: int = 1):
@@ -946,9 +934,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
             self._slot_of[:total] = np.arange(total, dtype=np.int32)
             self._pos_of[:total] = np.arange(total, dtype=np.int32)
             self._next_ext_slot = total
-            self._install_layout(
-                np.asarray(centroids), counts, assign[order]
-            )
+            self._install_layout(np.asarray(centroids), counts)
             # block-aligned fresh boundary (kernel-path invariant)
             self._next_slot = min(self._cap, -(-total // self._c) * self._c)
             self._fresh_base = self._next_slot
@@ -1017,7 +1003,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
         else:
             scores, pos = _clustered_search(
                 self._slab, valid, scales,
-                self._row_bucket, self._centroids, self._blk_lo,
+                self._centroids, self._blk_lo,
                 self._blk_hi, residual_pos, np.int32(r_n), q,
                 k=k, nprobe=nprobe, u=u, m=self._m, c=self._c,
                 precision=self._precision, int8=self._is_int8,
@@ -1069,7 +1055,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
             else:
                 scores, pos = _clustered_search_pipelined(
                     self._slab, self._valid, scales,
-                    self._row_bucket, self._centroids, self._blk_lo,
+                    self._centroids, self._blk_lo,
                     self._blk_hi, residual_pos, np.int32(r_n), qstack,
                     k=k, nprobe=nprobe, u=u, m=self._m, c=self._c,
                     precision=self._precision, int8=self._is_int8,
@@ -1095,7 +1081,6 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
             hwm = self._next_slot
             arrays = dict(
                 slot_of=self._slot_of[:hwm],
-                row_bucket=np.asarray(self._row_bucket[:hwm]),
                 residual=np.asarray(self._residual, np.int32),
             )
             if self.is_trained:
@@ -1125,7 +1110,6 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
                 return False
             # _load_locked sets _cap/_place without _alloc: size the
             # clustered bookkeeping to the (possibly new) capacity
-            self._row_bucket = jnp.full((self._cap,), -1, jnp.int32)
             self._slot_of = np.full(self._cap, -1, np.int32)
             self._pos_of = np.full(self._cap, -1, np.int32)
             self._free_slots = []
@@ -1161,15 +1145,10 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
                 centroids = np.asarray(data["centroids"])
                 start = np.asarray(data["bucket_start"], np.int64)
                 counts = np.diff(start)
-                rb = np.asarray(data["row_bucket"], np.int32)
-                nc = int(start[-1])
                 self._install_layout(
-                    centroids, counts, rb[:nc],
+                    centroids, counts,
                     c=int(meta.get("block_rows", 0)) or None,
                 )
-                # _install_layout rebuilt row_bucket from sorted assign;
-                # the persisted copy also carries -1s for residual rows —
-                # identical by construction, so nothing further to do.
             return True
 
     def get_stats(self) -> dict:
