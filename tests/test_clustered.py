@@ -399,6 +399,42 @@ class TestClusteredIVF:
         assert idx.get_stats()["tombstones"] == 0
         assert idx.count() == 960
 
+    def test_non_pow2_nprobe_lax_path(self, rng):
+        """nprobe values that make the scan length u a non-power-of-two
+        (e.g. tune() landing on 10) must not crash the grouped lax scan
+        (u is truncated to a group multiple)."""
+        d = 32
+        idx = _make(d, nlist=16, nprobe=10)
+        db = _normed(rng, 4096, d)
+        slots = idx.add_batch(db)
+        idx.build()
+        _, got = idx.search(db[:1], 5)  # B=1: u = draws*m bound, odd
+        assert got[0, 0] == slots[0]
+        for nprobe in (3, 5, 7, 11):
+            idx.nprobe = nprobe
+            _, g = idx.search(db[:2], 3)
+            assert (g[:, 0] == slots[:2]).all()
+
+    def test_build_from_after_mutation_cycle(self, rng):
+        """A cleared-by-deletion index must not leak recycled external
+        slot ids into a later bulk load (they would alias the identity
+        slots)."""
+        d = 32
+        idx = _make(d)
+        first = idx.add_batch(_normed(rng, 50, d))
+        idx.remove_slots(first)  # empty again, but _free_slots populated
+        rows = _normed(rng, 600, d)
+        slots = idx.build_from(lambda: iter([rows]), train_chunks=1)
+        assert idx.count() == 600
+        extra = _normed(rng, 3, d)
+        eslots = idx.add_batch(extra)
+        # fresh ids must not collide with live bulk-loaded ids
+        assert not set(eslots.tolist()) & set(slots.tolist())
+        _, got = idx.search(extra, 1)
+        assert (got.ravel() == eslots).all()
+        _, got2 = idx.search(rows[:3], 1)
+        assert (got2.ravel() == slots[:3]).all()
+
     def test_ip_metric(self, rng):
         d = 32
         db = rng.standard_normal((2000, d)).astype(np.float32) * \

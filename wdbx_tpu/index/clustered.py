@@ -149,10 +149,13 @@ def _clustered_search(
     # most k-1 rows within its own group, so the group's top-k always
     # surfaces it.
     g = max(1, min(8, 8192 // c, u))
-    steps = u // g
+    steps = max(1, u // g)
+    # u need not divide g (the draws*m bound is not a power of two):
+    # truncate to steps*g entries — the tail holds the lowest-priority
+    # dedup slots (duplicates/sentinel under popularity ranking)
     k_blk = min(k, g * c)
-    uniq_g = uniq.reshape(steps, g)
-    ok_g = uniq_ok.reshape(steps, g)
+    uniq_g = uniq[: steps * g].reshape(steps, g)
+    ok_g = uniq_ok[: steps * g].reshape(steps, g)
 
     def step(carry, x):
         blks, oks = x  # (g,)
@@ -195,46 +198,15 @@ def _clustered_search(
     _, (vals, pos) = jax.lax.scan(step, 0, (uniq_g, ok_g))  # (steps, B, kb)
     scores = vals.transpose(1, 0, 2).reshape(b, steps * k_blk)
     flat_pos = pos.transpose(1, 0, 2).reshape(b, steps * k_blk)
+    # residual (fresh rows) brute-scan + final merge — shared with the
+    # kernel path (labels are global slab positions in both)
+    from wdbx_tpu.index.ivf import _residual_merge
 
-    # Residual (fresh/unclustered) rows: brute-scan by position.
-    r_cap = residual_pos.shape[0]
-    if r_cap:
-        rows = slab[residual_pos]
-        if int8:
-            rows = rows.astype(jnp.bfloat16)
-            rq = q.astype(jnp.bfloat16)
-        else:
-            rq = q.astype(rows.dtype)
-        r_scores = jax.lax.dot_general(
-            rq, rows, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )
-        if int8:
-            r_scores = r_scores * scales[residual_pos][None, :]
-        live = jnp.arange(r_cap) < residual_count
-        r_valid = jnp.logical_and(valid[residual_pos], live)
-        r_scores = jnp.where(r_valid[None, :], r_scores, -jnp.inf)
-        scores = jnp.concatenate([scores, r_scores], axis=-1)
-        flat_pos = jnp.concatenate(
-            [flat_pos, jnp.broadcast_to(residual_pos, (b, r_cap))], axis=-1
-        )
-
-    k_eff = min(k, scores.shape[-1])
-    if scores.shape[-1] >= 64 * k_eff:
-        # Wide merges (large u) would hit lax.top_k's sort lowering;
-        # the TPU selection hardware keeps per-window maxima, and each
-        # candidate appears once (assignments are single), so this stays
-        # effectively exact for the merge of already-selected maxima.
-        top, sel_pos = jax.lax.approx_max_k(
-            scores, k_eff, recall_target=0.998
-        )
-    else:
-        top, sel_pos = jax.lax.top_k(scores, k_eff)
-    top_pos = jnp.take_along_axis(flat_pos, sel_pos, axis=-1)
-    if k_eff < k:
-        top = jnp.pad(top, ((0, 0), (0, k - k_eff)), constant_values=-jnp.inf)
-        top_pos = jnp.pad(top_pos, ((0, 0), (0, k - k_eff)), constant_values=0)
-    return top, top_pos
+    return _residual_merge(
+        slab, valid, residual_pos, residual_pos.astype(jnp.int32),
+        residual_count, scales, scores, flat_pos, q,
+        k=k, precision=precision, int8=int8,
+    )
 
 
 def _dedup_blocks(probe, blk_lo, blk_hi, nblocks: int, u: int, m: int):
@@ -929,6 +901,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
 
             self._size = total
             self._free = []
+            self._free_slots = []
             self._pos_quarantine = []
             # slots == positions for a fresh bulk load
             self._slot_of[:total] = np.arange(total, dtype=np.int32)

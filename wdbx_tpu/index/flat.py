@@ -38,6 +38,19 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
+def _fused_block_for(itemsize: int, dim: int, rows: int) -> int:
+    """Budgeted fused-kernel tile (see FlatIndex._fused_block): largest
+    block whose double-buffered db tile fits scoped VMEM and divides
+    ``rows``."""
+    budget = 15_000_000
+    for block in (8192, 4096, 2048, 1024, 512, 256):
+        if block > rows or rows % block:
+            continue
+        if 2 * block * dim * itemsize <= budget:
+            return block
+    return min(256, rows)
+
+
 @partial(jax.jit, donate_argnums=(0, 1))
 def _write(slab, valid, vecs, slots, flags):
     slab = slab.at[slots].set(vecs.astype(slab.dtype))
@@ -315,19 +328,18 @@ class FlatIndex(VectorIndex):
         return "fused" if jax.default_backend() == "tpu" else "exact"
 
     def _fused_block(self, b: int) -> int:
-        """Largest kernel tile fitting the ~16MB scoped-VMEM budget
-        (measured on v5e: 8192x384 bf16 at B=128 fits, 16384 does not).
-        Bigger tiles = fewer, larger DMAs = closer to the HBM roofline
-        (measured 1.96 -> 1.61 ms/batch-128 going 2048 -> 8192)."""
-        item = self._slab.dtype.itemsize
-        budget = 20_000_000
-        for block in (8192, 4096, 2048):
-            if block > self._cap:
-                continue
-            need = 2 * block * self.dim * item + 4 * b * block
-            if need <= budget and self._cap % block == 0:
-                return block
-        return min(2048, self._cap)
+        """Largest kernel tile fitting the 16MB scoped-VMEM limit.
+
+        Measured scoped usage is dominated by the DOUBLE-BUFFERED db
+        tile (2 * block * dim * itemsize): 8192x384 bf16 (12.6 MB)
+        compiles at B=128 while 4096x512 f32 (16.8 MB) does not
+        ('Scoped allocation with size 16.38M and limit 16.00M'), so the
+        budget models that term with ~1 MB of headroom. Bigger tiles =
+        fewer, larger DMAs = closer to the HBM roofline (measured
+        1.96 -> 1.61 ms/batch-128 going 2048 -> 8192)."""
+        return _fused_block_for(
+            self._slab.dtype.itemsize, self.dim, self._cap
+        )
 
     def search_pipelined(
         self, qstack: np.ndarray, k: int, materialize: bool = True

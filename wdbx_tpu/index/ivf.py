@@ -457,9 +457,10 @@ class IVFIndex(FlatIndex):
                 return
             slot_list = [int(s) for s in np.asarray(slots, np.int64)]
             self._invalidate_bucket_entries(slot_list)
-            for s in slot_list:
-                if s not in self._residual:
-                    self._residual.append(s)
+            present = set(self._residual)  # O(R) once, not per slot
+            self._residual.extend(
+                s for s in slot_list if s not in present
+            )
 
     def remove_slots(self, slots: np.ndarray) -> None:
         """Tombstone, but quarantine the slots instead of recycling them:

@@ -533,7 +533,9 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
             queries = self._prep(queries)
             b = len(queries)
             # batch shards over the replica axis; keep it divisible
-            pad_b = max(_next_pow2(max(b, 1)), self.replicas)
+            # (round UP to a replica multiple)
+            pad_b = _next_pow2(max(b, 1))
+            pad_b = -(-pad_b // self.replicas) * self.replicas
             nlist = int(self._centroids.shape[0])
             nprobe = min(self.nprobe, nlist)
             u = self._scan_u(pad_b, nprobe)
@@ -584,7 +586,8 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
             qstack = np.asarray(qstack, np.float32) if not isinstance(
                 qstack, jax.Array) else qstack
             nb, b, _ = qstack.shape
-            pad_b = max(_next_pow2(max(b, 1)), self.replicas)
+            pad_b = _next_pow2(max(b, 1))
+            pad_b = -(-pad_b // self.replicas) * self.replicas
             if pad_b != b:
                 qstack = np.pad(
                     np.asarray(qstack, np.float32),
@@ -592,7 +595,7 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
                 )
             nlist = int(self._centroids.shape[0])
             nprobe = min(self.nprobe, nlist)
-            u = self._scan_u(b, nprobe)
+            u = self._scan_u(pad_b, nprobe)  # padded lanes draw probes too
             table, counts = self._residual_arrays()
             fn = self._search_fn(k, nprobe, u)
             scores, pos = fn.pipelined(

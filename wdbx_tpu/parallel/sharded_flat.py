@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from wdbx_tpu.index.flat import FlatIndex, _next_pow2
+from wdbx_tpu.index.flat import FlatIndex, _fused_block_for, _next_pow2
 from wdbx_tpu.ops.exact_search import score_block
 from wdbx_tpu.ops.normalize import l2_normalize
 
@@ -51,7 +51,10 @@ def _build_search(mesh: Mesh, axis: str, k: int, precision: str, int8: bool,
 
             s, i = fused_topk_search(
                 slab_l[0], q, valid_l[0], k=k_local,
-                block_n=min(8192, rows), interpret=interpret,
+                block_n=_fused_block_for(
+                    slab_l.dtype.itemsize, slab_l.shape[2], rows
+                ),
+                interpret=interpret,
                 scales=scales_l[0] if int8 else None,
             )
             s = jnp.where(s <= -3.0e38, -jnp.inf, s)
@@ -106,7 +109,10 @@ def _build_search(mesh: Mesh, axis: str, k: int, precision: str, int8: bool,
 
             s, i = fused_topk_search_batched(
                 slab_l[0], qstack, valid_l[0], k=k_local,
-                block_n=min(8192, rows), interpret=interpret,
+                block_n=_fused_block_for(
+                    slab_l.dtype.itemsize, slab_l.shape[2], rows
+                ),
+                interpret=interpret,
                 scales=scales_l[0] if int8 else None, normalize=normalize,
             )  # (NB, B, k_local)
             s = jnp.where(s <= -3.4e38, -jnp.inf, s)
@@ -380,11 +386,13 @@ class ShardedFlatIndex(FlatIndex):
     ) -> tuple[np.ndarray, np.ndarray]:
         queries = self._prep(queries)
         b = len(queries)
-        # batch shards over the replica axis; keep it divisible
-        pad_b = max(_next_pow2(max(b, 1)), self.replicas)
+        # batch shards over the replica axis; keep it divisible (round
+        # UP to a replica multiple — max() alone breaks for replica
+        # counts that are not powers of two)
+        pad_b = _next_pow2(max(b, 1))
+        pad_b = -(-pad_b // self.replicas) * self.replicas
         q = jnp.asarray(np.pad(queries, ((0, pad_b - b), (0, 0))))
-        if self.metric == "cosine":
-            q = l2_normalize(q)
+        # (normalization happens inside the compiled program)
         if self._dtype == jnp.bfloat16:
             q = q.astype(jnp.bfloat16)  # int8 slabs keep float queries
         method = self._resolve_sharded_topk()
@@ -434,7 +442,8 @@ class ShardedFlatIndex(FlatIndex):
         ) else qstack
         assert qstack.ndim == 3 and qstack.shape[-1] == self.dim
         nb, b, _ = qstack.shape
-        pad_b = max(_next_pow2(max(b, 1)), self.replicas)
+        pad_b = _next_pow2(max(b, 1))
+        pad_b = -(-pad_b // self.replicas) * self.replicas
         if pad_b != b:
             qstack = np.pad(qstack, ((0, 0), (0, pad_b - b), (0, 0)))
         method = self._resolve_sharded_topk()
