@@ -61,21 +61,29 @@ class QueryBatcher:
         async with self._lock:
             self._pending.append((group, query, params, future))
             self.stats["requests"] += 1
-            if len(self._pending) >= self.max_batch:
-                await self._flush_locked()
-            elif self._flush_task is None or self._flush_task.done():
+            flush_now = len(self._pending) >= self.max_batch
+            if not flush_now and (
+                self._flush_task is None or self._flush_task.done()
+            ):
                 self._flush_task = asyncio.ensure_future(self._flush_later())
+        if flush_now:
+            await self._flush()
         return await future
 
     async def _flush_later(self) -> None:
         await asyncio.sleep(self.max_wait_ms / 1000.0)
-        async with self._lock:
-            await self._flush_locked()
+        await self._flush()
 
-    async def _flush_locked(self) -> None:
-        if not self._pending:
-            return
-        pending, self._pending = self._pending, []
+    async def _flush(self) -> None:
+        # Swap the pending list under the lock, then RELEASE it before
+        # the device searches: requests arriving during batch N's device
+        # execution must accumulate into batch N+1, not serialize behind
+        # this flush (holding the lock across the search defeated the
+        # coalescing under load).
+        async with self._lock:
+            if not self._pending:
+                return
+            pending, self._pending = self._pending, []
         groups: dict[str, list[tuple[np.ndarray, dict, asyncio.Future]]] = {}
         for group, query, params, future in pending:
             groups.setdefault(group, []).append((query, params, future))

@@ -27,11 +27,10 @@ if TYPE_CHECKING:
 
 logger = logging.getLogger("wdbx_tpu.api")
 
-# Same plugin priority order as the reference embedding endpoints
-# (reference wdbx/api/server.py:198-204), with lmstudio appended.
-EMBEDDING_PLUGIN_PRIORITY = [
-    "openai", "ollama", "huggingface", "sentencetransformers", "lmstudio",
-]
+from wdbx_tpu.plugins import (  # noqa: E402 (re-export for compat)
+    EMBEDDING_PLUGIN_PRIORITY,
+    iter_embedding_plugins,
+)
 
 
 def _json_error(status: int, detail: str) -> web.Response:
@@ -258,16 +257,7 @@ class WDBXAPIServer:
         return web.json_response({"removed_vectors": count})
 
     def _embedding_plugins(self):
-        manager = self.wdbx.plugin_manager
-        if manager is None:
-            return
-        for name in EMBEDDING_PLUGIN_PRIORITY:
-            plugin = manager.get(name)
-            if plugin is not None:
-                yield plugin
-        for name, plugin in manager.plugins.items():
-            if name not in EMBEDDING_PLUGIN_PRIORITY:
-                yield plugin
+        return iter_embedding_plugins(self.wdbx.plugin_manager)
 
     async def create_embedding(self, request: web.Request) -> web.Response:
         data = await request.json()

@@ -19,7 +19,6 @@ import shlex
 import sys
 from typing import Any, Callable
 
-from wdbx_tpu.api.server import EMBEDDING_PLUGIN_PRIORITY
 from wdbx_tpu.core.wdbx import WDBX
 
 CommandHandler = Callable[["WDBXCLI", list[str]], "Any"]
@@ -82,9 +81,15 @@ class WDBXCLI:
         if cmd is None:
             print(f"Unknown command: {name} (try 'help')")
             return 1
-        result = cmd["handler"](args)
-        if asyncio.iscoroutine(result):
-            result = await result
+        try:
+            result = cmd["handler"](args)
+            if asyncio.iscoroutine(result):
+                result = await result
+        except Exception as e:
+            # bad JSON, dimension mismatches, missing plugins, ... must
+            # print and re-prompt, not kill the whole session
+            print(f"{name}: {type(e).__name__}: {e}")
+            return 1
         return 0 if result is None or result is True else int(result)
 
     async def repl(self) -> None:
@@ -99,26 +104,22 @@ class WDBXCLI:
             line = line.strip()
             if not line:
                 continue
-            parts = shlex.split(line)
+            try:
+                parts = shlex.split(line)
+            except ValueError as e:  # unbalanced quotes
+                print(f"parse error: {e}")
+                continue
             await self.run_command(parts[0], parts[1:])
 
     # -- embedding helper --------------------------------------------------
     async def _embed_text(self, text: str) -> list[float]:
-        manager = self.wdbx.plugin_manager
-        if manager is not None:
-            seen = []
-            for name in EMBEDDING_PLUGIN_PRIORITY:
-                plugin = manager.get(name)
-                if plugin is not None:
-                    seen.append(plugin)
-            for name, plugin in manager.plugins.items():
-                if plugin not in seen:
-                    seen.append(plugin)
-            for plugin in seen:
-                try:
-                    return list(await plugin.create_embedding(text))
-                except Exception:
-                    continue
+        from wdbx_tpu.plugins import iter_embedding_plugins
+
+        for plugin in iter_embedding_plugins(self.wdbx.plugin_manager):
+            try:
+                return list(await plugin.create_embedding(text))
+            except Exception:
+                continue
         raise RuntimeError("no embedding plugin available for --from-text")
 
     # -- built-in commands -------------------------------------------------

@@ -206,11 +206,15 @@ class WDBXConfig:
         from wdbx_tpu.utils.config_loader import load_config
 
         flat = load_config(path)
-        mapped: dict[str, Any] = {}
+        # File values slot in at "file" precedence (defaults < file <
+        # env < runtime) — passing them as the runtime dict would let
+        # the file silently override environment variables.
+        cfg = cls({k.upper(): v for k, v in overrides.items()})
         for key, value in flat.items():
-            mapped[_map_section_key(key)] = value
-        mapped.update({k.upper(): v for k, v in overrides.items()})
-        return cls(mapped)
+            mapped = _map_section_key(key)
+            if cfg._sources.get(mapped) in (None, "default"):
+                cfg._set(mapped, value, "file")
+        return cfg
 
     def get_source(self, key: str) -> str | None:
         return self._sources.get(key.upper())

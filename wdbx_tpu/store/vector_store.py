@@ -108,6 +108,10 @@ class VectorStore:
 
     async def shutdown(self) -> None:
         await asyncio.to_thread(self.save)
+        pool = self._fanout_pool
+        if pool is not None:
+            self._fanout_pool = None
+            pool.shutdown(wait=False)
 
     # -- helpers ----------------------------------------------------------
     def _check_vector(self, vector: Any) -> np.ndarray:
@@ -300,6 +304,16 @@ class VectorStore:
                         self._ids_for(s) for s in range(len(indices))
                     ]
                     epoch = self._epoch
+                    if len(indices) > 1 and self._fanout_pool is None:
+                        # created under the lock: a lock-free lazy init
+                        # races concurrent first searches and leaks the
+                        # losing executor's threads
+                        import concurrent.futures as cf
+
+                        self._fanout_pool = cf.ThreadPoolExecutor(
+                            max_workers=len(indices),
+                            thread_name_prefix="wdbx-fanout",
+                        )
                 if not hold_lock:
                     self._lock.release()
                     held = False
@@ -308,13 +322,6 @@ class VectorStore:
                     # its index's read lock, so dispatch+transfer round
                     # trips overlap across shards (persistent pool —
                     # per-call thread churn would tax the hot path)
-                    if self._fanout_pool is None:
-                        import concurrent.futures as cf
-
-                        self._fanout_pool = cf.ThreadPoolExecutor(
-                            max_workers=len(indices),
-                            thread_name_prefix="wdbx-fanout",
-                        )
                     per_shard = list(self._fanout_pool.map(
                         lambda si: si[1].search(
                             queries, fetch_k, slot_mask=masks[si[0]]
@@ -618,13 +625,21 @@ class VectorStore:
                 maps = dict(self.registries[shard].items())
                 with open(self._index_path(shard) + ".ids.json", "w") as f:
                     json.dump(maps, f)
+            raw_path = os.path.join(self.data_dir, "vectors", "raw.npz")
             if self.keep_raw and self.raw_vectors:
                 ids = list(self.raw_vectors)
                 np.savez(
-                    os.path.join(self.data_dir, "vectors", "raw.npz"),
-                    ids=np.asarray(ids, dtype=object),
+                    raw_path,
+                    # unicode array, NOT dtype=object: object arrays force
+                    # allow_pickle on load (arbitrary code execution from
+                    # a tampered checkpoint)
+                    ids=np.asarray(ids, dtype=np.str_),
                     vectors=np.stack([self.raw_vectors[i] for i in ids]),
                 )
+            elif os.path.exists(raw_path):
+                # a cleared/emptied store must not resurrect stale raws
+                # on the next restart
+                os.remove(raw_path)
             self._mutations_since_save = 0
 
     def _load(self) -> None:
@@ -667,7 +682,10 @@ class VectorStore:
         raw_path = os.path.join(self.data_dir, "vectors", "raw.npz")
         if self.keep_raw and os.path.exists(raw_path):
             try:
-                data = np.load(raw_path, allow_pickle=True)
+                # allow_pickle stays False (default): legacy object-id
+                # checkpoints fail here and are just re-saved in the new
+                # unicode format on the next save()
+                data = np.load(raw_path)
                 for vid, vec in zip(data["ids"], data["vectors"]):
                     self.raw_vectors[str(vid)] = np.asarray(vec, np.float32)
             except (ValueError, OSError) as e:

@@ -26,6 +26,7 @@ class RWLock:
         self._readers: dict[int, int] = {}  # thread ident -> hold count
         self._writer: int | None = None
         self._writer_count = 0
+        self._writers_waiting = 0
 
     @contextmanager
     def read(self):
@@ -35,7 +36,14 @@ class RWLock:
                 self._writer_count += 1  # write implies read; stay writer
                 as_writer = True
             else:
-                while self._writer is not None:
+                # Writer preference: fresh readers queue behind a WAITING
+                # writer (otherwise a continuous stream of overlapping
+                # searches starves mutators forever). Threads already
+                # holding a read section re-enter freely — blocking them
+                # would deadlock the nested-read patterns in the indexes.
+                while self._writer is not None or (
+                    self._writers_waiting and me not in self._readers
+                ):
                     self._cond.wait()
                 self._readers[me] = self._readers.get(me, 0) + 1
                 as_writer = False
@@ -65,8 +73,12 @@ class RWLock:
                         "read->write upgrade would deadlock; take write() "
                         "first or release the read section"
                     )
-                while self._writer is not None or self._readers:
-                    self._cond.wait()
+                self._writers_waiting += 1
+                try:
+                    while self._writer is not None or self._readers:
+                        self._cond.wait()
+                finally:
+                    self._writers_waiting -= 1
                 self._writer = me
                 self._writer_count = 1
         try:

@@ -32,8 +32,10 @@ class WDBXSecurity:
             os.urandom(32)
         ).decode()
         self.token_expiry = token_expiry
-        self._active_tokens: set[str] = set()
-        self._revoked_tokens: set[str] = set()
+        #: jti -> expiry timestamp; pruned lazily so a long-running
+        #: service does not accumulate one entry per login forever
+        self._active_tokens: dict[str, float] = {}
+        self._revoked_tokens: dict[str, float] = {}
         self._policies: dict[str, set[str]] = {}
         self._fernet = None
 
@@ -68,6 +70,19 @@ class WDBXSecurity:
         ).digest()
         return base64.urlsafe_b64encode(sig).decode().rstrip("=")
 
+    def _prune_tokens(self) -> None:
+        """Drop expired jtis (active and revoked): expired tokens are
+        rejected by timestamp anyway, so keeping their ids only leaks
+        memory. Amortized: runs every 1024 mutations."""
+        self._token_ops = getattr(self, "_token_ops", 0) + 1
+        if self._token_ops % 1024:
+            return
+        now = time.time()
+        for book in (self._active_tokens, self._revoked_tokens):
+            dead = [j for j, exp in book.items() if exp < now]
+            for j in dead:
+                del book[j]
+
     def generate_token(
         self, user_id: str, roles: list[str] | None = None,
         expiry: int | None = None,
@@ -84,7 +99,8 @@ class WDBXSecurity:
             .rstrip("=")
         )
         token = f"{payload_b64}.{self._sign(payload_b64)}"
-        self._active_tokens.add(payload["jti"])
+        self._active_tokens[payload["jti"]] = payload["exp"]
+        self._prune_tokens()
         return token
 
     def verify_token(self, token: str) -> dict[str, Any] | None:
@@ -116,8 +132,8 @@ class WDBXSecurity:
             return False
         jti = payload.get("jti")
         if jti in self._active_tokens:
-            self._active_tokens.discard(jti)
-            self._revoked_tokens.add(jti)
+            exp = self._active_tokens.pop(jti)
+            self._revoked_tokens[jti] = exp
             return True
         return False
 

@@ -319,11 +319,17 @@ class VectorVisualizer:
     def _fallback_html(self, spec: dict) -> str:
         """Self-contained interactive scatter: canvas + vanilla JS
         (wheel zoom, drag pan, nearest-point hover). No dependencies."""
+        import html as _html
         import json as _json
 
-        payload = _json.dumps(spec)
+        # JSON inside an inline <script> must escape "<" — a stored id/
+        # metadata value containing "</script>" would otherwise close
+        # the block early and execute attacker markup (stored XSS)
+        payload = _json.dumps(spec).replace("<", "\\u003c")
+        title = _html.escape(str(spec["title"]))
+        method = _html.escape(str(spec["method"]).upper())
         return f"""<!DOCTYPE html>
-<html><head><meta charset="utf-8"><title>{spec['title']}</title>
+<html><head><meta charset="utf-8"><title>{title}</title>
 <style>
  body {{ font-family: sans-serif; margin: 1rem; }}
  #plot {{ border: 1px solid #ccc; cursor: grab; }}
@@ -331,7 +337,7 @@ class VectorVisualizer:
         border-radius: 3px; font-size: 12px; pointer-events: none;
         display: none; }}
 </style></head><body>
-<h3>{spec['title']} <small>({spec['method'].upper()})</small></h3>
+<h3>{title} <small>({method})</small></h3>
 <canvas id="plot" width="900" height="600"></canvas>
 <div id="tip"></div>
 <script>
