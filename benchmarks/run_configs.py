@@ -215,12 +215,9 @@ def config5(scale=1.0):
             index.search(q, k=10)
         qps = 128 * reps / t()
 
-    # RAG flow on top (embed → search → assemble → generate), demo mode.
-    import os
-
-    os.environ["WDBX_OLLAMA_DEMO"] = "true"
-    import sys
-    sys.path.insert(0, "examples")
+    # The RAG leg (embed → search → assemble → generate) runs as
+    # examples/rag_implementation.py in demo mode and is exercised by
+    # tests/test_examples.py — not re-run here.
     hbm_gb = index.get_stats()["hbm_bytes"] / 1e9
     return {
         "config": 5,

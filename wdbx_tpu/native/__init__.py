@@ -48,6 +48,10 @@ class PySlotRegistry:
     def put(self, ids, slots):
         for vid, slot in zip(ids, slots):
             slot = int(slot)
+            if slot < 0:
+                raise ValueError("slot ids must be >= 0")
+            if not vid:
+                raise ValueError("vector ids must be non-empty")
             self._id_to_slot[vid] = slot
             self._slot_to_id[slot] = vid
             if slot >= self._next:

@@ -135,6 +135,18 @@ PyObject* registry_put(PyObject* self, PyObject* args) {
         if (slot == -1 && PyErr_Occurred()) {
             Py_DECREF(iseq); Py_DECREF(sseq); return nullptr;
         }
+        if (slot < 0) {
+            Py_DECREF(iseq); Py_DECREF(sseq);
+            PyErr_SetString(PyExc_ValueError, "slot ids must be >= 0");
+            return nullptr;
+        }
+        if (len == 0) {
+            // the empty string doubles as the internal unused-slot
+            // marker; reject it so semantics match PySlotRegistry
+            Py_DECREF(iseq); Py_DECREF(sseq);
+            PyErr_SetString(PyExc_ValueError, "vector ids must be non-empty");
+            return nullptr;
+        }
         std::string key(data, static_cast<size_t>(len));
         if (static_cast<size_t>(slot) >= r->slot_to_id->size())
             r->slot_to_id->resize(static_cast<size_t>(slot) + 1);
@@ -240,6 +252,13 @@ PyObject* registry_load(PyObject* self, PyObject* args) {
             Py_DECREF(seq);
             return nullptr;
         }
+        if (slot < 0 || len == 0) {
+            Py_DECREF(seq);
+            PyErr_SetString(PyExc_ValueError,
+                            "corrupt registry snapshot: negative slot "
+                            "or empty id");
+            return nullptr;
+        }
         std::string key(id, static_cast<size_t>(len));
         if (static_cast<size_t>(slot) >= r->slot_to_id->size())
             r->slot_to_id->resize(static_cast<size_t>(slot) + 1);
@@ -250,8 +269,15 @@ PyObject* registry_load(PyObject* self, PyObject* args) {
     PyObject* fseq = PySequence_Fast(free_list, "load() free list");
     if (fseq == nullptr) return nullptr;
     for (Py_ssize_t i = 0; i < PySequence_Fast_GET_SIZE(fseq); i++) {
-        r->free_slots->push_back(
-            PyLong_AsLongLong(PySequence_Fast_GET_ITEM(fseq, i)));
+        long long fs = PyLong_AsLongLong(PySequence_Fast_GET_ITEM(fseq, i));
+        if ((fs == -1 && PyErr_Occurred()) || fs < 0) {
+            Py_DECREF(fseq);
+            if (!PyErr_Occurred())
+                PyErr_SetString(PyExc_ValueError,
+                                "corrupt registry snapshot: bad free slot");
+            return nullptr;
+        }
+        r->free_slots->push_back(fs);
     }
     Py_DECREF(fseq);
     Py_RETURN_NONE;

@@ -160,3 +160,20 @@ def load_plugins(wdbx: "WDBX") -> PluginManager:
     manager.load_builtin()
     manager.load_entry_points()
     return manager
+
+
+def demo_embedding(text: str, dim: int) -> list[float]:
+    """Deterministic unit-norm pseudo-embedding from a text digest —
+    the shared offline/demo-mode provider (stable across processes;
+    zero-vector guard for empty digests)."""
+    import hashlib
+
+    import numpy as np
+
+    seed = int.from_bytes(
+        hashlib.blake2b(text.encode(), digest_size=8).digest(), "big"
+    )
+    rng = np.random.default_rng(seed)
+    vec = rng.standard_normal(dim).astype(np.float32)
+    vec /= np.linalg.norm(vec) or 1.0
+    return vec.tolist()

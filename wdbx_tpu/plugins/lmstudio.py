@@ -107,17 +107,10 @@ class LMStudioPlugin(WDBXPlugin):
 
     async def create_embeddings_batch(self, texts: list[str]) -> list[list[float]]:
         if self.demo:
+            from wdbx_tpu.plugins.base import demo_embedding
+
             self._stats["embeddings"] += len(texts)
-            out = []
-            for t in texts:
-                seed = int.from_bytes(
-                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
-                )
-                v = np.random.default_rng(seed).standard_normal(
-                    self.wdbx.vector_dim
-                ).astype(np.float32)
-                out.append((v / (np.linalg.norm(v) or 1.0)).tolist())
-            return out
+            return [demo_embedding(t, self.wdbx.vector_dim) for t in texts]
         session = self._require_session()
         try:
             async with session.post(

@@ -98,14 +98,9 @@ class LocalEmbeddingsPlugin(WDBXPlugin):
         return [row.tolist() for row in pooled]
 
     def _embed_demo(self, text: str) -> list[float]:
-        """Deterministic pseudo-embedding: stable across processes, unit
-        norm — good enough for offline pipelines and tests."""
-        seed = int.from_bytes(
-            hashlib.blake2b(text.encode(), digest_size=8).digest(), "big"
-        )
-        rng = np.random.default_rng(seed)
-        v = rng.standard_normal(self.dim).astype(np.float32)
-        return (v / np.linalg.norm(v)).tolist()
+        from wdbx_tpu.plugins.base import demo_embedding
+
+        return demo_embedding(text, self.dim)
 
     def _require_configured(self) -> None:
         if not self.model_path and not self.demo:

@@ -26,19 +26,9 @@ from typing import Any, AsyncGenerator
 import numpy as np
 
 from wdbx_tpu.plugins.base import PluginError, WDBXPlugin
+from wdbx_tpu.plugins.base import demo_embedding as _demo_embedding
 
 logger = logging.getLogger("wdbx_tpu.plugins.ollama")
-
-
-def _demo_embedding(text: str, dim: int) -> list[float]:
-    """Deterministic unit-norm pseudo-embedding from a text digest."""
-    seed = int.from_bytes(
-        hashlib.blake2b(text.encode(), digest_size=8).digest(), "big"
-    )
-    rng = np.random.default_rng(seed)
-    vec = rng.standard_normal(dim).astype(np.float32)
-    vec /= np.linalg.norm(vec) or 1.0
-    return vec.tolist()
 
 
 class OllamaPlugin(WDBXPlugin):

@@ -303,6 +303,8 @@ class SocialMediaPlugin(WDBXPlugin):
         return out
 
     async def get_profile(self, platform: str, username: str) -> dict:
+        if platform not in PLATFORMS:
+            raise PluginError(f"unsupported platform: {platform}")
         key = f"profile:{platform}:{username}"
         cached = self._cached(key)
         if cached is not None:
@@ -368,6 +370,8 @@ class SocialMediaPlugin(WDBXPlugin):
         raise PluginError(f"unknown platform: {platform}")
 
     async def get_trends(self, platform: str = "twitter", location: str = "global") -> list[dict]:
+        if platform not in PLATFORMS:
+            raise PluginError(f"unsupported platform: {platform}")
         key = f"trends:{platform}:{location}"
         cached = self._cached(key)
         if cached is not None:
@@ -438,17 +442,15 @@ class SocialMediaPlugin(WDBXPlugin):
 
     # -- embedding + storage ----------------------------------------------
     async def create_embedding(self, text: str) -> list[float]:
-        from wdbx_tpu.api.server import EMBEDDING_PLUGIN_PRIORITY
+        from wdbx_tpu.plugins import iter_embedding_plugins
 
-        manager = self.wdbx.plugin_manager
-        if manager is not None:
-            for name in EMBEDDING_PLUGIN_PRIORITY:
-                plugin = manager.get(name)
-                if plugin is not None and plugin is not self:
-                    try:
-                        return await plugin.create_embedding(text)
-                    except Exception:
-                        continue
+        for plugin in iter_embedding_plugins(self.wdbx.plugin_manager):
+            if plugin is self:
+                continue
+            try:
+                return await plugin.create_embedding(text)
+            except Exception:
+                continue
         raise PluginError("no embedding provider available for social_media")
 
     async def store_posts(

@@ -97,12 +97,16 @@ class WebScraperPlugin(WDBXPlugin):
         return cached[1].can_fetch(self.user_agent, url)
 
     async def _rate_limit(self, url: str) -> None:
+        # RESERVE the next fetch window before sleeping: concurrent
+        # crawl() coroutines that merely check-then-sleep all compute
+        # the same wait and fire together at n x the configured rate.
         domain = urlparse(url).netloc
-        last = self._last_fetch.get(domain, 0.0)
-        wait = self.rate_limit_s - (time.time() - last)
+        now = time.time()
+        slot = max(self._last_fetch.get(domain, 0.0) + self.rate_limit_s, now)
+        self._last_fetch[domain] = slot  # atomic under the event loop
+        wait = slot - now
         if wait > 0:
             await asyncio.sleep(wait)
-        self._last_fetch[domain] = time.time()
 
     # -- fetch + extract ---------------------------------------------------
     async def fetch_url(self, url: str) -> tuple[str, str]:
@@ -193,17 +197,15 @@ class WebScraperPlugin(WDBXPlugin):
 
     # -- embedding delegation ---------------------------------------------
     async def create_embedding(self, text: str) -> list[float]:
-        from wdbx_tpu.api.server import EMBEDDING_PLUGIN_PRIORITY
+        from wdbx_tpu.plugins import iter_embedding_plugins
 
-        manager = self.wdbx.plugin_manager
-        if manager is not None:
-            for name in EMBEDDING_PLUGIN_PRIORITY:
-                plugin = manager.get(name)
-                if plugin is not None and plugin is not self:
-                    try:
-                        return await plugin.create_embedding(text)
-                    except Exception:
-                        continue
+        for plugin in iter_embedding_plugins(self.wdbx.plugin_manager):
+            if plugin is self:
+                continue
+            try:
+                return await plugin.create_embedding(text)
+            except Exception:
+                continue
         raise PluginError("no embedding provider available for webscraper")
 
     # -- pipelines ---------------------------------------------------------
@@ -258,8 +260,15 @@ class WebScraperPlugin(WDBXPlugin):
         while frontier and len(results) < max_pages:
             batch = frontier[: self.concurrency]
             frontier = frontier[self.concurrency:]
-            batch = [(u, d) for u, d in batch if u not in seen]
-            seen.update(u for u, _ in batch)
+            # dedup within the batch too: two pages in one gather can
+            # both link the same unvisited URL (it passes the `seen`
+            # filter twice and gets fetched/stored twice)
+            picked: dict[str, int] = {}
+            for u, d in batch:
+                if u not in seen and u not in picked:
+                    picked[u] = d
+            batch = list(picked.items())
+            seen.update(picked)
             for url, depth, content, links in await asyncio.gather(
                 *(visit(u, d) for u, d in batch)
             ):

@@ -34,7 +34,7 @@ from typing import Any
 import numpy as np
 
 from wdbx_tpu.index.base import VectorIndex, create_index
-from wdbx_tpu.native import SlotRegistry
+from wdbx_tpu import native as _native
 from wdbx_tpu.store.filters import build_slot_mask, compile_filter
 from wdbx_tpu.utils.metrics import LatencyRecorder
 
@@ -75,7 +75,7 @@ class VectorStore:
         self.indices: list[VectorIndex] = []
         # id <-> slot bookkeeping: native C++ registry when built
         # (wdbx_tpu/native), Python fallback otherwise.
-        self.registries: list[SlotRegistry] = []
+        self.registries: list[Any] = []
         self._mutations_since_save = 0
         self._lock = threading.RLock()
         self._epoch = 0  # bumps on every mutation (optimistic searches)
@@ -92,7 +92,7 @@ class VectorStore:
             index = create_index(index_type, self.dim, config)
             index.persist_backend = persist_backend
             self.indices.append(index)
-            self.registries.append(SlotRegistry())
+            self.registries.append(_native.SlotRegistry())
 
         self._slot_ids_cache = [None] * len(self.indices)
         self._create_dirs()
@@ -514,7 +514,7 @@ class VectorStore:
             n = self.count()
             for index in self.indices:
                 index.clear()
-            self.registries = [SlotRegistry() for _ in self.indices]
+            self.registries = [_native.SlotRegistry() for _ in self.indices]
             self.metadata.clear()
             self.raw_vectors.clear()
             self._invalidate_snapshots()
@@ -532,7 +532,7 @@ class VectorStore:
                     old, new = index.compact()
                     remap = {int(o): int(nw) for o, nw in zip(old, new)}
                     items = self.registries[shard].items()
-                    reg = SlotRegistry()
+                    reg = _native.SlotRegistry()
                     reg.put(
                         [vid for vid, _ in items],
                         [remap[int(slot)] for _, slot in items],
@@ -595,7 +595,7 @@ class VectorStore:
                 if index.load(self._index_path(shard)):
                     with open(self._index_path(shard) + ".ids.json") as f:
                         id_map = json.load(f)
-                    reg = SlotRegistry()
+                    reg = _native.SlotRegistry()
                     reg.put(
                         list(id_map.keys()), [int(s) for s in id_map.values()]
                     )
@@ -606,7 +606,7 @@ class VectorStore:
                 logger.warning("recover(%d) failed: %s", shard, e)
             if clear_on_failure:
                 index.clear()
-                self.registries[shard] = SlotRegistry()
+                self.registries[shard] = _native.SlotRegistry()
                 self._invalidate_snapshots()
             return False
 
@@ -655,7 +655,7 @@ class VectorStore:
                 if index.load(self._index_path(shard)):
                     with open(self._index_path(shard) + ".ids.json") as f:
                         id_map = json.load(f)
-                    reg = SlotRegistry()
+                    reg = _native.SlotRegistry()
                     reg.put(list(id_map.keys()),
                             [int(s) for s in id_map.values()])
                     self.registries[shard] = reg
@@ -672,13 +672,13 @@ class VectorStore:
                     ) from e
                 logger.warning("failed to load shard %d: %s", shard, e)
                 index.clear()
-                self.registries[shard] = SlotRegistry()
+                self.registries[shard] = _native.SlotRegistry()
             except (OSError, KeyError) as e:
                 # Corrupt index state → fresh index, matching the
                 # reference's fallback (reference wdbx/core/indexing.py:309-315).
                 logger.warning("failed to load shard %d: %s", shard, e)
                 index.clear()
-                self.registries[shard] = SlotRegistry()
+                self.registries[shard] = _native.SlotRegistry()
         raw_path = os.path.join(self.data_dir, "vectors", "raw.npz")
         if self.keep_raw and os.path.exists(raw_path):
             try:
