@@ -81,3 +81,21 @@ def test_id_table_both_impls():
         reg.remove("b")
         table = reg.id_table()
         assert list(table) == ["a", None, "c"], (cls, table)
+
+
+def test_registry_rejects_invalid_inputs():
+    """Both implementations refuse negative slots and empty ids (the
+    native extension previously wrote out of bounds / aborted; the
+    empty string collides with its unused-slot sentinel)."""
+    import pytest
+
+    from wdbx_tpu.native import PySlotRegistry, SlotRegistry
+
+    for cls in {SlotRegistry, PySlotRegistry}:
+        reg = cls()
+        with pytest.raises(ValueError):
+            reg.put(["a"], [-1])
+        with pytest.raises(ValueError):
+            reg.put([""], [0])
+        reg.put(["ok"], [3])
+        assert reg.lookup("ok") == 3
