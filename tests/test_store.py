@@ -368,3 +368,23 @@ def test_local_embeddings_plugin(temp_dir, rng):
 
     with pytest.raises(PluginError, match="no local model configured"):
         asyncio.run(strict.create_embedding("x"))
+
+
+def test_store_tune_reports_per_shard(temp_dir, rng):
+    store = make_store(
+        temp_dir, dim=16, shards=1, INDEX_TYPE="ivf_clustered",
+        IVF_TRAIN_THRESHOLD=64, IVF_NLIST=8, IVF_NPROBE=1,
+    )
+    vecs = {}
+    for i in range(400):
+        v = rng.standard_normal(16).astype(np.float32)
+        vecs[f"v{i}"] = v / np.linalg.norm(v)
+    store.batch_store(vecs)
+    store.optimize()
+    report = store.tune(target_recall=0.9)
+    assert report["achieved"] >= 0.9
+    assert report["shards"][0]["nprobe"] >= 1
+    # flat stores are always exact
+    flat = make_store(temp_dir + "_f", dim=8, shards=1)
+    flat.store("a", rng.standard_normal(8).astype(np.float32))
+    assert flat.tune()["achieved"] == 1.0

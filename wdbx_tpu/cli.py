@@ -59,6 +59,8 @@ class WDBXCLI:
             ("serve", self._cmd_serve, "Start the REST API server"),
             ("import", self._cmd_import, "Bulk-load vectors from CSV/JSONL"),
             ("optimize", self._cmd_optimize, "Compact and retrain indexes"),
+            ("tune", self._cmd_tune,
+             "Tune ANN probe counts to a recall target"),
             ("heal", self._cmd_heal, "Detect failures and recover shards"),
             ("exit", self._cmd_exit, "Exit interactive mode"),
         ]
@@ -299,6 +301,17 @@ class WDBXCLI:
                 {vid: metadata.get(vid, {}) for vid in chunk},
             )
         print(f"imported {total} vectors from {ns.path}")
+        return 0
+
+    async def _cmd_tune(self, args: list[str]) -> int:
+        ap = argparse.ArgumentParser(prog="tune", exit_on_error=False)
+        ap.add_argument("--target-recall", type=float, default=0.95)
+        try:
+            ns = ap.parse_args(args)
+        except (argparse.ArgumentError, SystemExit):
+            return 1
+        report = await self.wdbx.tune_async(ns.target_recall)
+        print(json.dumps(report, indent=2, default=str))
         return 0
 
     async def _cmd_optimize(self, args: list[str]) -> None:

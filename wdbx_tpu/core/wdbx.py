@@ -188,6 +188,11 @@ class WDBX:
     def clear(self) -> int:
         return self.store.clear()
 
+    def tune(self, target_recall: float = 0.95) -> dict[str, Any]:
+        """Tune ANN shards' probe counts to a recall target against
+        their own exact oracles (stored vectors as the query sample)."""
+        return self.store.tune(target_recall)
+
     def optimize(self) -> bool:
         return self.store.optimize()
 
@@ -340,6 +345,9 @@ class WDBX:
 
     async def clear_async(self) -> int:
         return await self.store.clear_async()
+
+    async def tune_async(self, target_recall: float = 0.95):
+        return await self.store.tune_async(target_recall)
 
     async def optimize_async(self) -> bool:
         return await self.store.optimize_async()

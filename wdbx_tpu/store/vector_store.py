@@ -542,6 +542,41 @@ class VectorStore:
             self._invalidate_snapshots()
         return True
 
+    def tune(self, target_recall: float = 0.95, sample: int = 64,
+             k: int = 10) -> dict[str, Any]:
+        """Tune every ANN shard's nprobe to the smallest value hitting
+        ``target_recall``, using stored vectors as the query sample (the
+        binary-search tuner each index carries; SURVEY §7's recall
+        loop, operator-facing). Returns per-shard achieved recall; flat
+        shards report 1.0 (always exact)."""
+        report: dict[str, Any] = {"target": target_recall, "shards": []}
+        for shard, index in enumerate(self.indices):
+            entry: dict[str, Any] = {"shard": shard, "type": index.kind}
+            tune = getattr(index, "tune", None)
+            if tune is None or index.count() == 0:
+                entry["recall"] = 1.0
+            else:
+                with self._lock:
+                    items = self.registries[shard].items()
+                    ids = [vid for vid, _ in items][:sample]
+                queries = (
+                    np.stack([self.raw_vectors[v] for v in ids
+                              if v in self.raw_vectors])
+                    if self.raw_vectors else None
+                )
+                if queries is None or not len(queries):
+                    slots = [slot for _, slot in items][:sample]
+                    queries = index.get_vectors(np.asarray(slots, np.int64))
+                entry["recall"] = float(
+                    tune(queries, k=k, target_recall=target_recall)
+                )
+                entry["nprobe"] = getattr(index, "nprobe", None)
+            report["shards"].append(entry)
+        report["achieved"] = min(
+            (e["recall"] for e in report["shards"]), default=1.0
+        )
+        return report
+
     def get_stats(self) -> dict[str, Any]:
         return {
             "latency": self.metrics.summary(),
@@ -727,3 +762,7 @@ class VectorStore:
 
     async def optimize_async(self) -> bool:
         return await asyncio.to_thread(self.optimize)
+
+    async def tune_async(self, target_recall: float = 0.95,
+                         sample: int = 64, k: int = 10):
+        return await asyncio.to_thread(self.tune, target_recall, sample, k)
