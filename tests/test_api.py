@@ -304,3 +304,28 @@ class TestOpsRoutes:
                    enable_plugins=False)
         assert db2.get_vector("s1") is not None
         await client.close()
+
+
+async def test_tune_endpoint(temp_dir):
+    import numpy as np
+
+    db = WDBX(vector_dimension=16, num_shards=1, data_dir=temp_dir,
+              enable_plugins=False,
+              config={"INDEX_TYPE": "ivf_clustered",
+                      "IVF_TRAIN_THRESHOLD": 64, "IVF_NLIST": 4,
+                      "IVF_NPROBE": 1})
+    await db.initialize()
+    server = WDBXAPIServer(db)
+    client = TestClient(TestServer(server.app))
+    await client.start_server()
+    rng = np.random.default_rng(0)
+    for i in range(200):
+        v = rng.standard_normal(16)
+        db.vector_store((v / np.linalg.norm(v)).tolist(), {"i": i}, f"v{i}")
+    db.optimize()
+    resp = await client.post("/api/v1/tune", json={"target_recall": 0.9})
+    assert resp.status == 200
+    report = await resp.json()
+    assert report["achieved"] >= 0.9
+    assert report["shards"]
+    await client.close()

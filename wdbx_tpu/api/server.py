@@ -93,6 +93,7 @@ class WDBXAPIServer:
         r.add_get(f"{p}/visualize", self.visualize)
         r.add_get(f"{p}/metrics", self.metrics)
         r.add_post(f"{p}/save", self.save_checkpoint)
+        r.add_post(f"{p}/tune", self.tune_indexes)
         if self.cors_origins:
             # Browser preflight: aiohttp 405s unrouted OPTIONS, which
             # breaks clients sending X-API-Key or using PUT/DELETE.
@@ -346,6 +347,16 @@ class WDBXAPIServer:
         the latest one)."""
         await asyncio.to_thread(self.wdbx.store.save)
         return web.json_response({"saved": True})
+
+    async def tune_indexes(self, request: web.Request) -> web.Response:
+        """Tune ANN probe counts to a recall target (ops endpoint)."""
+        try:
+            data = await request.json()
+        except Exception:
+            data = {}
+        target = float(data.get("target_recall", 0.95))
+        report = await self.wdbx.tune_async(target)
+        return web.json_response(report)
 
     async def visualize(self, request: web.Request) -> web.Response:
         """Live dashboard / plot data from current store contents.
