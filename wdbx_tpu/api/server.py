@@ -354,7 +354,14 @@ class WDBXAPIServer:
             data = await request.json()
         except Exception:
             data = {}
-        target = float(data.get("target_recall", 0.95))
+        if not isinstance(data, dict):
+            return _json_error(422, "body must be a JSON object")
+        try:
+            target = float(data.get("target_recall", 0.95))
+        except (TypeError, ValueError):
+            return _json_error(422, "target_recall must be a number")
+        if not (0.0 < target <= 1.0):
+            return _json_error(422, "target_recall must be in (0, 1]")
         report = await self.wdbx.tune_async(target)
         return web.json_response(report)
 

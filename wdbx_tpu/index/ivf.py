@@ -965,29 +965,38 @@ class IVFIndex(FlatIndex):
                 )
             )
 
-        # Phase 1: geometric climb to bracket the target.
-        lo, hi = 0, 1
-        recall = recall_at(hi)
-        while recall < target_recall and hi < max_probe:
-            lo = hi
-            hi = min(max_probe, hi * 2)
+        # The sweep mutates self.nprobe between trial searches; restore
+        # a sane value even if a trial raises (a crash mid-tune must not
+        # strand serving at nprobe=1).
+        prior = self.nprobe
+        try:
+            # Phase 1: geometric climb to bracket the target.
+            lo, hi = 0, 1
             recall = recall_at(hi)
-        if recall < target_recall:
-            self.nprobe = hi
-            return recall  # even max_probe misses the target; be honest
-        # Phase 2: binary-search DOWN to the smallest passing nprobe —
-        # the r1 tuner overshot (e.g. recall 1.0 at nprobe 63 where 0.95
-        # was requested), paying ~2x QPS for unasked-for recall.
-        best_probe, best_recall = hi, recall
-        while lo + 1 < hi:
-            mid = (lo + hi) // 2
-            r = recall_at(mid)
-            if r >= target_recall:
-                hi, best_probe, best_recall = mid, mid, r
-            else:
-                lo = mid
-        self.nprobe = best_probe
-        return best_recall
+            while recall < target_recall and hi < max_probe:
+                lo = hi
+                hi = min(max_probe, hi * 2)
+                recall = recall_at(hi)
+            if recall < target_recall:
+                self.nprobe = prior = hi
+                return recall  # even max_probe misses the target; be honest
+            # Phase 2: binary-search DOWN to the smallest passing nprobe —
+            # the r1 tuner overshot (e.g. recall 1.0 at nprobe 63 where
+            # 0.95 was requested), paying ~2x QPS for unasked-for recall.
+            best_probe, best_recall = hi, recall
+            while lo + 1 < hi:
+                mid = (lo + hi) // 2
+                r = recall_at(mid)
+                if r >= target_recall:
+                    hi, best_probe, best_recall = mid, mid, r
+                else:
+                    lo = mid
+            self.nprobe = best_probe
+            prior = best_probe
+            return best_recall
+        finally:
+            if self.nprobe != prior:
+                self.nprobe = prior
 
     def _oracle_search(self, queries, k):
         """Exact scan used as tune()'s recall oracle (subclasses swap in

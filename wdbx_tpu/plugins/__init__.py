@@ -13,9 +13,13 @@ EMBEDDING_PLUGIN_PRIORITY = [
 
 
 def iter_embedding_plugins(manager):
-    """Plugins in embedding-fallback order: the priority names first,
-    then every remaining loaded plugin. Shared by the API embedding
-    endpoints and the CLI's --from-text."""
+    """Embedding PROVIDERS in fallback order: the priority names first,
+    then remaining plugins that produce embeddings themselves
+    (``embedding_provider = True``). Consumer plugins that merely
+    delegate (webscraper, social_media) are excluded — two delegating
+    consumers falling back to each other would recurse until the
+    interpreter limit. Shared by the API embedding endpoints, the CLI's
+    --from-text, and the consumer plugins."""
     if manager is None:
         return
     for name in EMBEDDING_PLUGIN_PRIORITY:
@@ -23,7 +27,9 @@ def iter_embedding_plugins(manager):
         if plugin is not None:
             yield plugin
     for name, plugin in manager.plugins.items():
-        if name not in EMBEDDING_PLUGIN_PRIORITY:
+        if name not in EMBEDDING_PLUGIN_PRIORITY and getattr(
+            plugin, "embedding_provider", False
+        ):
             yield plugin
 
 

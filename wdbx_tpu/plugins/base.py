@@ -30,6 +30,12 @@ class PluginError(Exception):
 
 
 class WDBXPlugin(abc.ABC):
+
+    #: True for plugins whose create_embedding produces embeddings
+    #: itself (vs. consumers that DELEGATE to other plugins — those must
+    #: not appear in the fallback chain or two consumers recurse into
+    #: each other)
+    embedding_provider = False
     """Base class for WDBX plugins."""
 
     def __init__(self, wdbx: "WDBX"):

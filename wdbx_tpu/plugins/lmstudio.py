@@ -25,6 +25,7 @@ logger = logging.getLogger("wdbx_tpu.plugins.lmstudio")
 
 
 class LMStudioPlugin(WDBXPlugin):
+    embedding_provider = True
     @property
     def name(self) -> str:
         return "lmstudio"

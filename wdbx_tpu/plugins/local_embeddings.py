@@ -32,6 +32,7 @@ logger = logging.getLogger("wdbx_tpu.plugins.local_embeddings")
 
 
 class LocalEmbeddingsPlugin(WDBXPlugin):
+    embedding_provider = True
     @property
     def name(self) -> str:
         return "sentencetransformers"

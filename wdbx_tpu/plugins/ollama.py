@@ -32,6 +32,7 @@ logger = logging.getLogger("wdbx_tpu.plugins.ollama")
 
 
 class OllamaPlugin(WDBXPlugin):
+    embedding_provider = True
     @property
     def name(self) -> str:
         return "ollama"

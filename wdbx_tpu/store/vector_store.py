@@ -145,6 +145,8 @@ class VectorStore:
         metadata: dict[str, Any] | None = None,
     ) -> bool:
         arr = self._check_vector(vector)
+        if not vector_id:
+            raise ValueError("vector ids must be non-empty strings")
         with self.metrics.timed("store"), self._lock:
             shard = self._shard_for(vector_id)
             existing = self.registries[shard].lookup(vector_id)
@@ -172,6 +174,11 @@ class VectorStore:
         metadata = metadata or {}
         by_shard: dict[int, tuple[list[str], list[np.ndarray]]] = {}
         updates: list[tuple[str, np.ndarray]] = []
+        # id validation BEFORE any index mutation: a registry rejection
+        # mid-loop would orphan already-inserted slab rows
+        for vid in vectors:
+            if not vid:
+                raise ValueError("vector ids must be non-empty strings")
         with self.metrics.timed("batch_store"), self._lock:
             for vid, vec in vectors.items():
                 arr = self._check_vector(vec)
@@ -317,22 +324,24 @@ class VectorStore:
                 if not hold_lock:
                     self._lock.release()
                     held = False
-                if len(indices) > 1:
+                pool = self._fanout_pool
+                if len(indices) > 1 and pool is not None:
                     # fan shards out on threads: each search holds only
                     # its index's read lock, so dispatch+transfer round
-                    # trips overlap across shards (persistent pool —
-                    # per-call thread churn would tax the hot path)
-                    per_shard = list(self._fanout_pool.map(
+                    # trips overlap across shards (persistent pool; a
+                    # LOCAL reference — shutdown() may null the attr
+                    # while this search is in flight)
+                    per_shard = list(pool.map(
                         lambda si: si[1].search(
                             queries, fetch_k, slot_mask=masks[si[0]]
                         ),
                         enumerate(indices),
                     ))
                 else:
+                    # single shard, or the pool was torn down mid-shutdown
                     per_shard = [
-                        indices[0].search(
-                            queries, fetch_k, slot_mask=masks[0]
-                        )
+                        index.search(queries, fetch_k, slot_mask=masks[s])
+                        for s, index in enumerate(indices)
                     ]
                 if hold_lock or self._epoch == epoch:
                     break
@@ -550,28 +559,34 @@ class VectorStore:
         loop, operator-facing). Returns per-shard achieved recall; flat
         shards report 1.0 (always exact)."""
         report: dict[str, Any] = {"target": target_recall, "shards": []}
-        for shard, index in enumerate(self.indices):
-            entry: dict[str, Any] = {"shard": shard, "type": index.kind}
-            tune = getattr(index, "tune", None)
-            if tune is None or index.count() == 0:
-                entry["recall"] = 1.0
-            else:
-                with self._lock:
+        # the sweep mutates live serving parameters (nprobe) — hold the
+        # store lock so store-level searches never observe a transient
+        # probe setting mid-tune
+        with self._lock:
+            for shard, index in enumerate(self.indices):
+                entry: dict[str, Any] = {"shard": shard, "type": index.kind}
+                tune = getattr(index, "tune", None)
+                if tune is None or index.count() == 0:
+                    entry["recall"] = 1.0
+                else:
                     items = self.registries[shard].items()
                     ids = [vid for vid, _ in items][:sample]
-                queries = (
-                    np.stack([self.raw_vectors[v] for v in ids
-                              if v in self.raw_vectors])
-                    if self.raw_vectors else None
-                )
-                if queries is None or not len(queries):
-                    slots = [slot for _, slot in items][:sample]
-                    queries = index.get_vectors(np.asarray(slots, np.int64))
-                entry["recall"] = float(
-                    tune(queries, k=k, target_recall=target_recall)
-                )
-                entry["nprobe"] = getattr(index, "nprobe", None)
-            report["shards"].append(entry)
+                    rows = [
+                        self.raw_vectors[v] for v in ids
+                        if v in self.raw_vectors
+                    ]
+                    if rows:
+                        queries = np.stack(rows)
+                    else:  # no raws for this shard's sample: read the slab
+                        slots = [slot for _, slot in items][:sample]
+                        queries = index.get_vectors(
+                            np.asarray(slots, np.int64)
+                        )
+                    entry["recall"] = float(
+                        tune(queries, k=k, target_recall=target_recall)
+                    )
+                    entry["nprobe"] = getattr(index, "nprobe", None)
+                report["shards"].append(entry)
         report["achieved"] = min(
             (e["recall"] for e in report["shards"]), default=1.0
         )
@@ -717,14 +732,23 @@ class VectorStore:
         raw_path = os.path.join(self.data_dir, "vectors", "raw.npz")
         if self.keep_raw and os.path.exists(raw_path):
             try:
-                # allow_pickle stays False (default): legacy object-id
-                # checkpoints fail here and are just re-saved in the new
-                # unicode format on the next save()
+                # allow_pickle stays False (default): object arrays in a
+                # tampered file would execute code on load
                 data = np.load(raw_path)
                 for vid, vec in zip(data["ids"], data["vectors"]):
                     self.raw_vectors[str(vid)] = np.asarray(vec, np.float32)
             except (ValueError, OSError) as e:
-                logger.warning("failed to load raw vectors: %s", e)
+                # Unreadable (e.g. a legacy object-id checkpoint): move it
+                # aside rather than leaving it where the next save()'s
+                # empty-store cleanup would DELETE the only f32 copy.
+                logger.warning(
+                    "failed to load raw vectors (%s); preserving the file "
+                    "as raw.npz.unreadable", e,
+                )
+                try:
+                    os.replace(raw_path, raw_path + ".unreadable")
+                except OSError:
+                    pass
         self._invalidate_snapshots()
 
     # -- async twins ------------------------------------------------------
