@@ -222,6 +222,14 @@ def _pallas_topk(db, queries, valid_i8, scales, k, block_n, interpret,
             bytes_accessed=slab_bytes + b * d * 4 + n,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            # The default 16 MB scoped-VMEM limit rejects edge combos
+            # where the exact fold's temps ride on top of a full-size
+            # tile (e.g. 8192x384 bf16 at few-tile corpora: 16.07 MB).
+            # Raising it is measured perf-neutral; block sizing stays a
+            # perf heuristic, not a correctness gate.
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(*operands)
 
