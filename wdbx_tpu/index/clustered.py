@@ -574,6 +574,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
         self._blk_lo = None  # (nlist,) int32 device
         self._blk_hi = None
         self._m = 1  # max blocks per bucket (static, pow2)
+        self._c = 1  # scan-block rows (set by _install_layout)
         self._u_prefix: np.ndarray | None = None  # sorted-desc blk counts cumsum
         self._nonempty = 0
         self._avg_blocks = 1.0
