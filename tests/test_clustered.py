@@ -458,6 +458,20 @@ class TestClusteredIVF:
 
         self._run_differential(seed, make, steps=60)
 
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_differential_random_ops_dense_ivf(self, seed):
+        """Same fuzz against the dense-table IVFIndex (quarantine +
+        bucket-table invalidation bookkeeping)."""
+        from wdbx_tpu.index.ivf import IVFIndex
+
+        def make():
+            idx = IVFIndex(16, nlist=4, nprobe=4, train_threshold=64)
+            idx.batch_flat_fallback = False
+            idx.topk_method = "exact"
+            return idx
+
+        self._run_differential(seed, make, steps=40)
+
     def _run_differential(self, seed, make, steps):
         """Randomized differential test: a long random sequence of
         add/update/remove/build/save-load against a brute-force numpy
