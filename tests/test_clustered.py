@@ -560,3 +560,84 @@ class TestClusteredIVF:
              for a, b in zip(got, exp)]
         )
         assert recall >= 0.95, recall
+
+
+class TestAdvisoryRegressions:
+    """Round-2 advisor findings: each test fails on the pre-fix code."""
+
+    def test_dedup_blocks_skewed_probe_no_overflow(self):
+        """counts * bp in _dedup_blocks must not wrap int32: with a
+        bucket probed by most of a large batch, the wrapped priority
+        ranked the HOTTEST blocks below masked duplicates and dropped
+        them from the scan (silent recall collapse in coalesced-batch
+        serving)."""
+        import jax.numpy as jnp
+
+        from wdbx_tpu.index.clustered import _dedup_blocks
+
+        B, P, m = 1024, 32, 8
+        nblocks = 32
+        blk_lo = jnp.asarray([0, 8, 16, 24], jnp.int32)
+        blk_hi = jnp.asarray([8, 16, 24, 32], jnp.int32)
+        # 960 queries hammer bucket 0 (counts ~30720 -> counts*bp ~8e9,
+        # wraps int32 pre-fix); 64 queries probe bucket 1
+        probe = np.zeros((B, P), np.int32)
+        probe[-64:] = 1
+        uniq, uniq_ok = _dedup_blocks(
+            jnp.asarray(probe), blk_lo, blk_hi, nblocks, u=16, m=m
+        )
+        got = set(np.asarray(uniq)[np.asarray(uniq_ok)].tolist())
+        # the hot bucket's blocks [0, 8) MUST survive dedup
+        assert set(range(8)) <= got, got
+        assert set(range(8, 16)) <= got, got
+
+    def test_load_adopts_flat_checkpoint_with_identity_slots(
+        self, rng, tmp_path
+    ):
+        """A flat/IVF checkpoint (slots == positions) loads as an
+        untrained clustered index with identity slot maps — previously
+        it 'loaded' with all maps at -1 and every search returned -1."""
+        d = 32
+        flat = FlatIndex(d)
+        db = _normed(rng, 500, d)
+        slots = flat.add_batch(db)
+        flat.save(str(tmp_path / "ckpt"))
+        idx = _make(d)
+        assert idx.load(str(tmp_path / "ckpt"))
+        assert idx.count() == 500
+        _, got = idx.search(db[:4], 4)
+        assert (got[:, 0] == slots[:4]).all(), got[:, 0]
+
+    def test_load_missing_sidecar_refuses(self, rng, tmp_path):
+        """A clustered checkpoint whose sidecar was lost is corrupt —
+        refuse instead of serving slot -1 for every hit."""
+        idx = _make(32)
+        idx.add_batch(_normed(rng, 400, 32))
+        idx.build()
+        path = str(tmp_path / "ck")
+        idx.save(path)
+        os.remove(path + ".ivfc.json")
+        fresh = _make(32)
+        with pytest.raises(ValueError, match="sidecar"):
+            fresh.load(path)
+
+    def test_duplicate_slots_one_batch(self, rng):
+        """Duplicate ids inside one update/remove batch must not alias
+        physical rows or double-decrement the size."""
+        d = 32
+        idx = _make(d)
+        db = _normed(rng, 600, d)
+        slots = idx.add_batch(db)
+        idx.build()
+        v2 = _normed(rng, 2, d)
+        idx.update_slots(np.array([slots[0], slots[0]]), v2)
+        got = idx.get_vectors(np.array([slots[0]]))
+        np.testing.assert_allclose(
+            np.asarray(got[0], np.float32), v2[1], atol=1e-2
+        )
+        n_before = idx.count()
+        s_new = idx.add_batch(_normed(rng, 2, d))
+        g = np.asarray(idx.get_vectors(s_new), np.float32)
+        assert not np.allclose(g[0], g[1])  # no shared physical row
+        idx.remove_slots(np.array([slots[1], slots[1]]))
+        assert idx.count() == n_before + 2 - 1

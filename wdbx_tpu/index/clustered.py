@@ -229,6 +229,10 @@ def _dedup_blocks(probe, blk_lo, blk_hi, nblocks: int, u: int, m: int):
         jnp.searchsorted(sorted_ids, sorted_ids, side="right")
         - jnp.searchsorted(sorted_ids, sorted_ids, side="left")
     ).astype(jnp.int32)
+    # counts*bp must stay inside int32 (x64 is off); without the clamp a
+    # bucket probed by >~2^31/bp of the expanded entries wraps negative
+    # and the hottest blocks silently fall out of the top_k.
+    counts = jnp.minimum(counts, (2**31 - 1 - bp) // bp)
     prio = jnp.where(
         is_first, counts * bp + (bp - jnp.arange(bp, dtype=jnp.int32)), 0
     )
@@ -387,6 +391,15 @@ class ClusteredSlotMixin:
             return slots
 
     def update_slots(self, slots: np.ndarray, vectors: np.ndarray) -> None:
+        slots = np.asarray(slots, np.int64)
+        vectors = np.asarray(vectors)
+        if len(slots) != len(np.unique(slots)):
+            # duplicate slot ids in one batch: last row wins. Without the
+            # dedup the same physical position is freed/quarantined twice
+            # and two later inserts alias one row.
+            _, idx_rev = np.unique(slots[::-1], return_index=True)
+            keep = np.sort(len(slots) - 1 - idx_rev)
+            slots, vectors = slots[keep], vectors[keep]
         with self._mu.write():
             vectors = self._prep(vectors)
             pos = self._positions_of(slots)
@@ -423,7 +436,9 @@ class ClusteredSlotMixin:
         self._valid = self._tombstone_arrays(ppos)
 
     def remove_slots(self, slots: np.ndarray) -> None:
-        slots = np.asarray(slots, np.int64)
+        # dedup: duplicate ids would double-decrement _size and push the
+        # same position into the free/quarantine lists twice
+        slots = np.unique(np.asarray(slots, np.int64))
         if len(slots) == 0:
             return
         with self._mu.write():
@@ -450,6 +465,42 @@ class ClusteredSlotMixin:
             self._free_slots.extend(int(s) for s in slots)
             self._slot_of[pos] = -1
             self._pos_of[slots] = -1
+
+    def _adopt_foreign_checkpoint(self, path: str) -> bool:
+        """Called by ``load`` when the clustered sidecar is absent: decide
+        what the base checkpoint actually was. Flat/IVF checkpoints store
+        rows at slot==position, so they are adopted by building identity
+        slot maps (the index comes up untrained and serves through the
+        exact path until the next ``build``). A same-kind checkpoint with
+        a missing sidecar is corrupt, and any other kind is refused —
+        previously both cases "loaded" with all slot maps at -1, so
+        ``count()`` reported N vectors while every search returned slot -1.
+        """
+        meta_file = path + ".meta.json"
+        src_kind = self.kind
+        if os.path.exists(meta_file):
+            with open(meta_file) as f:
+                src_kind = json.load(f).get("kind", self.kind)
+        if src_kind == self.kind:
+            raise ValueError(
+                f"checkpoint at {path!r} is kind {src_kind!r} but its "
+                "clustered sidecar file is missing — refusing partial load"
+            )
+        if src_kind not in ("flat", "ivf", "sharded_flat", "sharded_ivf"):
+            raise ValueError(
+                f"cannot load a {src_kind!r} checkpoint "
+                f"into a {self.kind!r} index"
+            )
+        hwm = self._next_slot
+        live = np.ones(hwm, bool)
+        free_live = [int(p) for p in self._free if p < hwm]
+        live[free_live] = False
+        pos = np.arange(hwm, dtype=np.int32)[live]
+        self._slot_of[pos] = pos
+        self._pos_of[pos] = pos
+        self._next_ext_slot = hwm
+        self._free_slots = list(free_live)
+        return True
 
     # -- shared query helpers -----------------------------------------------
     def _scan_rows(self) -> int:
@@ -1090,7 +1141,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
             self._next_ext_slot = 0
             self._reset_overlay()
             if not os.path.exists(path + ".ivfc.json"):
-                return True
+                return self._adopt_foreign_checkpoint(path)
             with open(path + ".ivfc.json") as f:
                 meta = json.load(f)
             self.nlist = meta["nlist"]

@@ -696,7 +696,7 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
             self._slot_of = np.full(self._cap, -1, np.int32)
             self._pos_of = np.full(self._cap, -1, np.int32)
             if not os.path.exists(path + ".ivfsc.json"):
-                return True
+                return self._adopt_foreign_checkpoint(path)
             with open(path + ".ivfsc.json") as f:
                 meta = json.load(f)
             self.nlist = meta["nlist"]

@@ -559,26 +559,35 @@ class VectorStore:
         loop, operator-facing). Returns per-shard achieved recall; flat
         shards report 1.0 (always exact)."""
         report: dict[str, Any] = {"target": target_recall, "shards": []}
-        # the sweep mutates live serving parameters (nprobe) — hold the
-        # store lock so store-level searches never observe a transient
-        # probe setting mid-tune
+        # Snapshot the query samples under the store lock, then run the
+        # sweep OUTSIDE it: each trial is several device searches (and a
+        # possible rebuild), and holding the store-wide lock across that
+        # blocked all reads and writes for minutes via POST /api/v1/tune.
+        # Transiently observed nprobe values mid-sweep are benign (results
+        # stay correct, only recall varies); each index's own read/write
+        # locks guard its internal state.
         with self._lock:
-            for shard, index in enumerate(self.indices):
-                entry: dict[str, Any] = {"shard": shard, "type": index.kind}
-                tune = getattr(index, "tune", None)
-                if tune is None or index.count() == 0:
-                    entry["recall"] = 1.0
-                else:
-                    items = self.registries[shard].items()
-                    ids = [vid for vid, _ in items][:sample]
-                    rows = [
-                        self.raw_vectors[v] for v in ids
-                        if v in self.raw_vectors
-                    ]
+            shards = list(enumerate(self.indices))
+            samples = []
+            for shard, index in shards:
+                items = self.registries[shard].items()
+                ids = [vid for vid, _ in items][:sample]
+                rows = [
+                    self.raw_vectors[v] for v in ids
+                    if v in self.raw_vectors
+                ]
+                slots = [slot for _, slot in items][:sample]
+                samples.append((rows, slots))
+        for (shard, index), (rows, slots) in zip(shards, samples):
+            entry: dict[str, Any] = {"shard": shard, "type": index.kind}
+            tune = getattr(index, "tune", None)
+            if tune is None or index.count() == 0:
+                entry["recall"] = 1.0
+            else:
+                try:
                     if rows:
                         queries = np.stack(rows)
                     else:  # no raws for this shard's sample: read the slab
-                        slots = [slot for _, slot in items][:sample]
                         queries = index.get_vectors(
                             np.asarray(slots, np.int64)
                         )
@@ -586,7 +595,12 @@ class VectorStore:
                         tune(queries, k=k, target_recall=target_recall)
                     )
                     entry["nprobe"] = getattr(index, "nprobe", None)
-                report["shards"].append(entry)
+                except (ValueError, IndexError) as e:
+                    # the snapshot can go stale under concurrent deletes;
+                    # report the shard rather than failing the whole sweep
+                    entry["error"] = str(e)
+                    entry["recall"] = 0.0
+            report["shards"].append(entry)
         report["achieved"] = min(
             (e["recall"] for e in report["shards"]), default=1.0
         )
@@ -686,9 +700,11 @@ class VectorStore:
                     ids=np.asarray(ids, dtype=np.str_),
                     vectors=np.stack([self.raw_vectors[i] for i in ids]),
                 )
-            elif os.path.exists(raw_path):
+            elif self.keep_raw and os.path.exists(raw_path):
                 # a cleared/emptied store must not resurrect stale raws
-                # on the next restart
+                # on the next restart. When keep_raw is OFF we leave any
+                # existing raw.npz alone — toggling the flag (even
+                # temporarily) must not destroy the only f32 copies.
                 os.remove(raw_path)
             self._mutations_since_save = 0
 
