@@ -1,7 +1,9 @@
 """Config system tests (parity spec: reference tests/test_core.py:57-88)."""
 
 import json
+import os
 
+import numpy as np
 import pytest
 
 from wdbx_tpu.core.config import WDBXConfig
@@ -125,3 +127,62 @@ class TestFromFile:
         assert cfg.get("VECTOR_DIMENSION") == 384
         assert cfg.get("IVF_NLIST") == 100
         assert cfg.get("INDEX_TYPE") == "flat"
+
+
+class TestReferenceConfigCompat:
+    """The reference's own config file + key spellings must load and
+    serve unchanged (reference wdbx/core/config.py:27-47,
+    config/wdbx_config.yaml)."""
+
+    REF_YAML = "/root/reference/config/wdbx_config.yaml"
+
+    def _serve(self, cfg, tmp_path):
+        from wdbx_tpu.core.wdbx import WDBX
+
+        cfg.set("DATA_DIR", str(tmp_path / "data"))
+        db = WDBX(vector_dimension=None, num_shards=None, data_dir=None,
+                  config=cfg, enable_plugins=False)
+        vec = np.random.default_rng(0).standard_normal(
+            cfg.get("VECTOR_DIMENSION", 384)
+        ).astype(np.float32)
+        vid = db.vector_store(list(vec), {"tag": "t"})
+        hits = db.vector_search(list(vec), limit=1)
+        assert hits and hits[0][0] == vid
+        return db
+
+    def test_reference_yaml_verbatim(self, tmp_path):
+        if not os.path.exists(self.REF_YAML):
+            pytest.skip("reference tree not present")
+        cfg = WDBXConfig.from_file(self.REF_YAML)
+        assert cfg.get("INDEX_TYPE") == "hnsw"
+        assert cfg.get("HNSW_EF_SEARCH") == 50
+        assert cfg.get("FAISS_INDEX_TYPE") == "Flat"
+        assert cfg.get("PLUGINS_ENABLED") is True
+        assert cfg.get("VECTOR_DIMENSION") == 384
+        self._serve(cfg, tmp_path)
+
+    def test_hnsw_index_type_alias(self, tmp_path):
+        from wdbx_tpu.index import create_index
+        from wdbx_tpu.index.clustered import ClusteredIVFIndex
+
+        cfg = WDBXConfig({"INDEX_TYPE": "HNSW", "HNSW_EF_SEARCH": 120})
+        idx = create_index(cfg.get("INDEX_TYPE"), 32, cfg)
+        assert isinstance(idx, ClusteredIVFIndex)
+        assert idx.nprobe == 20  # 120 / 6
+
+    def test_faiss_index_type_alias(self):
+        from wdbx_tpu.index import create_index
+        from wdbx_tpu.index.flat import FlatIndex
+        from wdbx_tpu.index.ivf import IVFIndex
+
+        flat = create_index(
+            "faiss", 32, WDBXConfig({"FAISS_INDEX_TYPE": "Flat"})
+        )
+        assert isinstance(flat, FlatIndex)
+        ivf = create_index(
+            "faiss", 32,
+            WDBXConfig({"FAISS_INDEX_TYPE": "IVF64,Flat",
+                        "FAISS_NPROBE": 5}),
+        )
+        assert isinstance(ivf, IVFIndex)
+        assert ivf.nlist == 64 and ivf.nprobe == 5

@@ -95,7 +95,16 @@ def _infer(value: str) -> Any:
 _SECTION_MAP = {
     "CORE_": "",
     "INDEXING_IVF_": "IVF_",
+    # reference-config compat (reference wdbx/core/config.py:27-47 and
+    # config/wdbx_config.yaml): keep the reference's indexing.hnsw.* /
+    # indexing.faiss.* knobs addressable as flat HNSW_*/FAISS_* keys —
+    # create_index translates them onto the TPU engines
+    "INDEXING_HNSW_": "HNSW_",
+    "INDEXING_FAISS_": "FAISS_",
     "INDEXING_": "INDEX_",
+    "ENABLE_PLUGINS": "PLUGINS_ENABLED",
+    "ENABLE_DISTRIBUTED": "DISTRIBUTED_ENABLED",
+    "API_AUTH_KEY": "API_KEY",
     "PARALLEL_MESH_AXIS": "MESH_AXIS",
     "PARALLEL_REPLICAS": "MESH_REPLICAS",
     "PARALLEL_AUTO_REMESH": "MESH_AUTO_REMESH",

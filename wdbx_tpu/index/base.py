@@ -12,11 +12,14 @@ off the device path.
 from __future__ import annotations
 
 import abc
+import logging
 from typing import Any
 
 import numpy as np
 
 from wdbx_tpu.utils.rwlock import RWLock
+
+logger = logging.getLogger("wdbx_tpu.index")
 
 
 class VectorIndex(abc.ABC):
@@ -114,6 +117,57 @@ def create_index(kind: str, dim: int, config: Any = None) -> "VectorIndex":
     if config is not None:
         kwargs["metric"] = config.get("INDEX_METRIC", "cosine")
         kwargs["dtype"] = config.get("INDEX_DTYPE", "float32")
+    if kind == "hnsw":
+        # Reference-config migration: the reference serves INDEX_TYPE=HNSW
+        # via hnswlib (reference wdbx/core/indexing.py:709-758); the
+        # clustered engine is its latency-serving analogue here. Its
+        # default operating point (m=16, ef_search=50) lands ~0.95
+        # recall@10; nprobe ≈ ef_search/6 reproduces that recall on the
+        # clustered layout (benchmarks/RESULTS.md recall tables).
+        from wdbx_tpu.index.clustered import ClusteredIVFIndex
+
+        ef = int(config.get("HNSW_EF_SEARCH", 50)) if config is not None else 50
+        kwargs["nprobe"] = max(4, round(ef / 6))
+        if config is not None:
+            kwargs["nlist"] = int(config.get("IVF_NLIST", 100))
+            kwargs["train_threshold"] = int(
+                config.get("IVF_TRAIN_THRESHOLD", 4096)
+            )
+        logger.info(
+            "INDEX_TYPE=hnsw: serving via ivf_clustered (nprobe=%d mapped "
+            "from HNSW_EF_SEARCH=%d; HNSW_M/HNSW_EF_CONSTRUCTION have no "
+            "TPU analogue and are ignored)", kwargs["nprobe"], ef,
+        )
+        return ClusteredIVFIndex(dim, **kwargs)
+    if kind == "faiss":
+        # Reference FAISS backend: dispatch on FAISS_INDEX_TYPE ("Flat" or
+        # an IVF factory string like "IVF100,Flat" — reference
+        # wdbx/core/indexing.py:709-758, config.py:36-37).
+        ftype = str(
+            config.get("FAISS_INDEX_TYPE", "Flat") if config is not None
+            else "Flat"
+        )
+        if ftype.lower().startswith("ivf"):
+            from wdbx_tpu.index.ivf import IVFIndex
+
+            head = ftype.split(",")[0][3:]
+            nlist = int(head) if head.isdigit() else int(
+                config.get("FAISS_NLIST", config.get("IVF_NLIST", 100))
+                if config is not None else 100
+            )
+            kwargs["nlist"] = nlist
+            if config is not None:
+                kwargs["nprobe"] = int(
+                    config.get("FAISS_NPROBE", config.get("IVF_NPROBE", 8))
+                )
+            logger.info(
+                "INDEX_TYPE=faiss (%s): serving via ivf (nlist=%d)",
+                ftype, nlist,
+            )
+            return IVFIndex(dim, **kwargs)
+        logger.info("INDEX_TYPE=faiss (%s): serving via flat exact scan",
+                    ftype)
+        kind = "flat"
     if kind == "flat":
         if config is not None:
             kwargs["topk_method"] = config.get("INDEX_TOPK", "auto")
