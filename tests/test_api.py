@@ -253,6 +253,45 @@ class TestVisualize:
         assert png[:8] == b"\x89PNG\r\n\x1a\n"
         await client.close()
 
+    async def test_visualize_dashboard_controls_round_trip(self, temp_dir):
+        """The reference Dash app's controls (method / components /
+        filter — reference wdbx/utils/visualization.py:560-680) map to
+        query params; the rendered page echoes the selected state."""
+        client, db = await make_client(temp_dir)
+        rng = np.random.default_rng(0)
+        for i in range(24):
+            await db.vector_store_async(
+                rng.standard_normal(4).tolist(),
+                {"source": "web" if i % 2 else "file"}, f"v{i}"
+            )
+        # t-SNE + 3D + key=value filter
+        resp = await client.get(
+            "/api/v1/visualize?method=tsne&components=3&filter=source=web"
+        )
+        assert resp.status == 200
+        html = await resp.text()
+        assert 'name="method"' in html and 'name="components"' in html
+        assert '<option value="tsne" selected' in html
+        assert '<option value="3" selected' in html
+        assert '"components": 3' in html
+        # json format honors method/components/filter too
+        resp = await client.get(
+            "/api/v1/visualize?format=json&components=3"
+            '&filter={"source": "web"}'
+        )
+        spec = await resp.json()
+        assert spec["components"] == 3
+        assert len(spec["points"]) == 12  # half match the filter
+        assert len(spec["points"][0]) == 3
+        # validation
+        resp = await client.get("/api/v1/visualize?method=lle")
+        assert resp.status == 400
+        resp = await client.get("/api/v1/visualize?components=5")
+        assert resp.status == 400
+        resp = await client.get("/api/v1/visualize?filter=no-equals-sign")
+        assert resp.status == 400
+        await client.close()
+
     async def test_visualize_empty_store_404(self, temp_dir):
         client, _ = await make_client(temp_dir)
         resp = await client.get("/api/v1/visualize")

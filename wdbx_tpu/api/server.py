@@ -16,6 +16,7 @@ the TPU-native batched query path.
 from __future__ import annotations
 
 import asyncio
+import json
 import logging
 import threading
 from typing import TYPE_CHECKING, Any
@@ -368,31 +369,61 @@ class WDBXAPIServer:
     async def visualize(self, request: web.Request) -> web.Response:
         """Live dashboard / plot data from current store contents.
         ?format=html (interactive page, default) | json (plot spec) |
-        png (base64). Equivalent of the reference's Dash dashboard
-        (reference wdbx/utils/visualization.py:525-818), served by the
-        existing API instead of a second dash server."""
+        png (base64), with the reference Dash app's control set as query
+        params: ?method=pca|tsne|umap &components=2|3
+        &filter=key=value|{json} &max_vectors=N (reference
+        wdbx/utils/visualization.py:525-818, controls :560-680), served
+        by the existing API instead of a second dash server."""
         from wdbx_tpu.utils.visualization import VectorVisualizer
 
         fmt = request.query.get("format", "html")
+        method = request.query.get("method", "pca").lower().replace("-", "")
+        if method not in ("pca", "tsne", "umap"):
+            return _json_error(400, f"unknown method: {method}")
         try:
             max_vectors = int(request.query.get("max_vectors", 500))
+            components = int(request.query.get("components", 2))
         except ValueError:
-            return _json_error(400, "max_vectors must be an integer")
+            return _json_error(
+                400, "max_vectors/components must be integers"
+            )
+        if components not in (2, 3):
+            return _json_error(400, "components must be 2 or 3")
+        filt_raw = request.query.get("filter", "").strip()
+        filter_metadata = None
+        if filt_raw:
+            try:  # JSON dict, else a single key=value shorthand
+                filter_metadata = json.loads(filt_raw)
+                if not isinstance(filter_metadata, dict):
+                    raise ValueError
+            except ValueError:
+                if "=" not in filt_raw:
+                    return _json_error(
+                        400, "filter must be key=value or a JSON object"
+                    )
+                key, _, value = filt_raw.partition("=")
+                filter_metadata = {key.strip(): value.strip()}
         viz = VectorVisualizer(self.wdbx)
         try:
             if fmt == "html":
-                html = await asyncio.to_thread(viz.dashboard_html, max_vectors)
+                html = await asyncio.to_thread(
+                    viz.dashboard_html, max_vectors, method=method,
+                    components=components, filter_metadata=filter_metadata,
+                )
                 return web.Response(text=html, content_type="text/html")
             vectors, ids, _ = await asyncio.to_thread(
-                viz._pull_vectors, max_vectors
+                viz._pull_vectors, max_vectors, filter_metadata
             )
             if fmt == "json":
                 spec = await asyncio.to_thread(
-                    viz.scatter_data, vectors, ids
+                    viz.scatter_data, vectors, ids,
+                    method, components,
                 )
                 return web.json_response(spec)
             if fmt == "png":
-                fig = await asyncio.to_thread(viz.scatter_plot, vectors)
+                fig = await asyncio.to_thread(
+                    viz.scatter_plot, vectors, None, method, components
+                )
                 b64 = viz.to_base64_png(fig)
                 return web.json_response({"image_base64": b64})
         except ValueError as e:

@@ -346,13 +346,31 @@ const cv = document.getElementById("plot"), cx = cv.getContext("2d");
 const tip = document.getElementById("tip");
 const pts = SPEC.points, labels = SPEC.labels || [];
 const groups = SPEC.groups || null;
+const is3d = SPEC.components === 3 && pts.length && pts[0].length > 2;
 const palette = ["#1f77b4","#ff7f0e","#2ca02c","#d62728","#9467bd",
                  "#8c564b","#e377c2","#7f7f7f","#bcbd22","#17becf"];
-let xs = pts.map(p => p[0]), ys = pts.map(p => p[1]);
-let x0 = Math.min(...xs), x1 = Math.max(...xs);
-let y0 = Math.min(...ys), y1 = Math.max(...ys);
-const padf = 0.05 * Math.max(x1 - x0, y1 - y0, 1e-9);
-x0 -= padf; x1 += padf; y0 -= padf; y1 += padf;
+let yaw = 0.6, pitch = 0.35;
+function proj(p) {{
+  if (!is3d) return [p[0], p[1]];
+  const cy = Math.cos(yaw), sn = Math.sin(yaw);
+  const cp = Math.cos(pitch), sp = Math.sin(pitch);
+  const x = p[0] * cy + p[2] * sn;
+  const z = -p[0] * sn + p[2] * cy;
+  return [x, p[1] * cp - z * sp];
+}}
+let x0, x1, y0, y1;
+if (is3d) {{
+  // rotation-invariant bounds: the bounding sphere of the point cloud
+  const r = Math.max(1e-9, ...pts.map(
+    p => Math.hypot(p[0], p[1], p[2])));
+  x0 = -r; x1 = r; y0 = -r; y1 = r;
+}} else {{
+  let xs = pts.map(p => p[0]), ys = pts.map(p => p[1]);
+  x0 = Math.min(...xs); x1 = Math.max(...xs);
+  y0 = Math.min(...ys); y1 = Math.max(...ys);
+  const padf = 0.05 * Math.max(x1 - x0, y1 - y0, 1e-9);
+  x0 -= padf; x1 += padf; y0 -= padf; y1 += padf;
+}}
 let view = {{x0, x1, y0, y1}};
 function sx(x) {{ return (x - view.x0) / (view.x1 - view.x0) * cv.width; }}
 function sy(y) {{ return cv.height - (y - view.y0) / (view.y1 - view.y0) * cv.height; }}
@@ -362,8 +380,9 @@ function draw() {{
     cx.fillStyle = groups
       ? palette[SPEC.group_names.indexOf(groups[i]) % palette.length]
       : "#1f77b4";
+    const q = proj(pts[i]);
     cx.beginPath();
-    cx.arc(sx(pts[i][0]), sy(pts[i][1]), 3, 0, 6.3);
+    cx.arc(sx(q[0]), sy(q[1]), 3, 0, 6.3);
     cx.fill();
   }}
 }}
@@ -381,16 +400,22 @@ cv.addEventListener("mousedown", e => drag = [e.offsetX, e.offsetY]);
 window.addEventListener("mouseup", () => drag = null);
 cv.addEventListener("mousemove", e => {{
   if (drag) {{
-    const dx = (e.offsetX - drag[0]) / cv.width * (view.x1 - view.x0);
-    const dy = (e.offsetY - drag[1]) / cv.height * (view.y1 - view.y0);
-    view.x0 -= dx; view.x1 -= dx; view.y0 += dy; view.y1 += dy;
+    if (is3d) {{  // drag rotates the cloud in 3D, pans in 2D
+      yaw += (e.offsetX - drag[0]) * 0.01;
+      pitch += (e.offsetY - drag[1]) * 0.01;
+    }} else {{
+      const dx = (e.offsetX - drag[0]) / cv.width * (view.x1 - view.x0);
+      const dy = (e.offsetY - drag[1]) / cv.height * (view.y1 - view.y0);
+      view.x0 -= dx; view.x1 -= dx; view.y0 += dy; view.y1 += dy;
+    }}
     drag = [e.offsetX, e.offsetY];
     draw();
     return;
   }}
   let best = -1, bd = 144;
   for (let i = 0; i < pts.length; i++) {{
-    const d = (sx(pts[i][0]) - e.offsetX) ** 2 + (sy(pts[i][1]) - e.offsetY) ** 2;
+    const q = proj(pts[i]);
+    const d = (sx(q[0]) - e.offsetX) ** 2 + (sy(q[1]) - e.offsetY) ** 2;
     if (d < bd) {{ bd = d; best = i; }}
   }}
   if (best >= 0) {{
@@ -404,12 +429,25 @@ cv.addEventListener("mousemove", e => {{
 draw();
 </script></body></html>"""
 
-    def dashboard_html(self, max_vectors: int = 500) -> str:
+    def dashboard_html(
+        self,
+        max_vectors: int = 500,
+        method: str = "pca",
+        components: int = 2,
+        filter_metadata: dict | None = None,
+    ) -> str:
         """Live-dashboard equivalent of the reference's Dash app
         (reference wdbx/utils/visualization.py:525-818): an interactive
-        HTML page built from current store contents; the API server
-        exposes it at GET /api/v1/visualize (refresh = re-query)."""
-        vectors, ids, metas = self._pull_vectors(max_vectors)
+        HTML page built from current store contents, with the same
+        control set the reference's Dash layout exposes (reduction
+        method, 2D/3D components, max vectors, metadata filter —
+        reference :560-680). Controls submit as query params back to
+        GET /api/v1/visualize, so refresh = recompute."""
+        if method not in ("pca", "tsne", "umap"):
+            raise ValueError(f"unknown reduction method: {method}")
+        if components not in (2, 3):
+            raise ValueError("components must be 2 or 3")
+        vectors, ids, metas = self._pull_vectors(max_vectors, filter_metadata)
         color_by = None
         # color by the most common metadata key, if any is shared
         keys: dict[str, int] = {}
@@ -422,8 +460,54 @@ draw();
                 color_by = [str(m.get(key)) for m in metas]
                 break
         spec = self.scatter_data(
-            vectors, labels=ids, method="pca", components=2,
+            vectors, labels=ids, method=method, components=components,
             title=f"WDBX live dashboard — {len(vectors)} vectors",
             color_by=color_by,
         )
-        return self.to_html(spec)
+        page = self.to_html(spec)
+        controls = self._controls_html(
+            method, components, max_vectors, filter_metadata
+        )
+        # both the plotly page and the fallback canvas page have one
+        # <body>: splice the control bar in right after it
+        return page.replace("<body>", "<body>\n" + controls, 1)
+
+    @staticmethod
+    def _controls_html(
+        method: str, components: int, max_vectors: int,
+        filter_metadata: dict | None,
+    ) -> str:
+        """Plain-GET control form (no JS dependencies): submitting
+        re-requests the dashboard route with new query params."""
+        import html as _html
+        import json as _json
+
+        filt = (
+            _html.escape(_json.dumps(filter_metadata))
+            if filter_metadata else ""
+        )
+        m_opt = "".join(
+            f'<option value="{m}"{" selected" if m == method else ""}>'
+            f"{label}</option>"
+            for m, label in (("pca", "PCA"), ("tsne", "t-SNE"),
+                             ("umap", "UMAP"))
+        )
+        c_opt = "".join(
+            f'<option value="{c}"{" selected" if c == components else ""}>'
+            f"{c}D</option>"
+            for c in (2, 3)
+        )
+        return f"""<form id="wdbx-controls" method="get"
+ style="font-family:sans-serif;margin:0 0 1rem;display:flex;gap:1rem;
+        align-items:end;flex-wrap:wrap">
+ <label>Method<br><select name="method">{m_opt}</select></label>
+ <label>Components<br><select name="components">{c_opt}</select></label>
+ <label>Max vectors<br>
+  <input name="max_vectors" type="number" min="1" value="{max_vectors}"
+         style="width:6rem"></label>
+ <label>Filter (key=value or JSON)<br>
+  <input name="filter" value="{filt}" placeholder="source=web"
+         style="width:16rem"></label>
+ <input type="hidden" name="format" value="html">
+ <button type="submit">Update</button>
+</form>"""
