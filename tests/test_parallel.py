@@ -228,6 +228,44 @@ class TestShardedIVF:
             for s in row:
                 assert s < 0 or int(s) in allowed_set
 
+    def test_masked_search_pushdown_above_threshold(self, rng, monkeypatch):
+        """Round-3: ≥2% selectivity masks ride the bucket tables (AND
+        into bucket_valid + striped row validity), not the exact scan."""
+        from wdbx_tpu.parallel.sharded_flat import ShardedFlatIndex
+
+        idx, vecs, slots = self._mk(rng, n=4096, nlist=16, nprobe=4)
+        idx.batch_flat_fallback = False
+        called = []
+        orig = ShardedFlatIndex.search
+
+        def spy(self_, q, k, m=None):
+            called.append(1)
+            return orig(self_, q, k, m)
+
+        monkeypatch.setattr(ShardedFlatIndex, "search", spy)
+        mask = np.zeros(idx.capacity, bool)
+        allowed = slots[: len(slots) // 2]  # 50%
+        mask[allowed] = True
+        q = vecs[:8]
+        _, got = idx.search(q, k=10, slot_mask=mask)
+        assert not called, "50% filter must use bucket pushdown"
+        allowed_set = set(int(s) for s in allowed)
+        live = [int(s) for row in got for s in row if s >= 0]
+        assert live and all(s in allowed_set for s in live)
+        # recall vs the filtered exact oracle
+        sub = np.asarray(allowed)
+        exact = sub[np.argsort(-(q @ vecs[sub].T), axis=-1)[:, :10]]
+        recall = np.mean(
+            [len(set(a.tolist()) & set(b.tolist())) / 10
+             for a, b in zip(got, exact)]
+        )
+        assert recall >= 0.8, recall
+        # sparse (<2%) still routes exact
+        sparse = np.zeros(idx.capacity, bool)
+        sparse[slots[:40]] = True  # ~1%
+        idx.search(q, k=5, slot_mask=sparse)
+        assert called
+
     def test_factory(self):
         from wdbx_tpu.index import create_index
         from wdbx_tpu.core.config import WDBXConfig

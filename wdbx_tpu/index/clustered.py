@@ -558,6 +558,27 @@ class ClusteredSlotMixin:
         mask[pos[pos >= 0]] = True
         return mask
 
+    def _filter_plan(
+        self, slot_mask, nprobe: int, nlist: int
+    ) -> tuple[np.ndarray | None, int, bool]:
+        """Plan a filtered search: ``(pos_mask, nprobe_eff, exact)``.
+        Pushdown ANDs the position mask into row validity (the scan
+        kernels then drop filtered rows for free) and boosts nprobe by
+        a quantized ~1/selectivity factor so probed buckets still
+        surface ~k matching candidates; very sparse filters route to
+        the exact masked scan instead (reference filter semantics:
+        wdbx/core/vector_store.py:414-463 post-filters on host — here
+        the filter rides the device program)."""
+        from wdbx_tpu.index.ivf import FILTER_EXACT_THRESHOLD, _filter_boost
+
+        pm = self._pos_mask(slot_mask)
+        if pm is None:
+            return None, nprobe, False
+        sel = float(pm.sum()) / max(1, self._size)
+        if sel < FILTER_EXACT_THRESHOLD:
+            return pm, nprobe, True
+        return pm, min(nlist, nprobe * _filter_boost(sel)), False
+
 
 class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
 
@@ -985,12 +1006,13 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
         pad_b = _next_pow2(max(b, 1))
         nlist = int(self._centroids.shape[0])
         nprobe = min(self.nprobe, nlist)
+        pm, nprobe, use_exact = self._filter_plan(slot_mask, nprobe, nlist)
         u = self._scan_u(pad_b, nprobe)
         size = self._size
-        if self.batch_flat_fallback and (u * self._c >= max(1, size)):
-            scores, pos = FlatIndex.search(
-                self, queries, k, self._pos_mask(slot_mask)
-            )
+        if use_exact or (
+            self.batch_flat_fallback and (u * self._c >= max(1, size))
+        ):
+            scores, pos = FlatIndex.search(self, queries, k, pm)
             return self._map_pos_to_slots(scores, pos)
 
         if isinstance(queries, jax.Array):
@@ -999,10 +1021,8 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
             q = np.pad(queries, ((0, pad_b - b), (0, 0)))
 
         valid = self._valid
-        if slot_mask is not None:
-            valid = jnp.logical_and(
-                valid, jnp.asarray(self._pos_mask(slot_mask))
-            )
+        if pm is not None:
+            valid = jnp.logical_and(valid, jnp.asarray(pm))
 
         residual = list(self._residual)
         r_n = len(residual)

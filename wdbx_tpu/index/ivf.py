@@ -262,16 +262,43 @@ def _residual_merge(
     return top, top_labels
 
 
-@jax.jit
-def _mask_bucket_valid(bucket_valid, bucket_slot, mask):
+#: selectivity below which filtered ANN searches route to the exact
+#: masked flat scan: probing nprobe buckets for a filter matching <2%
+#: of rows rarely surfaces k matches (recall cliff), while the exact
+#: scan is recall-1.0 and no more expensive than probing most buckets
+FILTER_EXACT_THRESHOLD = 0.02
+
+
+def _filter_boost(selectivity: float) -> int:
+    """Quantized probe multiplier ≈ 2/selectivity (pow2, capped at 8):
+    a filter passing a fraction s of rows thins each probed bucket to
+    ~s of its candidates AND re-ranks which buckets hold the filtered
+    top-k (they need not be the query's best buckets), so ~2/s more
+    probes are needed to hold recall (measured: 1/s still lost ~0.1
+    recall@10 at s=0.5). Quantizing to 3 levels bounds the number of
+    distinct compiled programs (nprobe is a static arg)."""
+    if selectivity >= 0.5:
+        return 2
+    if selectivity >= 0.25:
+        return 4
+    return 8
+
+
+def _mask_bucket_valid_body(bucket_valid, bucket_slot, mask):
     """AND a per-slot filter mask into the bucket validity table.
 
     ``bucket_slot`` pads empty entries with ``cap`` (one past the slab),
     so the mask is padded with a trailing False to keep them invalid.
+    (Plain body: the sharded classes re-wrap it under ``auto_axes`` in
+    their mesh context — the gather has no sharding rule under strict
+    Explicit-axes inference.)
     """
     mask_pad = jnp.concatenate([mask, jnp.zeros((1,), bool)])
     idx = jnp.minimum(bucket_slot, mask.shape[0])
     return jnp.logical_and(bucket_valid, mask_pad[idx])
+
+
+_mask_bucket_valid = jax.jit(_mask_bucket_valid_body)
 
 
 @partial(jax.jit, static_argnames=())
@@ -765,6 +792,11 @@ class IVFIndex(FlatIndex):
         nlist = int(bucket_slot.shape[0])
         cap_b = int(bucket_slot.shape[1])
         nprobe = min(self.nprobe, nlist)
+        if slot_mask is not None:
+            sel = float(np.count_nonzero(slot_mask)) / max(1, size)
+            if sel < FILTER_EXACT_THRESHOLD:
+                return super().search(queries, k, slot_mask)
+            nprobe = min(nlist, nprobe * _filter_boost(sel))
         # Dedup-aware cost guard: the scan reads at most u unique
         # buckets once each; a flat scan reads N rows once.
         u = min(pad_b * nprobe, nlist)

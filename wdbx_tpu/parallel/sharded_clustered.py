@@ -538,27 +538,36 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
             pad_b = -(-pad_b // self.replicas) * self.replicas
             nlist = int(self._centroids.shape[0])
             nprobe = min(self.nprobe, nlist)
+            pm, nprobe, use_exact = self._filter_plan(
+                slot_mask, nprobe, nlist
+            )
             u = self._scan_u(pad_b, nprobe)
-            if self.batch_flat_fallback and (
-                u * self._c * self.n_devices >= max(1, self._size)
+            if use_exact or (
+                self.batch_flat_fallback
+                and u * self._c * self.n_devices >= max(1, self._size)
             ):
-                scores, pos = ShardedFlatIndex.search(
-                    self, queries, k, self._pos_mask(slot_mask)
-                )
+                scores, pos = ShardedFlatIndex.search(self, queries, k, pm)
                 return self._map_pos_to_slots(scores, pos)
-            if slot_mask is not None:
-                # device pre-filtering on the clustered path would need
-                # a sharded mask AND; route through the exact path
-                scores, pos = ShardedFlatIndex.search(
-                    self, queries, k, self._pos_mask(slot_mask)
+            valid = self._valid
+            if pm is not None:
+                # filter pushdown: stripe the position mask like the
+                # slab (global pos = local_row * n_dev + device) and AND
+                # it into row validity — the block scan and residual
+                # legs then drop filtered rows on device
+                mask2 = pm.reshape(self.rows_per_device, self.n_devices).T
+                valid = jnp.logical_and(
+                    valid,
+                    jax.device_put(
+                        jnp.asarray(np.ascontiguousarray(mask2)),
+                        self._sharding(P(self.axis, None)),
+                    ),
                 )
-                return self._map_pos_to_slots(scores, pos)
             q = np.pad(np.asarray(queries, np.float32),
                        ((0, pad_b - b), (0, 0)))
             table, counts = self._residual_arrays()
             fn = self._search_fn(k, nprobe, u)
             scores, pos = fn(
-                self._slab, self._valid, self._scales, self._blk_lo,
+                self._slab, valid, self._scales, self._blk_lo,
                 self._blk_hi, self._centroids,
                 jax.device_put(jnp.asarray(table),
                                self._sharding(P(self.axis, None))),

@@ -29,7 +29,7 @@ query is one compiled XLA program):
 from __future__ import annotations
 
 import math
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +41,21 @@ from wdbx_tpu.index.ivf import IVFIndex
 from wdbx_tpu.ops.kmeans import kmeans
 from wdbx_tpu.ops.normalize import l2_normalize
 from wdbx_tpu.parallel.sharded_flat import ShardedFlatIndex
+
+
+@lru_cache(maxsize=16)
+def _mask_bucket_valid_auto(mesh, axis):
+    """Cached ``auto_axes`` wrapper of the bucket-mask AND for
+    Explicit-axes meshes (the gather inside has no sharding rule under
+    strict inference; a fresh jit per call would recompile on every
+    filtered search)."""
+    from wdbx_tpu.index.ivf import _mask_bucket_valid_body
+
+    return jax.jit(
+        jax.sharding.auto_axes(
+            _mask_bucket_valid_body, out_sharding=P(axis, None),
+        )
+    )
 
 
 def _build_ivf_search(mesh, axis, *, k, k_bucket, nprobe, quota, nlist,
@@ -419,10 +434,12 @@ class ShardedIVFIndex(IVFIndex, ShardedFlatIndex):
             return self._sharded_ivf_search(queries, k, slot_mask)
 
     def _sharded_ivf_search(self, queries, k, slot_mask):
-        if not self.is_trained or slot_mask is not None:
-            # Masked searches take the exact sharded flat path (the mask
-            # ANDs into the striped validity there); unmasked bucket-scan
-            # is the common serving case.
+        from wdbx_tpu.index.ivf import (
+            FILTER_EXACT_THRESHOLD,
+            _filter_boost,
+        )
+
+        if not self.is_trained:
             return ShardedFlatIndex.search(self, queries, k, slot_mask)
         queries = self._prep(queries)
         b = len(queries)
@@ -430,6 +447,32 @@ class ShardedIVFIndex(IVFIndex, ShardedFlatIndex):
         nlist = int(self._bucket_slot.shape[0])
         cap_b = int(self._bucket_slot.shape[1])
         nprobe = min(self.nprobe, nlist)
+        bucket_valid = self._bucket_valid
+        base_valid = self._valid
+        if slot_mask is not None:
+            # filter pushdown (sharded): AND the mask into the sharded
+            # bucket-validity table (bucket-resident rows) and into the
+            # striped row validity (residual leg); boost nprobe so the
+            # thinned buckets still surface ~k matches. Very sparse
+            # filters take the exact masked flat path instead.
+            sel = float(np.count_nonzero(slot_mask)) / max(1, self._size)
+            if sel < FILTER_EXACT_THRESHOLD:
+                return ShardedFlatIndex.search(self, queries, k, slot_mask)
+            nprobe = min(nlist, nprobe * _filter_boost(sel))
+            mask = np.zeros(self._cap, bool)
+            mask[: len(slot_mask)] = slot_mask[: self._cap]
+            with jax.sharding.set_mesh(self.mesh):
+                bucket_valid = _mask_bucket_valid_auto(
+                    self.mesh, self.axis
+                )(bucket_valid, self._bucket_slot, jnp.asarray(mask))
+            mask2 = mask.reshape(self.rows_per_device, self.n_devices).T
+            base_valid = jnp.logical_and(
+                base_valid,
+                jax.device_put(
+                    jnp.asarray(np.ascontiguousarray(mask2)),
+                    self._sharding(P(self.axis, None)),
+                ),
+            )
         if self.batch_flat_fallback and (
             pad_b * nprobe * cap_b >= max(1, self._size)
         ):
@@ -464,7 +507,7 @@ class ShardedIVFIndex(IVFIndex, ShardedFlatIndex):
             b_scale = self._bucket_valid
         scores, slots = fn(
             self._centroids, self._bucket_rows, self._bucket_slot,
-            self._bucket_valid, b_scale, self._slab, self._valid,
+            bucket_valid, b_scale, self._slab, base_valid,
             self._scales, residual_slots, np.int32(r_n), q,
         )
         scores, slots = jax.device_get((scores[:b], slots[:b]))
