@@ -641,3 +641,110 @@ class TestAdvisoryRegressions:
         assert not np.allclose(g[0], g[1])  # no shared physical row
         idx.remove_slots(np.array([slots[1], slots[1]]))
         assert idx.count() == n_before + 2 - 1
+
+
+class TestBackgroundRebuild:
+    """build_background(): searches serve from the old layout during
+    the rebuild; mutations in the window journal and replay at swap."""
+
+    def test_equivalent_to_blocking_build(self, rng):
+        d = 32
+        db = _normed(rng, 2000, d)
+        q = _normed(rng, 8, d)
+        a, b = _make(d), _make(d)
+        sa, sb = a.add_batch(db), b.add_batch(db)
+        a.build()
+        b.build_background()
+        assert b.is_trained
+        _, ga = a.search(q, 10)
+        _, gb = b.search(q, 10)
+        agree = np.mean(
+            [len(set(x.tolist()) & set(y.tolist())) / 10
+             for x, y in zip(ga, gb)]
+        )
+        assert agree >= 0.95, agree
+        assert (sa == sb).all()
+
+    def test_mutations_during_rebuild_replay(self, rng):
+        import threading
+
+        d = 32
+        db = _normed(rng, 1500, d)
+        idx = _make(d)
+        slots = idx.add_batch(db)
+        idx.build()
+        # churn so a rebuild has something to do
+        idx.remove_slots(slots[:50])
+
+        in_phase2 = threading.Event()
+        resume = threading.Event()
+        orig_permute = idx._permute
+
+        def paused_permute(slab, scales, src, cap=None):
+            in_phase2.set()
+            assert resume.wait(30)
+            return orig_permute(slab, scales, src, cap=cap)
+
+        idx._permute = paused_permute
+        t = threading.Thread(target=idx.build_background)
+        t.start()
+        assert in_phase2.wait(30)
+        # mutate while the rebuild crunches off-lock
+        upd_vec = _normed(rng, 1, d)
+        idx.update_slots(slots[100:101], upd_vec)
+        new_slots = idx.add_batch(_normed(rng, 7, d))
+        idx.remove_slots(slots[200:205])
+        # searches during the rebuild serve from the old layout
+        _, got_mid = idx.search(db[300:304], 1)
+        assert (got_mid.ravel() == slots[300:304]).all()
+        resume.set()
+        t.join(60)
+        assert not t.is_alive()
+        assert not idx._cow_writes
+        # adds visible post-swap
+        _, got_new = idx.search(
+            np.asarray(idx.get_vectors(new_slots), np.float32), 1
+        )
+        assert (got_new.ravel() == new_slots).all()
+        # update applied (nearest to the new vector is the slot)
+        _, got_upd = idx.search(upd_vec, 1)
+        assert int(got_upd.ravel()[0]) == slots[100]
+        # removes gone
+        _, got_rm = idx.search(db[200:205], 5)
+        for qi in range(5):
+            assert slots[200 + qi] not in got_rm[qi]
+        # size bookkeeping consistent
+        assert idx.count() == 1500 - 50 - 5 + 7
+        assert int(np.asarray(idx._valid).sum()) == idx.count()
+        # a follow-up blocking build still works
+        idx.build()
+        assert int(np.asarray(idx._valid).sum()) == idx.count()
+
+    def test_search_does_not_block_during_rebuild(self, rng):
+        import threading
+
+        d = 32
+        idx = _make(d)
+        db = _normed(rng, 1200, d)
+        slots = idx.add_batch(db)
+        idx.build()
+        in_phase2 = threading.Event()
+        resume = threading.Event()
+        orig_permute = idx._permute
+
+        def paused(slab, scales, src, cap=None):
+            in_phase2.set()
+            assert resume.wait(30)
+            return orig_permute(slab, scales, src, cap=cap)
+
+        idx._permute = paused
+        t = threading.Thread(target=idx.build_background)
+        t.start()
+        assert in_phase2.wait(30)
+        # this search must complete while the rebuild is mid-flight —
+        # with the blocking build it would deadlock until resume
+        _, got = idx.search(db[:4], 1)
+        assert (got.ravel() == slots[:4]).all()
+        resume.set()
+        t.join(60)
+        assert not t.is_alive()

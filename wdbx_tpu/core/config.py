@@ -40,6 +40,7 @@ DEFAULTS: dict[str, Any] = {
     "IVF_TRAIN_THRESHOLD": 4096,
     "IVF_REBUILD_FRACTION": 0.2,
     "IVF_ASSIGNMENTS": 1,  # 2 = SOAR-style spilled assignment
+    "IVF_BACKGROUND_REBUILD": False,  # optimize() without blocking reads
     # parallel / mesh
     "MESH_AXIS": "shard",
     "MESH_REPLICAS": 1,  # >1 = (replica, shard) mesh, batch shards over replicas

@@ -138,7 +138,12 @@ def create_index(kind: str, dim: int, config: Any = None) -> "VectorIndex":
             "from HNSW_EF_SEARCH=%d; HNSW_M/HNSW_EF_CONSTRUCTION have no "
             "TPU analogue and are ignored)", kwargs["nprobe"], ef,
         )
-        return ClusteredIVFIndex(dim, **kwargs)
+        idx = ClusteredIVFIndex(dim, **kwargs)
+        if config is not None:
+            idx.background_rebuild = bool(
+                config.get("IVF_BACKGROUND_REBUILD", False)
+            )
+        return idx
     if kind == "faiss":
         # Reference FAISS backend: dispatch on FAISS_INDEX_TYPE ("Flat" or
         # an IVF factory string like "IVF100,Flat" — reference
@@ -192,7 +197,12 @@ def create_index(kind: str, dim: int, config: Any = None) -> "VectorIndex":
             kwargs["rebuild_fraction"] = float(
                 config.get("IVF_REBUILD_FRACTION", 0.2)
             )
-        return ClusteredIVFIndex(dim, **kwargs)
+        idx = ClusteredIVFIndex(dim, **kwargs)
+        if config is not None:
+            idx.background_rebuild = bool(
+                config.get("IVF_BACKGROUND_REBUILD", False)
+            )
+        return idx
     if kind == "sharded_flat":
         from wdbx_tpu.parallel.sharded_flat import ShardedFlatIndex
 

@@ -388,6 +388,9 @@ class ClusteredSlotMixin:
             self._pos_of[slots] = pos.astype(np.int32)
             if self.is_trained:
                 self._residual.extend(int(p) for p in pos)
+            if getattr(self, "_cow_writes", False):
+                for s in slots:
+                    self._bg_journal[int(s)] = "dirty"
             return slots
 
     def update_slots(self, slots: np.ndarray, vectors: np.ndarray) -> None:
@@ -401,6 +404,9 @@ class ClusteredSlotMixin:
             keep = np.sort(len(slots) - 1 - idx_rev)
             slots, vectors = slots[keep], vectors[keep]
         with self._mu.write():
+            if getattr(self, "_cow_writes", False):
+                for s in slots:
+                    self._bg_journal[int(s)] = "dirty"
             vectors = self._prep(vectors)
             pos = self._positions_of(slots)
             known = pos >= 0
@@ -447,6 +453,9 @@ class ClusteredSlotMixin:
             slots, pos = slots[known], pos[known]
             if len(slots) == 0:
                 return
+            if getattr(self, "_cow_writes", False):
+                for s in slots:
+                    self._bg_journal[int(s)] = "removed"
             self._tombstone_positions(pos)
             self._size -= len(slots)
             # external slots recycle immediately; clustered-region
@@ -615,6 +624,17 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
         self.ivf_kernel = "auto"
         #: scan-block DMA size; effective at the next build
         self.block_bytes_target = 786_432
+        #: when True, optimize() uses build_background() (serving keeps
+        #: the old layout during the rebuild); config key
+        #: IVF_BACKGROUND_REBUILD. Needs 2x-slab HBM headroom.
+        self.background_rebuild = False
+
+    def optimize(self) -> None:
+        if self._size > 0:
+            if self.background_rebuild:
+                self.build_background()
+            else:
+                self.build()
 
     # -- storage: position space + slot indirection -------------------------
     def _alloc(self, cap: int) -> None:
@@ -623,6 +643,10 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
         self._pos_of = np.full(cap, -1, np.int32)  # slot -> pos
         self._free_slots: list[int] = []
         self._next_ext_slot = 0
+        # bumped whenever storage is replaced wholesale (clear/load):
+        # an in-flight background rebuild checks it before swapping and
+        # abandons its now-stale snapshot instead of resurrecting it
+        self._layout_gen = getattr(self, "_layout_gen", 0) + 1
 
     def _grow(self, need: int) -> None:
         old_cap = self._cap
@@ -707,15 +731,36 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
             self._build_locked()
 
     def _build_locked(self) -> None:
+        if getattr(self, "_cow_writes", False):
+            # a background rebuild is in flight; it swaps in shortly —
+            # a second (blocking) build here would clobber its snapshot
+            return
         hwm = self._next_slot
         if self._size == 0 or hwm == 0:
             self._reset_overlay()
             return
         valid = np.asarray(self._valid[:hwm])
         live_pos = np.nonzero(valid)[0].astype(np.int64)
-        n_live = len(live_pos)
+        centroids, assign = self._cluster_plan(
+            self._slab, self._scales, live_pos
+        )
+        order = np.argsort(assign, kind="stable")
+        src = live_pos[order]  # old position of the row landing at dest i
+        counts = np.bincount(assign, minlength=len(centroids))
+        new_slab, new_valid, new_scales = self._permute(
+            self._slab, self._scales, src
+        )
+        self._install_built(
+            src, counts, centroids, new_slab, new_valid, new_scales
+        )
 
-        scales = self._scales
+    def _cluster_plan(
+        self, slab, scales, live_pos: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Train + assign the live rows of ``slab`` (device reads only,
+        no index state touched — shared by the blocking and background
+        builds). Returns ``(centroids, assign)``."""
+        n_live = len(live_pos)
         if scales is None:
             scales = np.ones((1,), np.float32)
 
@@ -737,7 +782,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
                 n_live, self.train_sample, replace=False
             )
             sample = live_pos[np.sort(sel)]
-        train = gather_rows(self._slab, scales, jnp.asarray(sample))
+        train = gather_rows(slab, scales, jnp.asarray(sample))
         centroids, _ = kmeans(
             train, num_clusters=nlist, iters=self.kmeans_iters
         )
@@ -748,22 +793,24 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
         for i in range(0, n_live, chunk):
             end = min(i + chunk, n_live)
             rows_chunk = gather_rows(
-                self._slab, scales, jnp.asarray(live_pos[i:end])
+                slab, scales, jnp.asarray(live_pos[i:end])
             )
             assign[i:end] = np.asarray(_assign_blocked(rows_chunk, centroids))
             del rows_chunk
+        return np.asarray(centroids), assign
 
-        order = np.argsort(assign, kind="stable")
-        src = live_pos[order]  # old position of the row landing at dest i
-        counts = np.bincount(assign, minlength=nlist)
-
-        # Device permute, chunked with donated destination arrays. Peak
-        # HBM = old slab + new slab + one chunk (2x corpus transient; use
-        # build_from() for corpora above ~45% of HBM).
-        new_slab = jnp.zeros((self._cap, self.dim), self._dtype)
-        new_valid = jnp.zeros((self._cap,), jnp.bool_)
+    def _permute(self, slab, scales, src: np.ndarray, cap: int | None = None):
+        """Chunked device permute of ``slab`` rows into cluster order.
+        Peak HBM = old slab + new slab + one chunk (2x corpus transient;
+        use build_from() for corpora above ~45% of HBM). Reads only its
+        arguments — shared by the blocking and background builds."""
+        cap = self._cap if cap is None else cap
+        n_live = len(src)
+        chunk = 131_072
+        new_slab = jnp.zeros((cap, self.dim), self._dtype)
+        new_valid = jnp.zeros((cap,), jnp.bool_)
         new_scales = (
-            jnp.zeros((self._cap,), jnp.float32) if self._is_int8 else None
+            jnp.zeros((cap,), jnp.float32) if self._is_int8 else None
         )
         # `start` stays a traced scalar: a static start would compile a
         # fresh donated-update program per chunk (77 compiles at 10M).
@@ -783,18 +830,30 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
             end = min(i + chunk, n_live)
             idx = jnp.asarray(src[i:end])
             start = jnp.int32(i)
-            new_slab = copy_rows(new_slab, self._slab, idx, start)
+            new_slab = copy_rows(new_slab, slab, idx, start)
             if self._is_int8:
-                new_scales = copy_scales(new_scales, self._scales, idx, start)
+                new_scales = copy_scales(new_scales, scales, idx, start)
         if n_live:
             new_valid = new_valid.at[:n_live].set(True)
+        return new_slab, new_valid, new_scales
+
+    def _install_built(
+        self, src, counts, centroids, new_slab, new_valid, new_scales,
+        slot_src: np.ndarray | None = None,
+    ) -> None:
+        """Swap the permuted arrays in and rebuild mappings + overlay
+        (the tail of a build; write lock held by the caller).
+        ``slot_src`` overrides the slot-of-position map used to label
+        dest rows — the background build passes its snapshot (current
+        ``_slot_of`` may have drifted for rows it replays separately)."""
+        n_live = len(src)
         self._slab = new_slab
         self._valid = new_valid
         if self._is_int8:
             self._scales = new_scales
 
         # slot mapping: dest i holds the row that lived at src[i]
-        slot_at_dest = self._slot_of[src]
+        slot_at_dest = (self._slot_of if slot_src is None else slot_src)[src]
         self._slot_of[:] = -1
         self._slot_of[: n_live] = slot_at_dest
         self._pos_of[:] = -1
@@ -813,6 +872,110 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
         self._residual = []
         self._residual_base = 0
         self._built_size = self._size
+
+    def build_background(self) -> None:
+        """Rebuild the cluster layout WITHOUT blocking searches (the
+        reference's ``optimize`` is stop-the-world — reference
+        wdbx/core/indexing.py:1124-1149; the blocking ``build`` here
+        held the writer lock for 18-200+ s at 10M rows).
+
+        Three phases: (1) brief write lock — snapshot array handles and
+        flip mutators to copy-on-write so the snapshot buffers survive;
+        (2) OFF-lock — train/assign/permute against the snapshot while
+        searches (and mutations, at COW cost) proceed; (3) brief write
+        lock — tombstone rows whose slots mutated during the build,
+        swap the new layout in, and replay those mutations into the
+        fresh region with their slot ids preserved.
+
+        Peak HBM: 2x slab + one chunk, plus 1x more transiently per
+        mutation batch during the window (COW) — use the blocking
+        ``build()`` when that does not fit."""
+        with self._mu.write():
+            if getattr(self, "_cow_writes", False):
+                return  # already rebuilding
+            hwm = self._next_slot
+            if self._size == 0 or hwm == 0:
+                self._reset_overlay()
+                return
+            self._cow_writes = True
+            self._bg_journal: dict[int, str] = {}
+            snap_slab, snap_scales = self._slab, self._scales
+            snap_valid = np.asarray(self._valid[:hwm])
+            snap_slot_of = self._slot_of.copy()
+            snap_cap = self._cap
+            snap_gen = getattr(self, "_layout_gen", 0)
+        done = False
+        try:
+            live_pos = np.nonzero(snap_valid)[0].astype(np.int64)
+            centroids, assign = self._cluster_plan(
+                snap_slab, snap_scales, live_pos
+            )
+            order = np.argsort(assign, kind="stable")
+            src = live_pos[order]
+            counts = np.bincount(assign, minlength=len(centroids))
+            new_slab, new_valid, new_scales = self._permute(
+                snap_slab, snap_scales, src, cap=snap_cap
+            )
+            done = True
+        finally:
+            if not done:
+                with self._mu.write():
+                    self._cow_writes = False
+        with self._mu.write():
+            try:
+                if getattr(self, "_layout_gen", 0) != snap_gen:
+                    # clear()/load() replaced storage mid-build: the
+                    # snapshot is from a dead generation — abandon it
+                    return
+                if self._cap != snap_cap:
+                    # capacity grew mid-build: the permuted arrays no
+                    # longer fit the live state — redo blocking (rare:
+                    # needs an over-capacity ingest during the window)
+                    self._cow_writes = False
+                    self._build_locked()
+                    return
+                journal = self._bg_journal
+                self._bg_journal = {}
+                dirty = np.asarray(
+                    sorted(s for s, v in journal.items() if v == "dirty"),
+                    np.int64,
+                )
+                rows = None
+                if len(dirty):
+                    cur_pos = self._positions_of(dirty)
+                    known = cur_pos >= 0
+                    dirty = dirty[known]
+                    if len(dirty):
+                        rows = np.asarray(
+                            FlatIndex.get_vectors(self, cur_pos[known]),
+                            np.float32,
+                        )
+                if journal:
+                    # every journaled slot's snapshot row is stale: drop
+                    # it from the new layout (dirty ones replay below)
+                    drop = np.fromiter(journal, np.int64, len(journal))
+                    dead = np.isin(snap_slot_of[src], drop)
+                    dead_dest = np.nonzero(dead)[0]
+                    if len(dead_dest):
+                        pad_n = _next_pow2(len(dead_dest))
+                        pd = jnp.asarray(np.pad(
+                            dead_dest, (0, pad_n - len(dead_dest)),
+                            constant_values=snap_cap,  # OOB pad drops
+                        ))
+                        new_valid = new_valid.at[pd].set(False)
+                self._cow_writes = False
+                self._install_built(
+                    src, counts, centroids, new_slab, new_valid,
+                    new_scales, slot_src=snap_slot_of,
+                )
+                if rows is not None and len(dirty):
+                    pos = self._take_slots(len(dirty))
+                    self._scatter(pos, rows, True)
+                    self._slot_of[pos] = dirty.astype(np.int32)
+                    self._pos_of[dirty] = pos.astype(np.int32)
+                    self._residual.extend(int(p) for p in pos)
+            finally:
+                self._cow_writes = False
 
     def _install_layout(
         self, centroids: np.ndarray, counts: np.ndarray,

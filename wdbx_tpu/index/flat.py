@@ -51,15 +51,13 @@ def _fused_block_for(itemsize: int, dim: int, rows: int) -> int:
     return min(256, rows)
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
-def _write(slab, valid, vecs, slots, flags):
+def _write_body(slab, valid, vecs, slots, flags):
     slab = slab.at[slots].set(vecs.astype(slab.dtype))
     valid = valid.at[slots].set(flags)
     return slab, valid
 
 
-@partial(jax.jit, donate_argnums=(0, 1, 2))
-def _write_quantized(slab, valid, scales, vecs, slots, flags):
+def _write_quantized_body(slab, valid, scales, vecs, slots, flags):
     from wdbx_tpu.kernels.quant import quantize_rows
 
     q, s = quantize_rows(vecs)
@@ -69,9 +67,20 @@ def _write_quantized(slab, valid, scales, vecs, slots, flags):
     return slab, valid, scales
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def _tombstone(valid, slots):
+def _tombstone_body(valid, slots):
     return valid.at[slots].set(False)
+
+
+_write = jax.jit(_write_body, donate_argnums=(0, 1))
+_write_quantized = jax.jit(_write_quantized_body, donate_argnums=(0, 1, 2))
+_tombstone = jax.jit(_tombstone_body, donate_argnums=(0,))
+# Copy-on-write twins: a background rebuild holds references to the
+# current arrays as its read snapshot, so mutations in that window must
+# NOT donate them (the snapshot buffer would be destroyed mid-build).
+# Cost: one HBM-to-HBM copy of the touched array per mutation batch.
+_write_cow = jax.jit(_write_body)
+_write_quantized_cow = jax.jit(_write_quantized_body)
+_tombstone_cow = jax.jit(_tombstone_body)
 
 
 @partial(jax.jit, static_argnames=("k", "precision"))
@@ -206,15 +215,19 @@ class FlatIndex(VectorIndex):
         self._slab, self._valid = self._write_arrays(vecs, pslots, flags)
 
     def _write_arrays(self, vecs, pslots, flags):
+        cow = getattr(self, "_cow_writes", False)
         if self._is_int8:
-            slab, valid, self._scales = _write_quantized(
+            wq = _write_quantized_cow if cow else _write_quantized
+            slab, valid, self._scales = wq(
                 self._slab, self._valid, self._scales, vecs, pslots, flags
             )
             return slab, valid
-        return _write(self._slab, self._valid, vecs, pslots, flags)
+        w = _write_cow if cow else _write
+        return w(self._slab, self._valid, vecs, pslots, flags)
 
     def _tombstone_arrays(self, pslots):
-        return _tombstone(self._valid, pslots)
+        t = _tombstone_cow if getattr(self, "_cow_writes", False) else _tombstone
+        return t(self._valid, pslots)
 
     def _abstract_arrays(self) -> dict:
         """Restore targets for the orbax backend (subclasses attach
