@@ -449,6 +449,64 @@ class TestClusteredIVF:
 
         self._run_differential(seed, make, steps=40)
 
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_differential_sharded_masked_remesh(self, seed):
+        """Sharded clustered fuzz with random slot-mask filters at
+        every check and live remesh() thrown into the op mix (VERDICT
+        r2 ask #6 — the filter pushdown and re-striping paths run
+        against the numpy mirror)."""
+        from wdbx_tpu.parallel import ShardedClusteredIndex, make_mesh
+
+        def make():
+            idx = ShardedClusteredIndex(16, nlist=4, nprobe=4,
+                                        train_threshold=64)
+            idx.batch_flat_fallback = False
+            idx.topk_method = "exact"
+            return idx
+
+        sizes = [4, 8]
+        r_mesh = np.random.default_rng(1000 + seed)
+
+        def remesh(idx):
+            idx.remesh(make_mesh(int(r_mesh.choice(sizes))))
+
+        self._run_differential(seed, make, steps=30, masked=True,
+                               extra_ops=(remesh,))
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_differential_sharded_flat_masked(self, seed):
+        """Fuzz the striped flat storage directly (masked + remesh)."""
+        from wdbx_tpu.parallel import ShardedFlatIndex, make_mesh
+
+        def make():
+            idx = ShardedFlatIndex(16)
+            idx.topk_method = "exact"
+            return idx
+
+        def remesh(idx):
+            idx.remesh(make_mesh(4))
+
+        self._run_differential(seed, make, steps=30, masked=True,
+                               extra_ops=(remesh,))
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_differential_sharded_ivf_masked(self, seed):
+        """Fuzz the dense-table sharded IVF (masked bucket pushdown +
+        residual bookkeeping)."""
+        from wdbx_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+        def make():
+            # nlist rounds UP to n_devices (8) at build; nprobe=16 caps
+            # at the rounded nlist so every check is a full probe (the
+            # mirror comparison assumes exactness)
+            idx = ShardedIVFIndex(16, nlist=8, nprobe=16,
+                                  train_threshold=64)
+            idx.batch_flat_fallback = False
+            idx.topk_method = "exact"
+            return idx
+
+        self._run_differential(seed, make, steps=30, masked=True)
+
     @pytest.mark.parametrize("seed", [0, 1, 2])
     def test_differential_random_ops(self, seed):
         def make():
@@ -472,13 +530,17 @@ class TestClusteredIVF:
 
         self._run_differential(seed, make, steps=40)
 
-    def _run_differential(self, seed, make, steps):
+    def _run_differential(self, seed, make, steps, masked=False,
+                          extra_ops=()):
         """Randomized differential test: a long random sequence of
         add/update/remove/build/save-load against a brute-force numpy
         mirror. Every few ops, full-probe search results must match the
         mirror's exact argmax — catches slot-mapping, quarantine,
         residual and persistence bookkeeping bugs that targeted tests
-        miss."""
+        miss. ``masked=True`` additionally checks a random slot-mask
+        filter each round (results confined to the mask AND exact on
+        the masked subset); ``extra_ops`` are callables (e.g. a live
+        remesh) fired with ~10% probability per step."""
         import tempfile
 
         r = np.random.default_rng(seed)
@@ -508,8 +570,30 @@ class TestClusteredIVF:
             np.testing.assert_allclose(
                 sims_got, sims_exact, rtol=1e-3, atol=1e-3
             )
+            if masked and len(mirror) >= 8:
+                keep = r.random(len(slots)) < 0.5
+                if not keep.any():
+                    return
+                allowed = slots[keep]
+                mask = np.zeros(int(slots.max()) + 1, bool)
+                mask[allowed] = True
+                qm = rand_vec(2)
+                _, gotm = idx.search(qm, 1, slot_mask=mask)
+                amat = mat[keep]
+                sims_exact_m = np.max(qm @ amat.T, axis=1)
+                allowed_set = set(int(s) for s in allowed)
+                for qi, g, se in zip(qm, gotm[:, 0], sims_exact_m):
+                    assert int(g) in allowed_set, (
+                        f"masked search returned slot {g} outside mask"
+                    )
+                    np.testing.assert_allclose(
+                        float(qi @ mirror[int(g)]), se,
+                        rtol=1e-3, atol=1e-3,
+                    )
 
         for step in range(steps):
+            if extra_ops and r.random() < 0.1:
+                extra_ops[int(r.integers(0, len(extra_ops)))](idx)
             op = r.integers(0, 10)
             if op < 4 or not mirror:  # add
                 n = int(r.integers(1, 20))
@@ -531,8 +615,10 @@ class TestClusteredIVF:
                 idx.update_slots(np.asarray(pick, np.int64), vecs)
                 for s, v in zip(pick, vecs):
                     mirror[int(s)] = v
-            elif op == 8:  # rebuild
-                idx.build()
+            elif op == 8:  # rebuild (flat storage has no build op)
+                build = getattr(idx, "build", None)
+                if build is not None:
+                    build()
             else:  # persistence round trip
                 with tempfile.TemporaryDirectory() as tmp:
                     path = os.path.join(tmp, "diff")
