@@ -39,19 +39,20 @@ except Exception:
     pass
 
 
-def make_slab(cap: int, d: int, chunk: int = 1 << 19):
-    """Chunked on-device fill — a single random.bits of the full shape
-    peaks at several extra copies of the slab."""
+def make_slab(cap: int, d: int, chunk: int = 1 << 18):
+    """Chunked on-device fill. Uses random.normal → int8 rounding:
+    normal generation is fast on this backend while uint8 random.bits
+    measured ~0.35 MB/s (pathological lowering); a full-shape generate
+    also peaks at several extra copies of the slab."""
     import functools
 
     slab = jnp.zeros((cap, d), jnp.int8)
 
     @functools.partial(jax.jit, donate_argnums=0)
     def fill(s, key, start):
-        bits = jax.random.bits(key, (chunk, d), dtype=jnp.uint8)
-        return jax.lax.dynamic_update_slice(
-            s, jax.lax.bitcast_convert_type(bits, jnp.int8), (start, 0)
-        )
+        rows = jax.random.normal(key, (chunk, d), jnp.float32)
+        q = jnp.clip(jnp.round(rows * 40.0), -127, 127).astype(jnp.int8)
+        return jax.lax.dynamic_update_slice(s, q, (start, 0))
 
     key = jax.random.PRNGKey(0)
     for i in range(max(1, cap // chunk)):
@@ -100,6 +101,9 @@ def main():
                     help="comma list: v1w4,v1w8,v2w4,v2w8,v2w8b128")
     args = ap.parse_args()
 
+    print("attaching device...", flush=True)
+    print("devices:", jax.devices(), flush=True)
+
     from wdbx_tpu.kernels.clustered_scan import (
         clustered_block_topk,
         clustered_block_topk_v2,
@@ -134,7 +138,7 @@ def main():
     dma_gb = args.live * c * d / 1e9
     print(f"slab {cap}x{d} int8, {nblocks} blocks, live={args.live} "
           f"u={args.u}, per-batch DMA {dma_gb:.2f} GB "
-          f"(roofline ~{dma_gb / 0.8 * 1000:.2f} ms @800GB/s)")
+          f"(roofline ~{dma_gb / 800 * 1000:.2f} ms @800GB/s)")
 
     all_variants = {
         "v1w4": ("v1 w4 B64", clustered_block_topk, 4, args.b,

@@ -834,3 +834,101 @@ class TestBackgroundRebuild:
         resume.set()
         t.join(60)
         assert not t.is_alive()
+
+
+class TestInt4:
+    """Packed-nibble capacity tier (kernels/quant.py int4): half the
+    HBM of int8, raw ranking recovered by the store's exact re-rank."""
+
+    def test_flat_int4_crud_and_persistence(self, rng, tmp_path):
+        d = 64
+        idx = FlatIndex(d, dtype="int4")
+        db = _normed(rng, 300, d)
+        slots = idx.add_batch(db)
+        assert idx._slab.shape == (idx.capacity, d // 2)
+        assert idx._slab.dtype == np.uint8
+        # self-query: int4 noise is well under the self-match margin
+        _, got = idx.search(db[:8], 1)
+        assert (got.ravel() == slots[:8]).all()
+        # get_vectors round-trips to ~int4 precision
+        back = idx.get_vectors(slots[:5])
+        cos = np.mean(np.sum(back * db[:5], axis=1)
+                      / np.linalg.norm(back, axis=1))
+        assert cos > 0.98, cos
+        idx.update_slots(slots[:2], _normed(rng, 2, d))
+        idx.remove_slots(slots[2:4])
+        assert idx.count() == 298
+        idx.save(str(tmp_path / "i4"))
+        idx2 = FlatIndex(d, dtype="int4")
+        assert idx2.load(str(tmp_path / "i4"))
+        _, got2 = idx2.search(db[4:8], 1)
+        assert (got2.ravel() == slots[4:8]).all()
+
+    def test_clustered_int4_recall_lax_and_kernel(self, rng):
+        n, d, k = 6000, 64, 10
+        db = _normed(rng, n, d)
+        q = _normed(rng, 8, d)
+        exact = np.argsort(-(q @ db.T), axis=-1)[:, :k]
+        for kernel in ("lax", "pallas"):
+            idx = _make(d, dtype="int4", nlist=16, nprobe=16)
+            idx.ivf_kernel = kernel
+            slots = idx.add_batch(db)
+            idx.build()
+            assert idx._slab.shape[1] == d // 2
+            _, got = idx.search(q, k)
+            recall = np.mean(
+                [len(set(int(x) for x in a)
+                     & set(slots[b_].tolist())) / k
+                 for a, b_ in zip(got, exact)]
+            )
+            # raw int4 ranking on a uniform-random corpus is the
+            # adversarial case (score spread ~ quantization noise):
+            # assert far-above-chance only (chance = k/n ≈ 0.002); the
+            # store layer's exact re-rank recovers to ≥0.95 (next test)
+            assert recall >= 0.25, (kernel, recall)
+
+    def test_int4_dim_must_be_even(self):
+        with pytest.raises(ValueError, match="even"):
+            FlatIndex(33, dtype="int4")
+
+    def test_dense_ivf_rejects_int4(self):
+        from wdbx_tpu.index.ivf import IVFIndex
+
+        with pytest.raises(ValueError, match="int4"):
+            IVFIndex(32, dtype="int4")
+
+    def test_store_rerank_recovers_int4_recall(self, rng, tmp_path):
+        from wdbx_tpu.core.config import WDBXConfig
+        from wdbx_tpu.store.vector_store import VectorStore
+
+        d, n, k = 64, 4000, 10
+        db = _normed(rng, n, d)
+        cfg = WDBXConfig({
+            "VECTOR_DIMENSION": d, "NUM_SHARDS": 1,
+            "DATA_DIR": str(tmp_path / "s"),
+            "INDEX_TYPE": "ivf_clustered", "INDEX_DTYPE": "int4",
+            "IVF_NLIST": 16, "IVF_NPROBE": 16,
+            "IVF_TRAIN_THRESHOLD": 512,
+        })
+        store = VectorStore(cfg)
+        ids = {f"v{i}": db[i].tolist() for i in range(n)}
+        store.batch_store(ids)
+        store.optimize()
+        assert store._rerank_enabled()
+        assert store._rerank_fetch_factor() == 20
+        q = _normed(rng, 16, d)
+        exact = np.argsort(-(q @ db.T), axis=-1)[:, :k]
+        hits = store.search_batch(q, limit=k)
+        recall = np.mean([
+            len({h[0] for h in row} & {f"v{j}" for j in exact[i]}) / k
+            for i, row in enumerate(hits)
+        ])
+        assert recall >= 0.95, recall
+        # and without re-rank the same config is measurably worse
+        store.rerank = False
+        hits0 = store.search_batch(q, limit=k)
+        recall0 = np.mean([
+            len({h[0] for h in row} & {f"v{j}" for j in exact[i]}) / k
+            for i, row in enumerate(hits0)
+        ])
+        assert recall > recall0, (recall, recall0)

@@ -32,7 +32,8 @@ DEFAULTS: dict[str, Any] = {
     # index
     "INDEX_TYPE": "flat",  # flat | ivf
     "INDEX_METRIC": "cosine",  # cosine | ip
-    "INDEX_DTYPE": "float32",  # float32 | bfloat16 | int8
+    "INDEX_DTYPE": "float32",  # float32 | bfloat16 | int8 | int4
+    "RERANK_FETCH_FACTOR": None,  # None = auto (2 int8, 20 int4)
     "INDEX_CAPACITY": 1024,
     # ivf (FAISS_NLIST/NPROBE analogues, reference wdbx/core/config.py:36-37)
     "IVF_NLIST": 100,

@@ -101,12 +101,13 @@ def _block_rows(dim: int, itemsize: int, cap: int,
 @partial(
     jax.jit,
     static_argnames=("k", "nprobe", "u", "m", "c", "precision", "int8",
-                     "normalize"),
+                     "normalize", "int4"),
 )
 def _clustered_search(
     slab, valid, scales, centroids, blk_lo, blk_hi,
     residual_pos, residual_count, q,
     k, nprobe, u, m, c, precision, int8=False, normalize=False,
+    int4=False,
 ):
     """Batch-deduplicated block scan over the cluster-ordered slab.
 
@@ -137,9 +138,9 @@ def _clustered_search(
     u = min(u, b * min(nprobe, centroids.shape[0]) * m)
     uniq, uniq_ok = _dedup_blocks(probe, blk_lo, blk_hi, nblocks, u, m)
 
-    slab3 = slab.reshape(nblocks, c, d)
+    slab3 = slab.reshape(nblocks, c, slab.shape[1])  # packed width for int4
     v2 = valid.reshape(nblocks, c)
-    s2 = scales.reshape(nblocks, c) if int8 else None
+    s2 = scales.reshape(nblocks, c) if (int8 or int4) else None
 
     # Group g blocks per scan step: the per-iteration fixed cost
     # (~45us measured: loop bookkeeping + DMA issue) dominates a single
@@ -162,12 +163,16 @@ def _clustered_search(
         rows = jnp.concatenate(
             [jax.lax.dynamic_index_in_dim(slab3, blks[i], 0, False)
              for i in range(g)], axis=0,
-        )  # (g*c, d)
+        )  # (g*c, d)  (d = packed width for int4)
         v = jnp.concatenate(
             [jax.lax.dynamic_index_in_dim(v2, blks[i], 0, False)
              for i in range(g)], axis=0,
         )
-        if int8:
+        if int4:
+            from wdbx_tpu.kernels.quant import unpack_int4
+
+            rows = unpack_int4(rows)
+        if int8 or int4:
             sc = jnp.concatenate(
                 [jax.lax.dynamic_index_in_dim(s2, blks[i], 0, False)
                  for i in range(g)], axis=0,
@@ -205,7 +210,7 @@ def _clustered_search(
     return _residual_merge(
         slab, valid, residual_pos, residual_pos.astype(jnp.int32),
         residual_count, scales, scores, flat_pos, q,
-        k=k, precision=precision, int8=int8,
+        k=k, precision=precision, int8=int8, int4=int4,
     )
 
 
@@ -251,20 +256,25 @@ def _dedup_blocks(probe, blk_lo, blk_hi, nblocks: int, u: int, m: int):
 @partial(
     jax.jit,
     static_argnames=("k", "nprobe", "u", "m", "c", "precision", "int8",
-                     "normalize", "interpret"),
+                     "normalize", "interpret", "int4", "v2"),
 )
 def _clustered_search_kernelpath(
     slab, valid, scales, centroids, blk_lo, blk_hi,
     residual_pos, residual_count, q,
     k, nprobe, u, m, c, precision, int8=False, normalize=False,
-    interpret=False,
+    interpret=False, int4=False, v2=False,
 ):
     """One-dispatch kernel query: probe selection, block dedup, the
     scalar-prefetch Pallas block scan, and the residual merge inline in
     a single compiled program. Candidate positions come back as global
-    slab rows, so the residual merge is shared with the lax path."""
+    slab rows, so the residual merge is shared with the lax path.
+    ``v2`` selects the restructured kernel (int8×int8 MXU, padding-step
+    skip — kernels/clustered_scan._kernel_v2); int4 slabs require it."""
     from wdbx_tpu.index.ivf import _residual_merge
-    from wdbx_tpu.kernels.clustered_scan import clustered_block_topk
+    from wdbx_tpu.kernels.clustered_scan import (
+        clustered_block_topk,
+        clustered_block_topk_v2,
+    )
 
     if normalize:
         q = l2_normalize(q)
@@ -277,30 +287,41 @@ def _clustered_search_kernelpath(
     nblocks = slab.shape[0] // c
     uniq, uniq_ok = _dedup_blocks(probe, blk_lo, blk_hi, nblocks, u, m)
     valid_i8 = valid.astype(jnp.int8).reshape(1, -1)
-    qk = q.astype(jnp.bfloat16) if int8 else q.astype(slab.dtype)
-    kv, kp = clustered_block_topk(
-        slab, valid_i8,
-        scales.astype(jnp.float32).reshape(1, -1) if int8 else None,
-        uniq.astype(jnp.int32), uniq_ok.astype(jnp.int32), qk,
-        k=k, c=c, interpret=interpret,
+    quant = int8 or int4
+    sc_arg = (
+        scales.astype(jnp.float32).reshape(1, -1) if quant else None
     )
+    if v2 or int4:
+        kv, kp = clustered_block_topk_v2(
+            slab, valid_i8, sc_arg,
+            uniq.astype(jnp.int32), uniq_ok.astype(jnp.int32),
+            q if quant else q.astype(slab.dtype),
+            k=k, c=c, interpret=interpret, int4=int4,
+        )
+    else:
+        qk = q.astype(jnp.bfloat16) if int8 else q.astype(slab.dtype)
+        kv, kp = clustered_block_topk(
+            slab, valid_i8, sc_arg,
+            uniq.astype(jnp.int32), uniq_ok.astype(jnp.int32), qk,
+            k=k, c=c, interpret=interpret,
+        )
     return _residual_merge(
         slab, valid, residual_pos, residual_pos.astype(jnp.int32),
         residual_count, scales, kv, kp, q,
-        k=k, precision=precision, int8=int8,
+        k=k, precision=precision, int8=int8, int4=int4,
     )
 
 
 @partial(
     jax.jit,
     static_argnames=("k", "nprobe", "u", "m", "c", "precision", "int8",
-                     "normalize", "interpret"),
+                     "normalize", "interpret", "int4", "v2"),
 )
 def _clustered_kernelpath_pipelined(
     slab, valid, scales, centroids, blk_lo, blk_hi,
     residual_pos, residual_count, qstack,
     k, nprobe, u, m, c, precision, int8=False, normalize=False,
-    interpret=False,
+    interpret=False, int4=False, v2=False,
 ):
     def step(carry, q):
         s, i = _clustered_search_kernelpath(
@@ -308,6 +329,7 @@ def _clustered_kernelpath_pipelined(
             residual_pos, residual_count, q,
             k=k, nprobe=nprobe, u=u, m=m, c=c, precision=precision,
             int8=int8, normalize=normalize, interpret=interpret,
+            int4=int4, v2=v2,
         )
         return carry, (s, i)
 
@@ -318,12 +340,13 @@ def _clustered_kernelpath_pipelined(
 @partial(
     jax.jit,
     static_argnames=("k", "nprobe", "u", "m", "c", "precision", "int8",
-                     "normalize"),
+                     "normalize", "int4"),
 )
 def _clustered_search_pipelined(
     slab, valid, scales, centroids, blk_lo, blk_hi,
     residual_pos, residual_count, qstack,
     k, nprobe, u, m, c, precision, int8=False, normalize=False,
+    int4=False,
 ):
     """lax.scan of the block scan over a (NB, B, d) stack — one dispatch
     serves NB batches (same serving shape as the flat/IVF pipelines)."""
@@ -333,7 +356,7 @@ def _clustered_search_pipelined(
             slab, valid, scales, centroids, blk_lo, blk_hi,
             residual_pos, residual_count, q,
             k=k, nprobe=nprobe, u=u, m=m, c=c, precision=precision,
-            int8=int8, normalize=normalize,
+            int8=int8, normalize=normalize, int4=int4,
         )
         return carry, (s, i)
 
@@ -516,7 +539,8 @@ class ClusteredSlotMixin:
         """Rows covered by one block grid (per device in mesh layouts)."""
         return self._cap
 
-    def _scan_u(self, pad_b: int, nprobe: int) -> int:
+    def _scan_u(self, pad_b: int, nprobe: int, geom: dict | None = None
+                ) -> int:
         """Static dedup scan length. Two bounds:
 
         * worst case — prefix sum of the largest buckets' block counts
@@ -527,16 +551,39 @@ class ClusteredSlotMixin:
           over-scans ~2.4x; under this bound the (rare) overflow drops
           the least-probed blocks (popularity-ranked priority), which
           tune() measures and compensates for with nprobe.
-        """
-        pref = self._u_prefix
-        nblocks = self._scan_rows() // self._c
+
+        ``geom`` overrides the block geometry (the narrow-block latency
+        path passes ``self._small``)."""
+        if geom is None:
+            geom = dict(
+                c=self._c, m=self._m, u_prefix=self._u_prefix,
+                nonempty=self._nonempty, avg_blocks=self._avg_blocks,
+            )
+        pref = geom["u_prefix"]
+        nblocks = self._scan_rows() // geom["c"]
         draws = pad_b * nprobe
         worst = int(pref[min(draws, len(pref)) - 1]) if len(pref) else 1
-        ne = max(1, self._nonempty)
+        ne = max(1, geom["nonempty"])
         e_distinct = ne * (1.0 - (1.0 - 1.0 / ne) ** draws)
-        expected = int(math.ceil(1.5 * e_distinct * self._avg_blocks)) + 8
+        expected = int(
+            math.ceil(1.5 * e_distinct * geom["avg_blocks"])
+        ) + 8
         return min(_next_pow2(max(1, min(worst, expected)) + 1),
-                   _next_pow2(max(1, nblocks)), draws * self._m)
+                   _next_pow2(max(1, nblocks)), draws * geom["m"])
+
+    def _use_v2(self, pad_b: int) -> bool:
+        """Kernel generation for the Pallas path. int4 requires v2 (v1
+        has no unpack); for int8, "auto" currently keeps v1 — flipped
+        per batch size once the on-chip A/B settles (kernel_version
+        "v1"/"v2" forces)."""
+        if self._is_int4:
+            return True
+        kv = getattr(self, "kernel_version", "auto")
+        if kv == "v2":
+            return True
+        if kv == "v1":
+            return False
+        return False
 
     def _use_kernel(self) -> bool:
         """Pallas block-scan kernel vs the portable lax scan. 'auto'
@@ -624,6 +671,9 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
         self.ivf_kernel = "auto"
         #: scan-block DMA size; effective at the next build
         self.block_bytes_target = 786_432
+        #: batches at/below this use the narrow-block (c/4) extents —
+        #: the latency path; larger batches amortize wide blocks
+        self.small_batch_threshold = 4
         #: when True, optimize() uses build_background() (serving keeps
         #: the old layout during the rebuild); config key
         #: IVF_BACKGROUND_REBUILD. Needs 2x-slab HBM headroom.
@@ -766,8 +816,13 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
 
         @jax.jit
         def gather_rows(slab, scales, idx):
-            rows = slab[idx].astype(jnp.float32)
-            if self._is_int8:
+            rows = slab[idx]
+            if self._is_int4:
+                from wdbx_tpu.kernels.quant import unpack_int4
+
+                rows = unpack_int4(rows)
+            rows = rows.astype(jnp.float32)
+            if self._is_quantized:
                 rows = rows * scales[idx][:, None]
             if self.metric == "cosine":
                 rows = rows / jnp.maximum(
@@ -807,7 +862,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
         cap = self._cap if cap is None else cap
         n_live = len(src)
         chunk = 131_072
-        new_slab = jnp.zeros((cap, self.dim), self._dtype)
+        new_slab = jnp.zeros((cap, self._row_width), self._dtype)
         new_valid = jnp.zeros((cap,), jnp.bool_)
         new_scales = (
             jnp.zeros((cap,), jnp.float32) if self._is_int8 else None
@@ -991,28 +1046,48 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
         start = np.zeros(nlist + 1, np.int64)
         np.cumsum(counts, out=start[1:])
         if c is None:
+            # row bytes via the STORAGE width (int4 packs two dims/byte)
             c = _block_rows(
-                self.dim, np.dtype(self._dtype).itemsize, self._cap,
+                self._row_width, np.dtype(self._dtype).itemsize, self._cap,
                 target=self.block_bytes_target,
             )
-        blk_lo = (start[:-1] // c).astype(np.int32)
-        blk_hi = (-(-start[1:] // c)).astype(np.int32)
-        blk_n = blk_hi - blk_lo
-        nonempty = counts > 0
-        m = int(blk_n[nonempty].max()) if nonempty.any() else 1
-        self._m = _next_pow2(max(1, m))
+        def extents(cc: int) -> dict:
+            lo = (start[:-1] // cc).astype(np.int32)
+            hi = (-(-start[1:] // cc)).astype(np.int32)
+            bn = hi - lo
+            ne = counts > 0
+            return dict(
+                c=cc,
+                m=_next_pow2(max(1, int(bn[ne].max()) if ne.any() else 1)),
+                lo=jnp.asarray(lo),
+                hi=jnp.asarray(hi),
+                # worst-case distinct blocks for a batch: prefix sums of
+                # the largest buckets' block counts (tightens the static
+                # scan length far below B*P*m for realistic skews)
+                u_prefix=np.cumsum(np.sort(bn[ne])[::-1]),
+                nonempty=int(ne.sum()),
+                avg_blocks=float(bn[ne].mean()) if ne.any() else 1.0,
+            )
+
+        main = extents(c)
+        self._m = main["m"]
         self._c = c
         self._centroids = jnp.asarray(centroids)
         self._bucket_start = start
-        self._blk_lo = jnp.asarray(blk_lo)
-        self._blk_hi = jnp.asarray(blk_hi)
-        # worst-case distinct blocks for a batch: prefix sums of the
-        # largest buckets' block counts (tightens the static scan length
-        # far below B*P*m for realistic skews)
-        self._u_prefix = np.cumsum(np.sort(blk_n[nonempty])[::-1])
-        self._nonempty = int(nonempty.sum())
-        self._avg_blocks = (
-            float(blk_n[nonempty].mean()) if self._nonempty else 1.0
+        self._blk_lo = main["lo"]
+        self._blk_hi = main["hi"]
+        self._u_prefix = main["u_prefix"]
+        self._nonempty = main["nonempty"]
+        self._avg_blocks = main["avg_blocks"]
+        # Narrow-block geometry for the latency (small-batch) path:
+        # B=1 queries need only the probed buckets' exact row ranges,
+        # and c-wide covering blocks over-fetch ~2x; extents at c/4
+        # track the ranges much tighter. Same slab, same invariants
+        # (the fresh boundary is c-aligned, hence also c/4-aligned).
+        c_s = max(256, c // 4)
+        self._small = (
+            extents(c_s)
+            if c_s < c and self._cap % c_s == 0 else None
         )
 
     # -- streaming two-pass build --------------------------------------------
@@ -1170,10 +1245,23 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
         nlist = int(self._centroids.shape[0])
         nprobe = min(self.nprobe, nlist)
         pm, nprobe, use_exact = self._filter_plan(slot_mask, nprobe, nlist)
-        u = self._scan_u(pad_b, nprobe)
+        # narrow-block geometry at small batch: covering blocks at the
+        # serving width c over-fetch ~2x for one query's few probed
+        # buckets; c/4 extents track the exact bucket row ranges much
+        # tighter (latency regime — VERDICT r2 ask #5)
+        geom = (
+            self._small
+            if pad_b <= self.small_batch_threshold
+            and getattr(self, "_small", None) else None
+        )
+        c_eff = geom["c"] if geom else self._c
+        m_eff = geom["m"] if geom else self._m
+        blk_lo = geom["lo"] if geom else self._blk_lo
+        blk_hi = geom["hi"] if geom else self._blk_hi
+        u = self._scan_u(pad_b, nprobe, geom)
         size = self._size
         if use_exact or (
-            self.batch_flat_fallback and (u * self._c >= max(1, size))
+            self.batch_flat_fallback and (u * c_eff >= max(1, size))
         ):
             scores, pos = FlatIndex.search(self, queries, k, pm)
             return self._map_pos_to_slots(scores, pos)
@@ -1201,21 +1289,22 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
         if self._use_kernel():
             scores, pos = _clustered_search_kernelpath(
                 self._slab, valid, scales,
-                self._centroids, self._blk_lo, self._blk_hi,
+                self._centroids, blk_lo, blk_hi,
                 residual_pos, np.int32(r_n), q,
-                k=k, nprobe=nprobe, u=u, m=self._m, c=self._c,
+                k=k, nprobe=nprobe, u=u, m=m_eff, c=c_eff,
                 precision=self._precision, int8=self._is_int8,
                 normalize=self.metric == "cosine",
                 interpret=jax.default_backend() != "tpu",
+                int4=self._is_int4, v2=self._use_v2(pad_b),
             )
         else:
             scores, pos = _clustered_search(
                 self._slab, valid, scales,
-                self._centroids, self._blk_lo,
-                self._blk_hi, residual_pos, np.int32(r_n), q,
-                k=k, nprobe=nprobe, u=u, m=self._m, c=self._c,
+                self._centroids, blk_lo,
+                blk_hi, residual_pos, np.int32(r_n), q,
+                k=k, nprobe=nprobe, u=u, m=m_eff, c=c_eff,
                 precision=self._precision, int8=self._is_int8,
-                normalize=self.metric == "cosine",
+                normalize=self.metric == "cosine", int4=self._is_int4,
             )
         scores, pos = jax.device_get((scores[:b], pos[:b]))
         return self._map_pos_to_slots(
@@ -1259,6 +1348,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
                     precision=self._precision, int8=self._is_int8,
                     normalize=self.metric == "cosine",
                     interpret=jax.default_backend() != "tpu",
+                    int4=self._is_int4, v2=self._use_v2(b),
                 )
             else:
                 scores, pos = _clustered_search_pipelined(
@@ -1267,7 +1357,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
                     self._blk_hi, residual_pos, np.int32(r_n), qstack,
                     k=k, nprobe=nprobe, u=u, m=self._m, c=self._c,
                     precision=self._precision, int8=self._is_int8,
-                    normalize=self.metric == "cosine",
+                    normalize=self.metric == "cosine", int4=self._is_int4,
                 )
             scores, pos = jax.device_get((scores, pos))
         # _map_pos_to_slots is elementwise: map the (NB, B, k) stack at once

@@ -31,7 +31,15 @@ from wdbx_tpu.index.base import VectorIndex
 from wdbx_tpu.ops.exact_search import exact_search
 from wdbx_tpu.ops.normalize import l2_normalize
 
-_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "int8": jnp.int8}
+#: name -> STORAGE dtype. "int4" stores two signed nibbles per uint8
+#: byte (kernels/quant.py packing) with a per-row f32 scale — the
+#: capacity tier past int8 (10M x 768 in ~3.9 GB slab).
+_DTYPES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "int8": jnp.int8,
+    "int4": jnp.uint8,
+}
 
 
 def _next_pow2(n: int) -> int:
@@ -71,8 +79,19 @@ def _tombstone_body(valid, slots):
     return valid.at[slots].set(False)
 
 
+def _write_quantized4_body(slab, valid, scales, vecs, slots, flags):
+    from wdbx_tpu.kernels.quant import quantize_rows_int4
+
+    q, s = quantize_rows_int4(vecs)
+    slab = slab.at[slots].set(q)
+    scales = scales.at[slots].set(s)
+    valid = valid.at[slots].set(flags)
+    return slab, valid, scales
+
+
 _write = jax.jit(_write_body, donate_argnums=(0, 1))
 _write_quantized = jax.jit(_write_quantized_body, donate_argnums=(0, 1, 2))
+_write_quantized4 = jax.jit(_write_quantized4_body, donate_argnums=(0, 1, 2))
 _tombstone = jax.jit(_tombstone_body, donate_argnums=(0,))
 # Copy-on-write twins: a background rebuild holds references to the
 # current arrays as its read snapshot, so mutations in that window must
@@ -80,7 +99,15 @@ _tombstone = jax.jit(_tombstone_body, donate_argnums=(0,))
 # Cost: one HBM-to-HBM copy of the touched array per mutation batch.
 _write_cow = jax.jit(_write_body)
 _write_quantized_cow = jax.jit(_write_quantized_body)
+_write_quantized4_cow = jax.jit(_write_quantized4_body)
 _tombstone_cow = jax.jit(_tombstone_body)
+
+
+@jax.jit
+def _unpack4(slab):
+    from wdbx_tpu.kernels.quant import unpack_int4
+
+    return unpack_int4(slab)
 
 
 @partial(jax.jit, static_argnames=("k", "precision"))
@@ -113,6 +140,9 @@ class FlatIndex(VectorIndex):
         super().__init__(dim, metric)
         if dtype not in _DTYPES:
             raise ValueError(f"unsupported slab dtype: {dtype}")
+        if dtype == "int4" and dim % 2:
+            raise ValueError("int4 slabs need an even dimension "
+                             "(two dims pack per byte)")
         if topk_method not in ("auto", "exact", "approx", "fused"):
             raise ValueError(f"unsupported topk method: {topk_method}")
         #: "auto" resolves per search: the fused Pallas kernel on TPU
@@ -150,19 +180,32 @@ class FlatIndex(VectorIndex):
     def _is_int8(self) -> bool:
         return self._dtype == jnp.int8
 
+    @property
+    def _is_int4(self) -> bool:
+        return self.dtype_name == "int4"
+
+    @property
+    def _is_quantized(self) -> bool:
+        return self._is_int8 or self._is_int4
+
+    @property
+    def _row_width(self) -> int:
+        """Storage columns per row (int4 packs two dims per byte)."""
+        return self.dim // 2 if self._is_int4 else self.dim
+
     def _alloc(self, cap: int) -> None:
-        self._slab = jnp.zeros((cap, self.dim), self._dtype)
+        self._slab = jnp.zeros((cap, self._row_width), self._dtype)
         self._valid = jnp.zeros((cap,), jnp.bool_)
-        if self._is_int8:
+        if self._is_quantized:
             self._scales = jnp.zeros((cap,), jnp.float32)
 
     def _grow(self, need: int) -> None:
         new_cap = self._round_cap(max(need, int(self._cap * 1.5)))
-        slab = jnp.zeros((new_cap, self.dim), self._dtype)
+        slab = jnp.zeros((new_cap, self._row_width), self._dtype)
         self._slab = slab.at[: self._cap].set(self._slab)
         valid = jnp.zeros((new_cap,), jnp.bool_)
         self._valid = valid.at[: self._cap].set(self._valid)
-        if self._is_int8:
+        if self._is_quantized:
             scales = jnp.zeros((new_cap,), jnp.float32)
             self._scales = scales.at[: self._cap].set(self._scales)
         self._cap = new_cap
@@ -198,8 +241,9 @@ class FlatIndex(VectorIndex):
     def _scatter(self, slots: np.ndarray, vectors: np.ndarray, flag: bool) -> None:
         n = len(slots)
         pad_n = _next_pow2(max(n, 1))
-        # int8 slabs quantize inside the write kernel; keep floats until then.
-        staging = jnp.float32 if self._is_int8 else self._dtype
+        # quantized slabs quantize inside the write kernel; keep floats
+        # until then.
+        staging = jnp.float32 if self._is_quantized else self._dtype
         if pad_n != n:  # avoid a full copy when already aligned
             pad_fn = jnp.pad if isinstance(vectors, jax.Array) else np.pad
             vectors = pad_fn(vectors, ((0, pad_n - n), (0, 0)))
@@ -216,6 +260,12 @@ class FlatIndex(VectorIndex):
 
     def _write_arrays(self, vecs, pslots, flags):
         cow = getattr(self, "_cow_writes", False)
+        if self._is_int4:
+            wq = _write_quantized4_cow if cow else _write_quantized4
+            slab, valid, self._scales = wq(
+                self._slab, self._valid, self._scales, vecs, pslots, flags
+            )
+            return slab, valid
         if self._is_int8:
             wq = _write_quantized_cow if cow else _write_quantized
             slab, valid, self._scales = wq(
@@ -233,10 +283,12 @@ class FlatIndex(VectorIndex):
         """Restore targets for the orbax backend (subclasses attach
         shardings)."""
         out = {
-            "slab": jax.ShapeDtypeStruct((self._cap, self.dim), self._dtype),
+            "slab": jax.ShapeDtypeStruct(
+                (self._cap, self._row_width), self._dtype
+            ),
             "valid": jax.ShapeDtypeStruct((self._cap,), jnp.bool_),
         }
-        if self._is_int8:
+        if self._is_quantized:
             out["scales"] = jax.ShapeDtypeStruct((self._cap,), jnp.float32)
         return out
 
@@ -301,6 +353,10 @@ class FlatIndex(VectorIndex):
             slab, valid, scales, cap = (
                 self._slab, self._valid, self._scales, self._cap,
             )
+            if self._is_int4:
+                # unpack to int8 codes on device; the row scale (max/7)
+                # then flows through the ordinary int8 scoring paths
+                slab = _unpack4(slab)
             if slot_mask is not None:
                 mask = np.zeros(cap, bool)
                 mask[: len(slot_mask)] = slot_mask[:cap]
@@ -313,7 +369,7 @@ class FlatIndex(VectorIndex):
                     slab, q, valid, k=min(k, cap),
                     block_n=self._fused_block(len(q)),
                     interpret=jax.default_backend() != "tpu",  # Mosaic: TPU-only
-                    scales=scales if self._is_int8 else None,
+                    scales=scales if self._is_quantized else None,
                     normalize=normalize,  # folded into the one dispatch
                 )
                 if scores.shape[1] < k:
@@ -379,6 +435,8 @@ class FlatIndex(VectorIndex):
             slab, valid, scales, cap = (
                 self._slab, self._valid, self._scales, self._cap,
             )
+            if self._is_int4:
+                slab = _unpack4(slab)
             if self._resolve_topk() == "fused":
                 from wdbx_tpu.kernels.fused_topk import (
                     fused_topk_search_batched,
@@ -388,7 +446,7 @@ class FlatIndex(VectorIndex):
                     slab, qstack, valid, k=min(k, cap),
                     block_n=self._fused_block(qstack.shape[1]),
                     interpret=jax.default_backend() != "tpu",
-                    scales=scales if self._is_int8 else None,
+                    scales=scales if self._is_quantized else None,
                     normalize=normalize,  # folded into the one dispatch
                 )
             else:
@@ -420,8 +478,14 @@ class FlatIndex(VectorIndex):
     def get_vectors(self, slots: np.ndarray) -> np.ndarray:
         slots = np.asarray(slots, np.int64)
         with self._mu.read():  # exclude buffer donation mid-gather
-            host = np.asarray(self._slab[slots], np.float32)
-            if self._is_int8:
+            if self._is_int4:
+                packed = np.asarray(self._slab[slots], np.uint8)
+                lo = (packed & 0xF).astype(np.int8) - 8
+                hi = (packed >> 4).astype(np.int8) - 8
+                host = np.concatenate([lo, hi], axis=-1).astype(np.float32)
+            else:
+                host = np.asarray(self._slab[slots], np.float32)
+            if self._is_quantized:
                 host = host * np.asarray(
                     self._scales[slots], np.float32
                 )[:, None]
@@ -484,7 +548,7 @@ class FlatIndex(VectorIndex):
             from wdbx_tpu.store import persist
 
             arrays = {"slab": self._slab, "valid": self._valid}
-            if self._is_int8:
+            if self._is_quantized:
                 arrays["scales"] = self._scales
             persist.save_arrays(path, arrays)
         else:
@@ -492,10 +556,10 @@ class FlatIndex(VectorIndex):
             # Host-side slicing: partial slices of sharded slabs are
             # ambiguous for the partitioner, a full host gather is not.
             slab = np.asarray(self._slab)[:hwm]
-            if slab.dtype not in (np.float32, np.int8):
+            if slab.dtype not in (np.float32, np.int8, np.uint8):
                 slab = slab.view(np.uint16)
             arrays = {"slab": slab, "valid": np.asarray(self._valid)[:hwm]}
-            if self._is_int8:
+            if self._is_quantized:
                 arrays["scales"] = np.asarray(self._scales)[:hwm]
             np.savez(path + ".npz", **arrays)
         with open(path + ".meta.json", "w") as f:
@@ -558,13 +622,18 @@ class FlatIndex(VectorIndex):
         self._cap = self._round_cap(max(hwm, 1024))
         # Assemble on host, then place once (device_put handles sharded
         # placement in the subclass).
-        slab_np = np.zeros((self._cap, self.dim), np.asarray(slab).dtype)
+        slab_np = np.zeros(
+            (self._cap, self._row_width), np.asarray(slab).dtype
+        )
         valid_np = np.zeros((self._cap,), bool)
-        scales_np = np.zeros((self._cap,), np.float32) if self._is_int8 else None
+        scales_np = (
+            np.zeros((self._cap,), np.float32) if self._is_quantized
+            else None
+        )
         if hwm:
             slab_np[:hwm] = slab
             valid_np[:hwm] = valid
-            if self._is_int8:
+            if self._is_quantized:
                 scales_np[:hwm] = data["scales"]
         self._place(slab_np, valid_np, scales_np)
         self._size = int(meta["size"])

@@ -218,10 +218,10 @@ def _ivf_query_pallas(
     )
 
 
-@partial(jax.jit, static_argnames=("k", "precision", "int8"))
+@partial(jax.jit, static_argnames=("k", "precision", "int8", "int4"))
 def _residual_merge(
     slab, valid, residual_slots, residual_labels, residual_count, scales,
-    vals, labels, q, k, precision, int8=False,
+    vals, labels, q, k, precision, int8=False, int4=False,
 ):
     """Merge per-probe kernel results (B, P*k) with the fresh-buffer scan.
     ``labels``/``residual_labels`` are opaque candidate ids the caller
@@ -232,7 +232,11 @@ def _residual_merge(
     r_cap = residual_slots.shape[0]
     if r_cap:
         rows = slab[residual_slots]
-        if int8:
+        if int4:
+            from wdbx_tpu.kernels.quant import unpack_int4
+
+            rows = unpack_int4(rows)
+        if int8 or int4:
             rows = rows.astype(jnp.bfloat16)
             rq = q.astype(jnp.bfloat16)
         else:
@@ -241,7 +245,7 @@ def _residual_merge(
             rq, rows, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
-        if int8:
+        if int8 or int4:
             r_scores = r_scores * scales[residual_slots][None, :]
         live = jnp.arange(r_cap) < residual_count
         r_valid = jnp.logical_and(valid[residual_slots], live)
@@ -426,6 +430,13 @@ class IVFIndex(FlatIndex):
         assignments: int = 1,
     ):
         super().__init__(dim, metric=metric, dtype=dtype, capacity=capacity)
+        if dtype == "int4" and self.kind == "ivf":
+            # the dense-table layout would duplicate packed codes into
+            # bucket tables; int4 is the clustered/flat capacity tier
+            raise ValueError(
+                "int4 is supported by 'flat' and 'ivf_clustered' "
+                "(the dense-table IVF stays int8)"
+            )
         self.nlist = nlist
         self.nprobe = nprobe
         #: clusters each vector joins (2 = SOAR-style spilled assignment:

@@ -37,7 +37,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from wdbx_tpu.kernels.fused_topk import NEG, _fold_topk
+from wdbx_tpu.kernels.fused_topk import (
+    NEG,
+    _fold_topk,
+    _fold_topk_pairs,
+    _group_reduce,
+    _pair_reduce,
+)
 
 
 def _kernel(uniq_ref, ok_ref, q_ref, *rest, k: int, c: int, group: int,
@@ -95,6 +101,230 @@ def _kernel(uniq_ref, ok_ref, q_ref, *rest, k: int, c: int, group: int,
     def _emit():
         out_v_ref[:] = tv[:]
         out_i_ref[:] = ti[:]
+
+
+def _kernel_v2(uniq_ref, ok_ref, meta_ref, q_ref, qs_ref, *rest, k: int,
+               c: int, group: int, n_ways: int, int8: bool,
+               int4: bool = False):
+    """v2 step body: int8×int8 MXU matmul (quantized queries), per-way
+    group-reduce before any concat (the v1 (B, W*c) concat copied 2M
+    f32 per step), and full compute skip on dedup-padding steps (live
+    entries sort first in the dedup's popularity priority, so padding
+    is a suffix — ``meta[0]`` holds the live step count)."""
+    # rest layout: n_ways block refs, n_ways valid refs,
+    #              [n_ways scale refs if int8], out_v, out_i, tv, ti
+    blk_refs = rest[:n_ways]
+    valid_refs = rest[n_ways:2 * n_ways]
+    off = 2 * n_ways
+    if int8:
+        scale_refs = rest[off:off + n_ways]
+        off += n_ways
+    out_v_ref, out_i_ref, tv, ti = rest[off:off + 4]
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        tv[:] = jnp.full_like(tv, NEG)
+        ti[:] = jnp.full_like(ti, -1)
+
+    @pl.when(i < meta_ref[0])
+    def _work():
+        b = q_ref.shape[0]
+        q = q_ref[:]
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+        way_m, way_mi = [], []
+        for j in range(n_ways):
+            rows = blk_refs[j][:]
+            if int4:
+                # packed nibbles (kernels/quant.py layout: dim j low,
+                # dim j+d/2 high) — unpack on the VPU, then the int8
+                # MXU path below scores the codes
+                lo = (rows & 0xF).astype(jnp.int8) - 8
+                hi = (rows >> 4).astype(jnp.int8) - 8
+                rows = jnp.concatenate([lo, hi], axis=1)
+            if int8:
+                # int8×int8 → int32 rides the MXU at 2× the bf16 rate
+                # and skips v1's 6M-element int8→bf16 cast per step;
+                # per-query dequant (qs_ref) is constant per row, so it
+                # applies once at emit — only the per-DB-row scale has
+                # to touch the (B, c) tile here.
+                s = jax.lax.dot_general(
+                    q, rows,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * scale_refs[j][:]
+            else:
+                s = jax.lax.dot_general(
+                    q, rows,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (B, c) f32
+            okj = ok_ref[n_ways * i + j]
+            mask = (valid_refs[j][:] != 0) & (okj != 0)  # (1, c)
+            s = jnp.where(mask, s, NEG)
+            pos = col_iota + uniq_ref[n_ways * i + j] * c
+            if group and group < c:
+                m, mi = _group_reduce(s, 0, group, col_pos=pos)
+            else:
+                m, mi = s, jnp.broadcast_to(pos, (b, c))
+            way_m.append(m)
+            way_mi.append(mi)
+        m = jnp.concatenate(way_m, axis=1) if n_ways > 1 else way_m[0]
+        mi = jnp.concatenate(way_mi, axis=1) if n_ways > 1 else way_mi[0]
+        # second-stage interleaved reduce: (B, W*G) → (B, G) keeps the
+        # k-pass fold width constant in n_ways (survivor stats match
+        # v1, which reduced (B, W*c) → (B, G) in one pass)
+        if group and m.shape[1] > group:
+            m, mi = _pair_reduce(m, mi, group)
+        _fold_topk_pairs(m, mi, tv, ti, k)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _emit():
+        if int8:
+            # masked entries are exactly NEG: scaling them by a small
+            # qscale would pull them above the caller's `v <= NEG`
+            # -inf rewrite, so they pass through unscaled
+            out_v_ref[:] = jnp.where(
+                tv[:] <= NEG, tv[:], tv[:] * qs_ref[:]
+            )
+        else:
+            out_v_ref[:] = tv[:]
+        out_i_ref[:] = ti[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "c", "interpret", "group", "n_ways",
+                              "int4")
+)
+def clustered_block_topk_v2(
+    slab: jax.Array,      # (cap, dw), cap % c == 0 (dw = d/2 for int4)
+    valid_i8: jax.Array,  # (1, cap) int8
+    scales: jax.Array | None,  # (1, cap) f32 for int8/int4, else None
+    uniq: jax.Array,      # (u,) int32 block ids (deduped; dups ok=0)
+    ok: jax.Array,        # (u,) int32 1=live block, 0=masked (suffix)
+    q: jax.Array,         # (B, d) float — quantized here for int8/int4
+    k: int,
+    c: int,
+    interpret: bool = False,
+    group: int | None = None,
+    n_ways: int = 8,
+    int4: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """v2 of ``clustered_block_topk``: same contract, restructured step
+    body (see ``_kernel_v2``). Queries arrive as floats; for int8/int4
+    slabs they are symmetric-quantized per query row (scale = max|q|/127)
+    so the MXU runs int8×int8→int32 — measured sub-0.1% score error on
+    unit-norm vectors, recall-neutral with the index layer's f32
+    re-rank path above. Requires B ≥ 32 for the int8 sublane tile.
+    ``int4=True`` marks ``slab`` as nibble-packed (uint8, half width);
+    blocks unpack on the VPU before the matmul — half the DMA per row."""
+    cap, d = slab.shape
+    b = q.shape[0]
+    u = uniq.shape[0]
+    while n_ways > 1 and u % n_ways:
+        n_ways //= 2
+    if group is None:
+        steps = u // max(1, n_ways)
+        group = 256 if steps >= 16 and k <= 32 else 0
+    int8 = scales is not None
+    if int8:
+        qf = q.astype(jnp.float32)
+        qmax = jnp.maximum(
+            jnp.max(jnp.abs(qf), axis=1, keepdims=True), 1e-20
+        )
+        qs = (qmax / 127.0).astype(jnp.float32)  # (B, 1)
+        qq = jnp.clip(jnp.round(qf / qs), -127, 127).astype(jnp.int8)
+    else:
+        qq = q.astype(slab.dtype)
+        qs = jnp.zeros((b, 1), jnp.float32)  # unused
+    # dedup's popularity priority sorts live entries first, so padding
+    # is a suffix: steps past the live count skip all compute
+    nlive = jnp.sum(ok.astype(jnp.int32))
+    meta = ((nlive + n_ways - 1) // n_ways).reshape(1).astype(jnp.int32)
+
+    way_specs = [
+        pl.BlockSpec(
+            (c, d),
+            (lambda j: (
+                lambda i, uniq, ok, meta: (uniq[n_ways * i + j], 0)
+            ))(j),
+            memory_space=pltpu.VMEM,
+        )
+        for j in range(n_ways)
+    ]
+    valid_specs = [
+        pl.BlockSpec(
+            (1, c),
+            (lambda j: (
+                lambda i, uniq, ok, meta: (0, uniq[n_ways * i + j])
+            ))(j),
+            memory_space=pltpu.VMEM,
+        )
+        for j in range(n_ways)
+    ]
+    in_specs = [
+        pl.BlockSpec((b, qq.shape[1]), lambda i, uniq, ok, meta: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, 1), lambda i, uniq, ok, meta: (0, 0),
+                     memory_space=pltpu.VMEM),
+        *way_specs,
+        *valid_specs,
+    ]
+    operands = [qq, qs] + [slab] * n_ways + [valid_i8] * n_ways
+    if int8:
+        in_specs.extend(
+            pl.BlockSpec(
+                (1, c),
+                (lambda j: (
+                    lambda i, uniq, ok, meta: (0, uniq[n_ways * i + j])
+                ))(j),
+                memory_space=pltpu.VMEM,
+            )
+            for j in range(n_ways)
+        )
+        operands.extend([scales] * n_ways)
+        blk_bytes = c * d
+    else:
+        blk_bytes = c * d * slab.dtype.itemsize
+    kern = functools.partial(
+        _kernel_v2, k=k, c=c, group=group, n_ways=n_ways, int8=int8,
+        int4=int4,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # uniq, ok, meta drive maps + step skip
+        grid=(u // n_ways,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((b, k), lambda i, uniq, ok, meta: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, k), lambda i, uniq, ok, meta: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, k), jnp.float32),
+            pltpu.VMEM((b, k), jnp.int32),
+        ],
+    )
+    out_v, out_i = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * u * c * d,
+            bytes_accessed=u * blk_bytes + b * d * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(uniq, ok, meta, *operands)
+    return out_v, out_i
 
 
 @functools.partial(

@@ -76,6 +76,44 @@ def _group_reduce(scores, base_idx, group: int, col_pos=None):
     return m, mi
 
 
+def _pair_reduce(m, mi, group: int):
+    """Interleaved segmented max over (value, index) PAIRS: (B, C) →
+    (B, group), carrying each surviving value's paired per-row index.
+    Unlike ``_group_reduce`` the indices are a (B, C) array (they may
+    differ per query row — the output of an earlier reduction)."""
+    b, c = m.shape
+    steps = c // group
+    vm, vi = m[:, :group], mi[:, :group]
+    for s in range(1, steps):
+        cv = m[:, s * group:(s + 1) * group]
+        ci = mi[:, s * group:(s + 1) * group]
+        upd = cv > vm
+        vm = jnp.where(upd, cv, vm)
+        vi = jnp.where(upd, ci, vi)
+    return vm, vi
+
+
+def _fold_topk_pairs(values, indices, tv, ti, k: int):
+    """Merge explicit (B, C) value/index candidate pairs into the
+    running (B, k) scratch refs: k passes of max/argmax/mask on the VPU
+    (the tail of ``_fold_topk``, exposed for callers that already
+    reduced their tiles and carry per-row indices)."""
+    b, c = values.shape
+    work_v = jnp.concatenate([values, tv[:]], axis=1)  # (B, C+k)
+    work_i = jnp.concatenate([indices, ti[:]], axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, c + k), 1)
+    for j in range(k):
+        m = jnp.max(work_v, axis=-1)  # (B,)
+        am = jnp.argmax(work_v, axis=-1).astype(jnp.int32)  # (B,)
+        onehot = col == am[:, None]
+        # Mosaic-friendly gather: exactly one column matches, so a masked
+        # sum extracts the picked index without a gather op.
+        picked = jnp.sum(jnp.where(onehot, work_i, 0), axis=-1)
+        tv[:, j] = m
+        ti[:, j] = picked
+        work_v = jnp.where(onehot, NEG, work_v)
+
+
 def _fold_topk(scores, base_idx, tv, ti, k: int, group: int = 0,
                col_pos=None):
     """Merge a (B, C) score tile into the running (B, k) scratch REFS:
@@ -99,19 +137,7 @@ def _fold_topk(scores, base_idx, tv, ti, k: int, group: int = 0,
         )
     else:
         tile_idx = jnp.broadcast_to(col_pos, (b, c))
-    work_v = jnp.concatenate([scores, tv[:]], axis=1)  # (B, C+k)
-    work_i = jnp.concatenate([tile_idx, ti[:]], axis=1)
-    col = jax.lax.broadcasted_iota(jnp.int32, (b, c + k), 1)
-    for j in range(k):
-        m = jnp.max(work_v, axis=-1)  # (B,)
-        am = jnp.argmax(work_v, axis=-1).astype(jnp.int32)  # (B,)
-        onehot = col == am[:, None]
-        # Mosaic-friendly gather: exactly one column matches, so a masked
-        # sum extracts the picked index without a gather op.
-        picked = jnp.sum(jnp.where(onehot, work_i, 0), axis=-1)
-        tv[:, j] = m
-        ti[:, j] = picked
-        work_v = jnp.where(onehot, NEG, work_v)
+    _fold_topk_pairs(scores, tile_idx, tv, ti, k)
 
 
 def _kernel(q_ref, db_ref, valid_ref, out_v_ref, out_i_ref, tv, ti, *, k: int,

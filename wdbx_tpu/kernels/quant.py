@@ -52,3 +52,42 @@ def int8_score(
         precision=precision,
     )
     return s * scales[None, :]
+
+
+# -- int4 (packed pairs) ------------------------------------------------------
+# Capacity scheme for slabs 2x past int8's reach (10M x 768 in ~3.9 GB,
+# 20M x 768 on one 16 GB chip): two signed nibbles per byte with one
+# f32 scale per row, scale = max|x| / 7. Raw int4 top-10 recall is ~0.75
+# on unit-norm corpora (round-2 measurement) — serving pairs it with the
+# store's exact re-rank over an over-fetched candidate set, which is
+# the FAISS quantized-index role (reference wdbx/core/indexing.py:709-758).
+#
+# Packing layout: byte j of a row holds dim j in the LOW nibble and dim
+# j + d/2 in the HIGH nibble (offset-8 codes). Unpacking is then a
+# nibble split + one concat — no interleave — and dim order round-trips
+# exactly. d must be even (embedding dims are).
+
+
+@jax.jit
+def quantize_rows_int4(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """``(N, d) float -> ((N, d//2) uint8 packed codes, (N,) scales)``."""
+    x = x.astype(jnp.float32)
+    n, d = x.shape
+    absmax = jnp.max(jnp.abs(x), axis=-1)
+    scale = jnp.maximum(absmax, 1e-12) / 7.0
+    q = jnp.clip(jnp.round(x / scale[:, None]), -7, 7) + 8.0  # [1, 15]
+    q = q.astype(jnp.uint8)
+    lo, hi = q[:, : d // 2], q[:, d // 2:]
+    return (lo | (hi << 4)).astype(jnp.uint8), scale
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """``(..., d//2) uint8 -> (..., d) int8`` codes in [-7, 7]."""
+    lo = (packed & 0xF).astype(jnp.int8) - 8
+    hi = (packed >> 4).astype(jnp.int8) - 8
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+@jax.jit
+def dequantize_rows_int4(packed: jax.Array, scale: jax.Array) -> jax.Array:
+    return unpack_int4(packed).astype(jnp.float32) * scale[:, None]

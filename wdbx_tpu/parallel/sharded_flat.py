@@ -194,6 +194,11 @@ class ShardedFlatIndex(FlatIndex):
         axis: str = "shard",
         replicas: int = 1,
     ):
+        if dtype == "int4":
+            raise ValueError(
+                "int4 slabs are single-device for now (flat/ivf_clustered);"
+                " shard by running one int4 index per host"
+            )
         if mesh is None:
             if replicas > 1:
                 from wdbx_tpu.parallel.mesh import make_mesh2
