@@ -1327,7 +1327,19 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
             nb, b, _ = qstack.shape
             nlist = int(self._centroids.shape[0])
             nprobe = min(self.nprobe, nlist)
-            u = self._scan_u(b, nprobe)
+            # narrow-block extents for single/small-query stacks (the
+            # latency-serving shape (NB, 1, d)) — same selection as
+            # _search_read_locked
+            geom = (
+                self._small
+                if b <= self.small_batch_threshold
+                and getattr(self, "_small", None) else None
+            )
+            c_eff = geom["c"] if geom else self._c
+            m_eff = geom["m"] if geom else self._m
+            blk_lo = geom["lo"] if geom else self._blk_lo
+            blk_hi = geom["hi"] if geom else self._blk_hi
+            u = self._scan_u(b, nprobe, geom)
             residual = list(self._residual)
             r_n = len(residual)
             r_cap = _next_pow2(max(r_n, 1)) if r_n else 0
@@ -1342,9 +1354,9 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
             if self._use_kernel():
                 scores, pos = _clustered_kernelpath_pipelined(
                     self._slab, self._valid, scales,
-                    self._centroids, self._blk_lo, self._blk_hi,
+                    self._centroids, blk_lo, blk_hi,
                     residual_pos, np.int32(r_n), qstack,
-                    k=k, nprobe=nprobe, u=u, m=self._m, c=self._c,
+                    k=k, nprobe=nprobe, u=u, m=m_eff, c=c_eff,
                     precision=self._precision, int8=self._is_int8,
                     normalize=self.metric == "cosine",
                     interpret=jax.default_backend() != "tpu",
@@ -1353,9 +1365,9 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
             else:
                 scores, pos = _clustered_search_pipelined(
                     self._slab, self._valid, scales,
-                    self._centroids, self._blk_lo,
-                    self._blk_hi, residual_pos, np.int32(r_n), qstack,
-                    k=k, nprobe=nprobe, u=u, m=self._m, c=self._c,
+                    self._centroids, blk_lo,
+                    blk_hi, residual_pos, np.int32(r_n), qstack,
+                    k=k, nprobe=nprobe, u=u, m=m_eff, c=c_eff,
                     precision=self._precision, int8=self._is_int8,
                     normalize=self.metric == "cosine", int4=self._is_int4,
                 )
