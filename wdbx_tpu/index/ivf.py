@@ -804,7 +804,7 @@ class IVFIndex(FlatIndex):
         cap_b = int(bucket_slot.shape[1])
         nprobe = min(self.nprobe, nlist)
         if slot_mask is not None:
-            sel = float(np.count_nonzero(slot_mask)) / max(1, size)
+            sel = self._mask_selectivity(slot_mask)
             if sel < FILTER_EXACT_THRESHOLD:
                 return super().search(queries, k, slot_mask)
             nprobe = min(nlist, nprobe * _filter_boost(sel))

@@ -216,7 +216,8 @@ def clustered_block_topk_v2(
     slabs they are symmetric-quantized per query row (scale = max|q|/127)
     so the MXU runs int8×int8→int32 — measured sub-0.1% score error on
     unit-norm vectors, recall-neutral with the index layer's f32
-    re-rank path above. Requires B ≥ 32 for the int8 sublane tile.
+    re-rank path above. Batches under 32 rows pad to the int8 sublane
+    tile internally (outputs slice back).
     ``int4=True`` marks ``slab`` as nibble-packed (uint8, half width);
     blocks unpack on the VPU before the matmul — half the DMA per row."""
     cap, d = slab.shape
@@ -238,6 +239,13 @@ def clustered_block_topk_v2(
     else:
         qq = q.astype(slab.dtype)
         qs = jnp.zeros((b, 1), jnp.float32)  # unused
+    b_out = b
+    if int8 and b < 32:
+        # int8 sublane tile is (32, 128): pad the quantized query block
+        # up to 32 rows (the latency path serves B=1) and slice outputs
+        qq = jnp.pad(qq, ((0, 32 - b), (0, 0)))
+        qs = jnp.pad(qs, ((0, 32 - b), (0, 0)), constant_values=1.0)
+        b = 32
     # dedup's popularity priority sorts live entries first, so padding
     # is a suffix: steps past the live count skip all compute
     nlive = jnp.sum(ok.astype(jnp.int32))
@@ -324,7 +332,7 @@ def clustered_block_topk_v2(
         ),
         interpret=interpret,
     )(uniq, ok, meta, *operands)
-    return out_v, out_i
+    return out_v[:b_out], out_i[:b_out]
 
 
 @functools.partial(

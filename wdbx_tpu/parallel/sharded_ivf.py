@@ -455,7 +455,7 @@ class ShardedIVFIndex(IVFIndex, ShardedFlatIndex):
             # striped row validity (residual leg); boost nprobe so the
             # thinned buckets still surface ~k matches. Very sparse
             # filters take the exact masked flat path instead.
-            sel = float(np.count_nonzero(slot_mask)) / max(1, self._size)
+            sel = self._mask_selectivity(slot_mask)
             if sel < FILTER_EXACT_THRESHOLD:
                 return ShardedFlatIndex.search(self, queries, k, slot_mask)
             nprobe = min(nlist, nprobe * _filter_boost(sel))
