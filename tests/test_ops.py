@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from wdbx_tpu.ops import exact_search, kmeans, l2_normalize, topk_merge
 
@@ -123,3 +124,94 @@ class TestKmeans:
         cents, assign = kmeans(jnp.asarray(pts), num_clusters=8, iters=10)
         sims = pts @ np.asarray(cents).T
         np.testing.assert_array_equal(np.asarray(assign), np.argmax(sims, axis=-1))
+
+
+class TestClusteredKernelV2Matrix:
+    """Property matrix for the v2 block-scan kernel (interpret mode):
+    across dtypes, widths, batch sizes, groups, and padded block lists,
+    v2's top-k must agree with the exact oracle over the scanned rows
+    (up to quantization noise on the VALUES; positions checked by
+    score-parity, not identity — ties may reorder)."""
+
+    @pytest.mark.parametrize("int_mode", ["bf16", "int8", "int4"])
+    @pytest.mark.parametrize("b", [1, 8, 64])
+    def test_matches_exact_over_scanned_rows(self, int_mode, b):
+        import jax.numpy as jnp
+
+        from wdbx_tpu.kernels.clustered_scan import clustered_block_topk_v2
+        from wdbx_tpu.kernels.quant import quantize_rows_int4
+
+        rng = np.random.default_rng(hash((int_mode, b)) % (2**32))
+        d, c, k = 64, 256, 8
+        nblocks = 24
+        cap = nblocks * c
+        slab = rng.standard_normal((cap, d)).astype(np.float32)
+        slab /= np.linalg.norm(slab, axis=1, keepdims=True)
+        valid = (rng.random(cap) > 0.1).astype(np.int8).reshape(1, -1)
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        live = 10
+        u = 16  # live entries first, padding pinned + masked
+        real = rng.permutation(nblocks)[:live].astype(np.int32)
+        uniq = np.full(u, nblocks - 1, np.int32)
+        uniq[:live] = real
+        ok = np.zeros(u, np.int32)
+        ok[:live] = 1
+        int4 = int_mode == "int4"
+        if int_mode == "bf16":
+            sl = jnp.asarray(slab, jnp.bfloat16)
+            sc = None
+            stored = np.asarray(sl, np.float32)
+        elif int_mode == "int8":
+            s_row = (np.abs(slab).max(axis=1) / 127.0).astype(np.float32)
+            codes = np.clip(
+                np.round(slab / s_row[:, None]), -127, 127
+            ).astype(np.int8)
+            sl = jnp.asarray(codes)
+            sc = jnp.asarray(s_row.reshape(1, -1))
+            stored = codes.astype(np.float32) * s_row[:, None]
+        else:
+            packed, s_row = quantize_rows_int4(jnp.asarray(slab))
+            sl = packed
+            sc = jnp.asarray(np.asarray(s_row).reshape(1, -1))
+            lo = (np.asarray(packed) & 0xF).astype(np.int8) - 8
+            hi = (np.asarray(packed) >> 4).astype(np.int8) - 8
+            stored = np.concatenate([lo, hi], axis=1).astype(
+                np.float32
+            ) * np.asarray(s_row)[:, None]
+        v, p = clustered_block_topk_v2(
+            sl, jnp.asarray(valid), sc, jnp.asarray(uniq),
+            jnp.asarray(ok), jnp.asarray(q),
+            k=k, c=c, interpret=True, n_ways=4, int4=int4,
+        )
+        v, p = np.asarray(v), np.asarray(p)
+        assert v.shape == (b, k) and p.shape == (b, k)
+        rows = np.concatenate([np.arange(x * c, (x + 1) * c) for x in real])
+        rows = rows[valid[0, rows] != 0]
+        ref = q @ stored[rows].T  # exact over STORED (quantized) values
+        ref_top = -np.sort(-ref, axis=1)[:, :k]
+        # score parity: the kernel's k-th value within quantization-of-q
+        # noise of the exact k-th over the same candidate set
+        tol = 0.05 if int_mode != "bf16" else 0.02
+        np.testing.assert_allclose(v, ref_top, atol=tol, rtol=0.05)
+        # positions are from scanned, valid rows only
+        rowset = set(rows.tolist())
+        assert all(int(x) in rowset for x in p.ravel())
+
+    def test_all_masked_returns_neg(self):
+        import jax.numpy as jnp
+
+        from wdbx_tpu.kernels.clustered_scan import clustered_block_topk_v2
+
+        d, c = 64, 256
+        cap = 8 * c
+        sl = jnp.zeros((cap, d), jnp.bfloat16)
+        uniq = np.full(8, 7, np.int32)
+        ok = np.zeros(8, np.int32)  # nothing live
+        v, p = clustered_block_topk_v2(
+            sl, jnp.ones((1, cap), jnp.int8), None,
+            jnp.asarray(uniq), jnp.asarray(ok),
+            jnp.ones((4, d), jnp.float32),
+            k=5, c=c, interpret=True, n_ways=4,
+        )
+        assert (np.asarray(v) <= -3.0e38).all()
