@@ -136,7 +136,13 @@ def _clustered_search(
     # drops the least-probed blocks (graceful recall degradation).
     nblocks = slab.shape[0] // c
     u = min(u, b * min(nprobe, centroids.shape[0]) * m)
-    uniq, uniq_ok = _dedup_blocks(probe, blk_lo, blk_hi, nblocks, u, m)
+    # blocks with no live rows (tombstoned out, or filtered out by a
+    # pushed-down slot mask ANDed into `valid`) collapse to the sentinel
+    # pre-ranking: no DMA, no compute (one cheap (cap,) reduce)
+    blk_live = valid[: nblocks * c].reshape(nblocks, c).any(axis=1)
+    uniq, uniq_ok = _dedup_blocks(
+        probe, blk_lo, blk_hi, nblocks, u, m, blk_live=blk_live
+    )
 
     slab3 = slab.reshape(nblocks, c, slab.shape[1])  # packed width for int4
     v2 = valid.reshape(nblocks, c)
@@ -214,14 +220,23 @@ def _clustered_search(
     )
 
 
-def _dedup_blocks(probe, blk_lo, blk_hi, nblocks: int, u: int, m: int):
+def _dedup_blocks(probe, blk_lo, blk_hi, nblocks: int, u: int, m: int,
+                  blk_live=None):
     """Expand probed buckets to covering blocks and dedup to ``u``
     popularity-ranked unique block ids (trace-time shapes). Shared by
-    the lax scan and the Pallas kernel paths."""
+    the lax scan and the Pallas kernel paths. ``blk_live`` ((nblocks,)
+    bool) collapses blocks with no live rows into the sentinel BEFORE
+    ranking — their DMAs and compute vanish entirely (filter pushdown
+    and fully-tombstoned blocks)."""
     lo = jnp.take(blk_lo, probe)  # (B, P)
     hi = jnp.take(blk_hi, probe)
     blocks = lo[..., None] + jnp.arange(m, dtype=jnp.int32)  # (B, P, M)
     in_range = blocks < hi[..., None]
+    if blk_live is not None:
+        in_range = jnp.logical_and(
+            in_range,
+            jnp.take(blk_live, jnp.clip(blocks, 0, nblocks - 1)),
+        )
     flat = jnp.where(in_range, blocks, nblocks).reshape(-1)
     bp = flat.shape[0]
     u = min(u, bp)
@@ -285,7 +300,10 @@ def _clustered_search_kernelpath(
     p_eff = min(nprobe, centroids.shape[0])
     _, probe = jax.lax.top_k(cs, p_eff)
     nblocks = slab.shape[0] // c
-    uniq, uniq_ok = _dedup_blocks(probe, blk_lo, blk_hi, nblocks, u, m)
+    blk_live = valid[: nblocks * c].reshape(nblocks, c).any(axis=1)
+    uniq, uniq_ok = _dedup_blocks(
+        probe, blk_lo, blk_hi, nblocks, u, m, blk_live=blk_live
+    )
     valid_i8 = valid.astype(jnp.int8).reshape(1, -1)
     quant = int8 or int4
     sc_arg = (

@@ -247,8 +247,12 @@ def clustered_block_topk_v2(
         qs = jnp.pad(qs, ((0, 32 - b), (0, 0)), constant_values=1.0)
         b = 32
     # dedup's popularity priority sorts live entries first, so padding
-    # is a suffix: steps past the live count skip all compute
-    nlive = jnp.sum(ok.astype(jnp.int32))
+    # is a suffix and steps past it skip all compute. Use the LAST live
+    # index (not the live count) so interior ok=0 holes — shouldn't
+    # happen, but robustness beats an assumption — can never cut off a
+    # live entry.
+    u_idx = jnp.arange(u, dtype=jnp.int32)
+    nlive = jnp.max(jnp.where(ok > 0, u_idx + 1, 0))
     meta = ((nlive + n_ways - 1) // n_ways).reshape(1).astype(jnp.int32)
 
     way_specs = [
