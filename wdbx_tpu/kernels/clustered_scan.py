@@ -139,9 +139,12 @@ def _kernel_v2(uniq_ref, ok_ref, meta_ref, q_ref, qs_ref, *rest, k: int,
             if int4:
                 # packed nibbles (kernels/quant.py layout: dim j low,
                 # dim j+d/2 high) — unpack on the VPU, then the int8
-                # MXU path below scores the codes
-                lo = (rows & 0xF).astype(jnp.int8) - 8
-                hi = (rows >> 4).astype(jnp.int8) - 8
+                # MXU path below scores the codes. Mosaic has no i8
+                # vector sub, so the -8 bias runs in i32 and truncates
+                # back (codes stay in [-8, 7], no wrap possible).
+                r32 = rows.astype(jnp.int32)
+                lo = ((r32 & 0xF) - 8).astype(jnp.int8)
+                hi = (((r32 >> 4) & 0xF) - 8).astype(jnp.int8)
                 rows = jnp.concatenate([lo, hi], axis=1)
             if int8:
                 # int8×int8 → int32 rides the MXU at 2× the bf16 rate
