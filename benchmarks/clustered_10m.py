@@ -16,6 +16,13 @@ partitioned index, see benchmarks/ivf_crossover.py).
 
 Usage: python benchmarks/clustered_10m.py [N] [dim] [nlist]
 Env: BENCH_SCALE shrinks N for smoke runs.
+     BENCH_PHASES: comma list of build,recall,latency,serving (default
+       all) — serving-only runs keep the fresh-Mosaic-compile count at
+       one program per kernel generation.
+     BENCH_KERNELS: comma list of kernel generations to A/B in ONE
+       process/window, e.g. "v1,v2" (default: the index's auto pick).
+       A generation whose compile dies (this sandbox's remote compile
+       service caps long Mosaic compiles) is reported and skipped.
 """
 
 from __future__ import annotations
@@ -106,24 +113,34 @@ def main() -> None:
         "ingest_rows_per_s": round(n / build_s),
     }), flush=True)
 
+    phases = set(
+        os.environ.get("BENCH_PHASES", "build,recall,latency,serving")
+        .split(",")
+    )
+    kernels = [
+        kv for kv in os.environ.get("BENCH_KERNELS", "").split(",") if kv
+    ] or [None]
+
     # ---- recall vs exact oracle ----
-    q = np.asarray(gen_chunk(9999, 32), np.float32)
     idx.batch_flat_fallback = False
-    # true top-k oracle (the default 'approx' oracle caps measured
-    # recall at its own ~0.95-0.98 agreement with the exact answer)
-    idx.topk_method = "exact"
-    _, oracle = idx._oracle_search(q, k)
-    idx.topk_method = "approx"
-    for nprobe in (1, 2, 4, 8):
-        idx.nprobe = nprobe
-        _, got = idx.search(q, k)
-        rec = float(np.mean([
-            len(set(a.tolist()) & set(b.tolist())) / k
-            for a, b in zip(got, oracle)
-        ]))
-        print(json.dumps({
-            "stage": "recall", "nprobe": nprobe, "recall_at_10": round(rec, 4)
-        }), flush=True)
+    if "recall" in phases:
+        q = np.asarray(gen_chunk(9999, 32), np.float32)
+        # true top-k oracle (the default 'approx' oracle caps measured
+        # recall at its own ~0.95-0.98 agreement with the exact answer)
+        idx.topk_method = "exact"
+        _, oracle = idx._oracle_search(q, k)
+        idx.topk_method = "approx"
+        for nprobe in (1, 2, 4, 8):
+            idx.nprobe = nprobe
+            _, got = idx.search(q, k)
+            rec = float(np.mean([
+                len(set(a.tolist()) & set(b.tolist())) / k
+                for a, b in zip(got, oracle)
+            ]))
+            print(json.dumps({
+                "stage": "recall", "nprobe": nprobe,
+                "recall_at_10": round(rec, 4),
+            }), flush=True)
 
     def bench(fn, reps=3):
         fn()  # warm/compile
@@ -132,26 +149,55 @@ def main() -> None:
             fn()
         return (time.perf_counter() - t0) / reps
 
-    # ---- single-query device latency (64 distinct queries / dispatch) ----
     idx.nprobe = 4
-    q1 = np.asarray(gen_chunk(888, 64), np.float32).reshape(64, 1, dim)
-    dt = bench(lambda: idx.search_pipelined(q1, k))
-    print(json.dumps({
-        "stage": "latency", "nprobe": 4,
-        "single_query_device_ms": round(dt / 64 * 1000, 3),
-    }), flush=True)
+    for kv in kernels:
+        if kv is not None:
+            idx.kernel_version = kv
+        tag = {} if kv is None else {"kernel": kv}
 
-    # ---- batch serving throughput ----
-    for nb, b in ((16, 128), (16, 64)):
-        qs = np.asarray(
-            gen_chunk(777, nb * b), np.float32
-        ).reshape(nb, b, dim)
-        dt = bench(lambda: idx.search_pipelined(qs, k))
-        print(json.dumps({
-            "stage": "serving", "nprobe": 4, "nb": nb, "batch": b,
-            "qps": round(nb * b / dt),
-            "ms_per_batch": round(dt / nb * 1000, 2),
-        }), flush=True)
+        # ---- single-query device latency (64 queries / dispatch) ----
+        if "latency" in phases:
+            q1 = np.asarray(
+                gen_chunk(888, 64), np.float32
+            ).reshape(64, 1, dim)
+            try:
+                dt = bench(lambda: idx.search_pipelined(q1, k))
+                print(json.dumps({
+                    "stage": "latency", "nprobe": 4,
+                    "single_query_device_ms": round(dt / 64 * 1000, 3),
+                    **tag,
+                }), flush=True)
+            except Exception as e:
+                print(json.dumps({
+                    "stage": "latency",
+                    "error": f"{type(e).__name__}: {str(e)[:160]}", **tag,
+                }), flush=True)
+
+        # ---- batch serving throughput ----
+        if "serving" in phases:
+            configs = [
+                tuple(int(x) for x in cfg.split(":"))
+                for cfg in os.environ.get(
+                    "BENCH_SERVING_CONFIGS", "16:128,16:64"
+                ).split(",")
+            ]
+            for nb, b in configs:
+                qs = np.asarray(
+                    gen_chunk(777, nb * b), np.float32
+                ).reshape(nb, b, dim)
+                try:
+                    dt = bench(lambda: idx.search_pipelined(qs, k))
+                    print(json.dumps({
+                        "stage": "serving", "nprobe": 4, "nb": nb,
+                        "batch": b, "qps": round(nb * b / dt),
+                        "ms_per_batch": round(dt / nb * 1000, 2), **tag,
+                    }), flush=True)
+                except Exception as e:
+                    print(json.dumps({
+                        "stage": "serving", "nb": nb, "batch": b,
+                        "error": f"{type(e).__name__}: {str(e)[:160]}",
+                        **tag,
+                    }), flush=True)
 
 
 if __name__ == "__main__":

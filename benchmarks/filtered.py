@@ -74,8 +74,6 @@ def main() -> None:
         "stage": "build", "n": n, "dim": dim,
         "build_s": round(time.perf_counter() - t0, 1),
     }), flush=True)
-    idx.batch_flat_fallback = True  # let the router decide
-
     q = np.asarray(_gen(centers, 9999, b), np.float32)
     rng = np.random.default_rng(0)
 

@@ -76,14 +76,18 @@ def main() -> None:
             yield _gen(centers, 1000 + i // chunk, min(chunk, n - i))
 
     # ---- stage 1: int4 vs int8 twins + re-rank sweep ----
-    twins = {}
+    # build_from returns the row->slot assignment (clustered builds
+    # permute rows; slots are NOT row ids, and the two twins permute
+    # DIFFERENTLY) — keep both maps and their inverses so results can
+    # be compared in row-id space against the regenerated-corpus oracle
+    twins, row_to_slot, slot_to_row = {}, {}, {}
     for dtype in ("int8", "int4"):
         idx = ClusteredIVFIndex(
             dim, dtype=dtype, nlist=nlist, nprobe=nprobe,
             train_threshold=1 << 62,
         )
         t0 = time.perf_counter()
-        idx.build_from(chunks, train_chunks=1)
+        slots = np.asarray(idx.build_from(chunks, train_chunks=1))
         stats = idx.get_stats()
         print(json.dumps({
             "stage": "build", "dtype": dtype, "n": n,
@@ -92,6 +96,10 @@ def main() -> None:
         }), flush=True)
         idx.batch_flat_fallback = False
         twins[dtype] = idx
+        row_to_slot[dtype] = slots
+        inv = np.full(int(slots.max()) + 1, -1, np.int64)
+        inv[slots] = np.arange(len(slots))
+        slot_to_row[dtype] = inv
 
     q = np.asarray(_gen(centers, 9999, 64), np.float32)
     # exact oracle via the f32-scored int8 twin at full probe is still
@@ -112,33 +120,48 @@ def main() -> None:
         best_i = np.take_along_axis(cand_i, sel, axis=1)
     exact = best_i
 
+    def to_rows(slot_hits, dtype):
+        """Translate returned slot ids into row-id space (-1 passes)."""
+        inv = slot_to_row[dtype]
+        out = np.full_like(np.asarray(slot_hits, np.int64), -1)
+        ok = np.asarray(slot_hits) >= 0
+        out[ok] = inv[np.asarray(slot_hits, np.int64)[ok]]
+        return out
+
     for dtype, idx in twins.items():
         _, got = idx.search(q, k)
         print(json.dumps({
             "stage": "raw_recall", "dtype": dtype, "nprobe": nprobe,
-            "recall_at_10": round(recall_at(got, exact, k), 4),
+            "recall_at_10": round(
+                recall_at(to_rows(got, dtype), exact, k), 4
+            ),
         }), flush=True)
 
-    # re-rank sweep: over-fetch k' from int4, exact-re-rank on device by
-    # regenerating candidate rows from their (identity) slot ids is not
-    # possible per-row; instead re-rank against f32 rows gathered from
-    # the int8 twin's DEQUANTIZED slab (f32-from-int8 ranks within 0.001
-    # of true f32 at these margins — RESULTS.md int8 tables)
+    # re-rank sweep: over-fetch k' from int4 and exact-re-rank the
+    # candidates. The store does this against kept f32 raws; a 512k
+    # host-side f32 copy is ruled out here (host first-touch ~15 MB/s),
+    # so candidates re-rank against the int8 twin's DEQUANTIZED rows
+    # (f32-from-int8 ranks within 0.001 of true f32 at these margins —
+    # RESULTS.md int8 tables). Candidate slots translate int4-slot ->
+    # row -> int8-slot: the twins' build permutations differ.
     idx4 = twins["int4"]
     for factor in (5, 10, 20, 50):
         kf = k * factor
         _, cand = idx4.search(q, kf)
         got = np.full((64, k), -1, np.int64)
         for i in range(64):
-            live = cand[i][cand[i] >= 0]
-            if not len(live):
+            rows_ids = to_rows(cand[i], "int4")
+            rows_ids = rows_ids[rows_ids >= 0]
+            if not len(rows_ids):
                 continue
-            rows = twins["int8"].get_vectors(live)
+            rows = twins["int8"].get_vectors(
+                row_to_slot["int8"][rows_ids]
+            )
             rows /= np.maximum(
                 np.linalg.norm(rows, axis=1, keepdims=True), 1e-12
             )
             order = np.argsort(-(rows @ q[i]))[:k]
-            got[i, : len(order)] = live[order]
+            got[i, : len(order)] = rows_ids[order]
         print(json.dumps({
             "stage": "rerank", "fetch_factor": factor,
             "recall_at_10": round(recall_at(got, exact, k), 4),

@@ -141,7 +141,9 @@ class TestClusteredKernelV2Matrix:
         from wdbx_tpu.kernels.clustered_scan import clustered_block_topk_v2
         from wdbx_tpu.kernels.quant import quantize_rows_int4
 
-        rng = np.random.default_rng(hash((int_mode, b)) % (2**32))
+        # stable per-case seed (hash() is salted per process -> flaky)
+        seed = ["bf16", "int8", "int4"].index(int_mode) * 1000 + b
+        rng = np.random.default_rng(seed)
         d, c, k = 64, 256, 8
         nblocks = 24
         cap = nblocks * c

@@ -211,6 +211,57 @@ class TestVectorStore:
         hits = store.search(vecs["v42"], limit=1)
         assert hits[0][0] == "v42"
 
+    def test_optimize_background_scoped_and_off_lock(self, temp_dir, rng):
+        """optimize(background=True) must (a) route clustered shards to
+        build_background WITHOUT flipping their configured
+        ``background_rebuild``, and (b) run the retrain phase outside
+        the store-wide lock so concurrent searches serve through it —
+        the whole point of the serve-through rebuild (r3 review)."""
+        import threading
+
+        store = make_store(
+            temp_dir, dim=8, shards=1, INDEX_TYPE="ivf_clustered",
+            IVF_TRAIN_THRESHOLD=64, IVF_NLIST=4, IVF_NPROBE=4,
+        )
+        vecs = {
+            f"v{i}": rng.standard_normal(8).astype(np.float32)
+            for i in range(120)
+        }
+        store.batch_store(vecs)
+        index = store.indices[0]
+        assert index.background_rebuild is False
+
+        calls = []
+        orig_bg = index.build_background
+        gate = threading.Event()
+        in_optimize = threading.Event()
+
+        def spy_bg():
+            calls.append("background")
+            in_optimize.set()
+            assert gate.wait(10)
+            return orig_bg()
+
+        index.build_background = spy_bg
+        t = threading.Thread(
+            target=store.optimize, kwargs={"background": True}
+        )
+        t.start()
+        assert in_optimize.wait(10)
+        # store must keep serving while the rebuild is in flight
+        hits = store.search(vecs["v42"], limit=1)
+        assert hits[0][0] == "v42"
+        gate.set()
+        t.join(30)
+        assert not t.is_alive()
+        assert calls == ["background"]
+        # per-call override, not a persistent flip
+        assert index.background_rebuild is False
+        # and a plain optimize() afterwards takes the blocking build
+        index.build_background = lambda: calls.append("background")
+        store.optimize()
+        assert calls == ["background"]
+
     @pytest.mark.parametrize(
         "kind", ["ivf_clustered", "sharded_clustered"]
     )

@@ -315,13 +315,11 @@ class WDBXCLI:
         return 0
 
     async def _cmd_optimize(self, args: list[str]) -> None:
-        if "--background" in args:
-            # serve-through rebuild for clustered indexes (needs
-            # 2x-slab HBM headroom; see IVF_BACKGROUND_REBUILD)
-            for index in self.wdbx.store.indices:
-                if hasattr(index, "build_background"):
-                    index.background_rebuild = True
-        await self.wdbx.optimize_async()
+        # --background: serve-through COW rebuild for clustered indexes
+        # (needs 2x-slab HBM headroom); scoped to this call — the
+        # configured IVF_BACKGROUND_REBUILD is untouched
+        bg = True if "--background" in args else None
+        await self.wdbx.optimize_async(background=bg)
         print("optimized")
 
     async def _cmd_heal(self, args: list[str]) -> None:

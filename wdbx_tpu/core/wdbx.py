@@ -193,8 +193,8 @@ class WDBX:
         their own exact oracles (stored vectors as the query sample)."""
         return self.store.tune(target_recall)
 
-    def optimize(self) -> bool:
-        return self.store.optimize()
+    def optimize(self, background: bool | None = None) -> bool:
+        return self.store.optimize(background)
 
     def heal(self, allow_remesh: bool | None = None) -> dict[str, Any]:
         """Failure detection + checkpoint recovery: probe every mesh
@@ -349,8 +349,8 @@ class WDBX:
     async def tune_async(self, target_recall: float = 0.95):
         return await self.store.tune_async(target_recall)
 
-    async def optimize_async(self) -> bool:
-        return await self.store.optimize_async()
+    async def optimize_async(self, background: bool | None = None) -> bool:
+        return await self.store.optimize_async(background)
 
     # -- drop-in attributes --------------------------------------------------
     @property

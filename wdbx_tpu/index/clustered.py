@@ -139,9 +139,8 @@ def _clustered_search(
     # blocks with no live rows (tombstoned out, or filtered out by a
     # pushed-down slot mask ANDed into `valid`) collapse to the sentinel
     # pre-ranking: no DMA, no compute (one cheap (cap,) reduce)
-    blk_live = valid[: nblocks * c].reshape(nblocks, c).any(axis=1)
     uniq, uniq_ok = _dedup_blocks(
-        probe, blk_lo, blk_hi, nblocks, u, m, blk_live=blk_live
+        probe, blk_lo, blk_hi, nblocks, u, m, valid=valid, c=c
     )
 
     slab3 = slab.reshape(nblocks, c, slab.shape[1])  # packed width for int4
@@ -221,18 +220,21 @@ def _clustered_search(
 
 
 def _dedup_blocks(probe, blk_lo, blk_hi, nblocks: int, u: int, m: int,
-                  blk_live=None):
+                  valid=None, c=None):
     """Expand probed buckets to covering blocks and dedup to ``u``
     popularity-ranked unique block ids (trace-time shapes). Shared by
-    the lax scan and the Pallas kernel paths. ``blk_live`` ((nblocks,)
-    bool) collapses blocks with no live rows into the sentinel BEFORE
-    ranking — their DMAs and compute vanish entirely (filter pushdown
-    and fully-tombstoned blocks)."""
+    the lax scan, Pallas kernel, and sharded paths. ``valid`` (the
+    (cap,) live mask, with ``c`` rows per block) collapses blocks with
+    no live rows into the sentinel BEFORE ranking — their DMAs and
+    compute vanish entirely (filter pushdown and fully-tombstoned
+    blocks); the per-block any-live reduce lives here so the three
+    call paths cannot drift."""
     lo = jnp.take(blk_lo, probe)  # (B, P)
     hi = jnp.take(blk_hi, probe)
     blocks = lo[..., None] + jnp.arange(m, dtype=jnp.int32)  # (B, P, M)
     in_range = blocks < hi[..., None]
-    if blk_live is not None:
+    if valid is not None:
+        blk_live = valid[: nblocks * c].reshape(nblocks, c).any(axis=1)
         in_range = jnp.logical_and(
             in_range,
             jnp.take(blk_live, jnp.clip(blocks, 0, nblocks - 1)),
@@ -300,9 +302,8 @@ def _clustered_search_kernelpath(
     p_eff = min(nprobe, centroids.shape[0])
     _, probe = jax.lax.top_k(cs, p_eff)
     nblocks = slab.shape[0] // c
-    blk_live = valid[: nblocks * c].reshape(nblocks, c).any(axis=1)
     uniq, uniq_ok = _dedup_blocks(
-        probe, blk_lo, blk_hi, nblocks, u, m, blk_live=blk_live
+        probe, blk_lo, blk_hi, nblocks, u, m, valid=valid, c=c
     )
     valid_i8 = valid.astype(jnp.int8).reshape(1, -1)
     quant = int8 or int4
@@ -697,9 +698,13 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
         #: IVF_BACKGROUND_REBUILD. Needs 2x-slab HBM headroom.
         self.background_rebuild = False
 
-    def optimize(self) -> None:
+    def optimize(self, background: bool | None = None) -> None:
+        """Rebuild the clustered layout. ``background`` forces the
+        serve-through COW path on/off for THIS call only; ``None``
+        defers to the configured ``background_rebuild``."""
         if self._size > 0:
-            if self.background_rebuild:
+            bg = self.background_rebuild if background is None else background
+            if bg:
                 self.build_background()
             else:
                 self.build()

@@ -74,12 +74,9 @@ def _build_clustered_search(
         p_eff = min(nprobe, centroids.shape[0])
         _, probe = jax.lax.top_k(cs, p_eff)
         nblocks = rpd // c
-        blk_live_l = valid_l[0][: nblocks * c].reshape(
-            nblocks, c
-        ).any(axis=1)
         uniq, ok = _dedup_blocks(
             probe, blk_lo_l[0], blk_hi_l[0], nblocks, u, m,
-            blk_live=blk_live_l,
+            valid=valid_l[0], c=c,
         )
         slab2 = slab_l[0]  # (rpd, d) — local inside shard_map
         valid1 = valid_l[0]

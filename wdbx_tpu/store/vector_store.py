@@ -545,9 +545,20 @@ class VectorStore:
             self.save()
         return n
 
-    def optimize(self) -> bool:
+    def optimize(self, background: bool | None = None) -> bool:
         """Compact fragmented shards (remapping the id registry) and run
-        index-specific optimization (IVF retrain)."""
+        index-specific optimization (IVF retrain).
+
+        The retrain phase runs OUTSIDE the store-wide lock — each
+        index's own read/write locks guard its internals, and rebuilds
+        keep external slots stable — so concurrent searches keep
+        serving through it (otherwise the serve-through background
+        rebuild would be moot: the store lock would block every reader
+        for the full build anyway). ``background`` forces the
+        clustered shards' COW serve-through rebuild on/off for this
+        call without touching their configured ``background_rebuild``;
+        ``None`` defers to config (``IVF_BACKGROUND_REBUILD``).
+        """
         with self._lock:
             for shard, index in enumerate(self.indices):
                 stats = index.get_stats()
@@ -562,7 +573,15 @@ class VectorStore:
                         [remap[int(slot)] for _, slot in items],
                     )
                     self.registries[shard] = reg
+            # compaction renumbered slots: drop caches before unlocking
+            self._invalidate_snapshots()
+            targets = list(self.indices)
+        for index in targets:
+            if background is not None and hasattr(index, "build_background"):
+                index.optimize(background=background)
+            else:
                 index.optimize()
+        with self._lock:
             self._invalidate_snapshots()
         return True
 
@@ -815,8 +834,8 @@ class VectorStore:
     async def clear_async(self) -> int:
         return await asyncio.to_thread(self.clear)
 
-    async def optimize_async(self) -> bool:
-        return await asyncio.to_thread(self.optimize)
+    async def optimize_async(self, background: bool | None = None) -> bool:
+        return await asyncio.to_thread(self.optimize, background)
 
     async def tune_async(self, target_recall: float = 0.95,
                          sample: int = 64, k: int = 10):
