@@ -517,6 +517,19 @@ class TestClusteredIVF:
         self._run_differential(seed, make, steps=60)
 
     @pytest.mark.parametrize("seed", [0, 1])
+    def test_differential_background_rebuild_concurrent(self, seed):
+        """Differential fuzz with build_background() racing the
+        mutation stream on a side thread (r3): mutations during the COW
+        window journal and replay through the atomic swap; searches must
+        stay exact against the mirror the whole time."""
+        def make():
+            idx = _make(16, nlist=4, nprobe=4, train_threshold=64)
+            idx.topk_method = "exact"
+            return idx
+
+        self._run_differential(seed, make, steps=40, background=True)
+
+    @pytest.mark.parametrize("seed", [0, 1])
     def test_differential_random_ops_dense_ivf(self, seed):
         """Same fuzz against the dense-table IVFIndex (quarantine +
         bucket-table invalidation bookkeeping)."""
@@ -531,7 +544,7 @@ class TestClusteredIVF:
         self._run_differential(seed, make, steps=40)
 
     def _run_differential(self, seed, make, steps, masked=False,
-                          extra_ops=()):
+                          extra_ops=(), background=False):
         """Randomized differential test: a long random sequence of
         add/update/remove/build/save-load against a brute-force numpy
         mirror. Every few ops, full-probe search results must match the
@@ -540,13 +553,29 @@ class TestClusteredIVF:
         miss. ``masked=True`` additionally checks a random slot-mask
         filter each round (results confined to the mask AND exact on
         the masked subset); ``extra_ops`` are callables (e.g. a live
-        remesh) fired with ~10% probability per step."""
+        remesh) fired with ~10% probability per step.
+        ``background=True`` fires ``build_background()`` on a SIDE
+        THREAD with ~15% probability per step and keeps mutating while
+        it runs — the index must stay externally consistent through the
+        COW window, journal replay, and atomic swap."""
         import tempfile
+        import threading
 
         r = np.random.default_rng(seed)
         d = 16
         idx = make()
         mirror: dict[int, np.ndarray] = {}  # slot -> vector
+        bg_thread = None
+        bg_err: list[BaseException] = []
+
+        def bg_join(timeout=120):
+            nonlocal bg_thread
+            if bg_thread is not None:
+                bg_thread.join(timeout)
+                assert not bg_thread.is_alive(), "background build hung"
+                bg_thread = None
+                if bg_err:
+                    raise bg_err.pop()
 
         def rand_vec(n):
             v = r.standard_normal((n, d)).astype(np.float32)
@@ -594,6 +623,20 @@ class TestClusteredIVF:
         for step in range(steps):
             if extra_ops and r.random() < 0.1:
                 extra_ops[int(r.integers(0, len(extra_ops)))](idx)
+            if background and mirror:
+                if bg_thread is not None and not bg_thread.is_alive():
+                    bg_join()
+                if bg_thread is None and r.random() < 0.15:
+                    target = idx
+
+                    def run_bg(t=target):
+                        try:
+                            t.build_background()
+                        except BaseException as e:  # surfaced at join
+                            bg_err.append(e)
+
+                    bg_thread = threading.Thread(target=run_bg)
+                    bg_thread.start()
             op = r.integers(0, 10)
             if op < 4 or not mirror:  # add
                 n = int(r.integers(1, 20))
@@ -628,6 +671,7 @@ class TestClusteredIVF:
                     idx = idx2
             if step % 5 == 4:
                 check()
+        bg_join()
         check()
         assert idx.count() == len(mirror)
 
