@@ -91,21 +91,27 @@ def main() -> None:
             s, _ = idx.search_pipelined(qstack, k)
         return (time.perf_counter() - t0) / (reps * nb) * 1000
 
-    # NOTE: search_pipelined uses the WIDE path always (b from stack);
-    # B=1 single search() calls pick the geometry. Compare via search()
-    # batched timing loops (amortized by many calls would be RTT-bound),
-    # so use the pipelined stack with threshold toggled to cover both
-    # geometries in the same protocol.
+    # Three B=1 programs, one window, same built index: wide covering
+    # blocks, narrow (c/4) covering blocks, and the r3 exact-bucket-
+    # range scan (dynamic slices, no Pallas — the dense-IVF program
+    # shape on the clustered slab).
     results = {}
-    for name, thresh in (("wide", 0), ("narrow", 4)):
-        idx.small_batch_threshold = thresh
-        idx.search(qstack[0, :1][0:1].reshape(1, dim), k)  # warm trace
-        lat = one_lat()
-        results[name] = lat
-        print(json.dumps({
-            "stage": "b1_latency", "path": name,
-            "device_ms_per_query": round(lat, 3),
-        }), flush=True)
+    for name in ("wide", "narrow", "ranges"):
+        idx.latency_path = name
+        try:
+            idx.search(qstack[0, :1][0:1].reshape(1, dim), k)  # warm
+            lat = one_lat()
+            results[name] = lat
+            print(json.dumps({
+                "stage": "b1_latency", "path": name,
+                "device_ms_per_query": round(lat, 3),
+            }), flush=True)
+        except Exception as e:
+            print(json.dumps({
+                "stage": "b1_latency", "path": name,
+                "error": f"{type(e).__name__}: {str(e)[:160]}",
+            }), flush=True)
+    idx.latency_path = "auto"
 
     # recall parity between geometries
     q64 = np.asarray(_gen(centers, 31337, 64), np.float32)
@@ -114,10 +120,15 @@ def main() -> None:
     _, oracle = idx._oracle_search(q64, k)
     idx.topk_method = "approx"
     got = {}
-    for name, thresh in (("wide", 0), ("narrow", 64)):
-        idx.small_batch_threshold = thresh
+    for name in ("wide", "narrow", "ranges"):
+        # force each program at B=64 for a recall read (narrow needs the
+        # small-batch gate widened; ranges forces regardless)
+        idx.small_batch_threshold = 0 if name == "wide" else 64
+        idx.latency_path = name
         _, g = idx.search(q64, k)
         got[name] = g
+        idx.small_batch_threshold = 4
+        idx.latency_path = "auto"
         rec = float(np.mean([
             len(set(int(x) for x in a if x >= 0) & set(b.tolist())) / k
             for a, b in zip(g, np.asarray(oracle))

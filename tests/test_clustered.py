@@ -516,6 +516,43 @@ class TestClusteredIVF:
 
         self._run_differential(seed, make, steps=60)
 
+    @pytest.mark.parametrize("dtype", ["float32", "int8", "int4"])
+    def test_ranges_path_matches_block_paths(self, rng, dtype):
+        """The exact-bucket-range latency path (r3) must agree with the
+        covering-block scan across dtypes, after mutations populate the
+        residual + tombstones, and under a slot mask."""
+        n, d, k = 4000, 32, 8
+        db = _normed(rng, n, d)
+        idx = _make(d, dtype=dtype, nlist=8, nprobe=8)
+        slots = idx.add_batch(db)
+        idx.build()
+        # mutations: residual adds, removes, updates
+        extra = _normed(rng, 40, d)
+        idx.add_batch(extra)
+        idx.remove_slots(slots[100:140])
+        idx.update_slots(slots[:20], _normed(rng, 20, d))
+        q = _normed(rng, 3, d)  # pads to 4 <= small_batch_threshold
+        outs = {}
+        for path in ("ranges", "narrow", "wide"):
+            idx.latency_path = path
+            outs[path] = idx.search(q, k)
+        for path in ("narrow", "wide"):
+            # score parity (slot ties may reorder at equal similarity)
+            np.testing.assert_allclose(
+                outs["ranges"][0], outs[path][0], rtol=2e-3, atol=2e-3
+            )
+        # masked: results confined to the mask and scores match wide
+        mask = np.zeros(int(idx._next_ext_slot) + 50, bool)
+        mask[np.asarray(slots[500:2500], np.int64)] = True
+        idx.latency_path = "ranges"
+        _, gm = idx.search(q, k, slot_mask=mask)
+        assert all(mask[g] for g in gm.ravel() if g >= 0)
+        idx.latency_path = "wide"
+        sw, _ = idx.search(q, k, slot_mask=mask)
+        idx.latency_path = "ranges"
+        sr, _ = idx.search(q, k, slot_mask=mask)
+        np.testing.assert_allclose(sr, sw, rtol=2e-3, atol=2e-3)
+
     @pytest.mark.parametrize("seed", [0, 1])
     def test_differential_background_rebuild_concurrent(self, seed):
         """Differential fuzz with build_background() racing the

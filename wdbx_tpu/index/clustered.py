@@ -272,6 +272,114 @@ def _dedup_blocks(probe, blk_lo, blk_hi, nblocks: int, u: int, m: int,
 
 @partial(
     jax.jit,
+    static_argnames=("k", "nprobe", "L", "precision", "int8",
+                     "normalize", "int4"),
+)
+def _clustered_search_ranges(
+    slab, valid, scales, centroids, row_lo, row_cnt,
+    residual_pos, residual_count, q,
+    k, nprobe, L, precision, int8=False, normalize=False, int4=False,
+):
+    """Small-batch latency path: scan the probed buckets' EXACT row
+    ranges as contiguous dynamic slices of the cluster-ordered slab —
+    the dense-table IVF's program shape (reference HNSW's latency
+    regime, reference wdbx/core/indexing.py:470-505) with zero memory
+    duplication, because the slab IS bucket-contiguous. No covering-
+    block over-fetch, no Pallas kernel (plain XLA: fast compiles),
+    sequential DMAs at memory speed (contiguous slices sidestep the
+    TPU gather pathology). Each scan step scores ALL B queries against
+    one query's probed bucket but masks non-owners, so duplicate
+    (query, row) candidates cannot arise when queries share buckets —
+    the waste is bounded by B <= small_batch_threshold."""
+    from wdbx_tpu.index.ivf import _residual_merge
+
+    if normalize:
+        q = l2_normalize(q)
+    b = q.shape[0]
+    cap = slab.shape[0]
+    cs = jax.lax.dot_general(
+        q, centroids, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    p_eff = min(nprobe, centroids.shape[0])
+    _, probe = jax.lax.top_k(cs, p_eff)  # (B, P) distinct per row
+    flat_probe = probe.reshape(-1)       # step s belongs to query s//P
+    owner = jax.lax.broadcasted_iota(jnp.int32, (b, p_eff), 0).reshape(-1)
+    Ls = min(L, cap)
+    quant = int8 or int4
+
+    def step(carry, x):
+        pj, ow = x
+        lo = jnp.take(row_lo, pj)
+        cnt = jnp.take(row_cnt, pj)
+        start = jnp.clip(lo, 0, cap - Ls)
+        rows = jax.lax.dynamic_slice(
+            slab, (start, jnp.int32(0)), (Ls, slab.shape[1])
+        )
+        if int4:
+            from wdbx_tpu.kernels.quant import unpack_int4
+
+            rows = unpack_int4(rows)
+        v = jax.lax.dynamic_slice(valid, (start,), (Ls,))
+        pos = start + jnp.arange(Ls, dtype=jnp.int32)
+        in_bucket = v & (pos >= lo) & (pos < lo + cnt)
+        if quant:
+            s = jax.lax.dot_general(
+                q.astype(jnp.bfloat16), rows.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            ) * jax.lax.dynamic_slice(scales, (start,), (Ls,))[None, :]
+        else:
+            s = jax.lax.dot_general(
+                q.astype(rows.dtype), rows, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+        is_owner = jax.lax.broadcasted_iota(
+            jnp.int32, (b, 1), 0
+        ) == ow  # (b, 1)
+        s = jnp.where(is_owner & in_bucket[None, :], s, -jnp.inf)
+        return carry, (s, pos)
+
+    _, (ss, pp) = jax.lax.scan(step, 0, (flat_probe, owner))
+    # (S, B, Ls) / (S, Ls) -> per-query candidate row
+    scores_all = jnp.moveaxis(ss, 0, 1).reshape(b, -1)
+    pos_all = jnp.broadcast_to(
+        pp.reshape(1, -1), (b, pp.size)
+    )
+    kv, sel = jax.lax.top_k(scores_all, min(k, scores_all.shape[-1]))
+    kp = jnp.take_along_axis(pos_all, sel, axis=-1)
+    return _residual_merge(
+        slab, valid, residual_pos, residual_pos.astype(jnp.int32),
+        residual_count, scales, kv, kp, q,
+        k=k, precision=precision, int8=int8, int4=int4,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "nprobe", "L", "precision", "int8",
+                     "normalize", "int4"),
+)
+def _clustered_ranges_pipelined(
+    slab, valid, scales, centroids, row_lo, row_cnt,
+    residual_pos, residual_count, qstack,
+    k, nprobe, L, precision, int8=False, normalize=False, int4=False,
+):
+    def one(carry, q):
+        s, i = _clustered_search_ranges(
+            slab, valid, scales, centroids, row_lo, row_cnt,
+            residual_pos, residual_count, q,
+            k=k, nprobe=nprobe, L=L, precision=precision, int8=int8,
+            normalize=normalize, int4=int4,
+        )
+        return carry, (s, i)
+
+    _, (scores, pos) = jax.lax.scan(one, 0, qstack)
+    return scores, pos
+
+
+@partial(
+    jax.jit,
     static_argnames=("k", "nprobe", "u", "m", "c", "precision", "int8",
                      "normalize", "interpret", "int4", "v2"),
 )
@@ -590,6 +698,24 @@ class ClusteredSlotMixin:
         return min(_next_pow2(max(1, min(worst, expected)) + 1),
                    _next_pow2(max(1, nblocks)), draws * geom["m"])
 
+    def _use_ranges(self, pad_b: int, nprobe: int) -> bool:
+        """Route small batches to the exact-bucket-range scan. Guarded
+        by the probe footprint (a pathologically skewed build would
+        make the static slice length L, hence every probe's read,
+        max-bucket-sized — past the budget the narrow-block path reads
+        less)."""
+        lp = getattr(self, "latency_path", "auto")
+        if lp in ("narrow", "wide"):
+            return False
+        if getattr(self, "_row_lo", None) is None:
+            return False
+        if lp == "ranges":
+            return True
+        return (
+            pad_b <= self.small_batch_threshold
+            and self._range_L * min(nprobe, len(self._row_cnt)) <= 1 << 18
+        )
+
     def _use_v2(self, pad_b: int) -> bool:
         """Kernel generation for the Pallas path. int4 requires v2 (v1
         has no unpack); for int8, "auto" currently keeps v1 — flipped
@@ -693,6 +819,11 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
         #: batches at/below this use the narrow-block (c/4) extents —
         #: the latency path; larger batches amortize wide blocks
         self.small_batch_threshold = 4
+        #: small-batch program choice: "auto" scans the probed buckets'
+        #: EXACT row ranges (dynamic slices — the dense-IVF program
+        #: shape at zero memory duplication) when the probe footprint is
+        #: small; "ranges"/"narrow" force; "wide" keeps serving blocks
+        self.latency_path = "auto"
         #: when True, optimize() uses build_background() (serving keeps
         #: the old layout during the rebuild); config key
         #: IVF_BACKGROUND_REBUILD. Needs 2x-slab HBM headroom.
@@ -1102,6 +1233,14 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
         self._c = c
         self._centroids = jnp.asarray(centroids)
         self._bucket_start = start
+        # exact per-bucket row ranges for the small-batch ranges path:
+        # L is the static dynamic-slice length (max bucket rows, padded
+        # to a lane-friendly multiple)
+        cnt = (start[1:] - start[:-1]).astype(np.int32)
+        self._row_lo = jnp.asarray(start[:-1].astype(np.int32))
+        self._row_cnt = jnp.asarray(cnt)
+        maxc = int(cnt.max()) if len(cnt) else 1
+        self._range_L = int(min(self._cap, -(-max(1, maxc) // 512) * 512))
         self._blk_lo = main["lo"]
         self._blk_hi = main["hi"]
         self._u_prefix = main["u_prefix"]
@@ -1280,6 +1419,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
         geom = (
             self._small
             if pad_b <= self.small_batch_threshold
+            and getattr(self, "latency_path", "auto") != "wide"
             and getattr(self, "_small", None) else None
         )
         c_eff = geom["c"] if geom else self._c
@@ -1314,7 +1454,16 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
             self._scales if self._scales is not None
             else np.ones((1,), np.float32)  # unused placeholder (non-int8)
         )
-        if self._use_kernel():
+        if self._use_ranges(pad_b, nprobe):
+            scores, pos = _clustered_search_ranges(
+                self._slab, valid, scales, self._centroids,
+                self._row_lo, self._row_cnt,
+                residual_pos, np.int32(r_n), q,
+                k=k, nprobe=nprobe, L=self._range_L,
+                precision=self._precision, int8=self._is_int8,
+                normalize=self.metric == "cosine", int4=self._is_int4,
+            )
+        elif self._use_kernel():
             scores, pos = _clustered_search_kernelpath(
                 self._slab, valid, scales,
                 self._centroids, blk_lo, blk_hi,
@@ -1361,6 +1510,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
             geom = (
                 self._small
                 if b <= self.small_batch_threshold
+                and getattr(self, "latency_path", "auto") != "wide"
                 and getattr(self, "_small", None) else None
             )
             c_eff = geom["c"] if geom else self._c
@@ -1379,7 +1529,17 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
                 self._scales if self._scales is not None
                 else np.ones((1,), np.float32)
             )
-            if self._use_kernel():
+            if self._use_ranges(b, nprobe):
+                scores, pos = _clustered_ranges_pipelined(
+                    self._slab, self._valid, scales, self._centroids,
+                    self._row_lo, self._row_cnt,
+                    residual_pos, np.int32(r_n), qstack,
+                    k=k, nprobe=nprobe, L=self._range_L,
+                    precision=self._precision, int8=self._is_int8,
+                    normalize=self.metric == "cosine",
+                    int4=self._is_int4,
+                )
+            elif self._use_kernel():
                 scores, pos = _clustered_kernelpath_pipelined(
                     self._slab, self._valid, scales,
                     self._centroids, blk_lo, blk_hi,
