@@ -55,9 +55,16 @@ NEG = -3.4e38
 
 def _build_clustered_search(
     mesh, axis, *, k, nprobe, u, m, c, precision, int8, normalize,
-    use_kernel, interpret, replica_axis=None,
+    use_kernel, interpret, replica_axis=None, use_ranges=False, L=0,
 ):
-    """shard_map'd cluster query; per-batch and (NB,B,d)-stack variants."""
+    """shard_map'd cluster query; per-batch and (NB,B,d)-stack variants.
+
+    ``use_ranges`` selects the small-batch latency program (r3): each
+    device scans the probed buckets' EXACT local row ranges as
+    contiguous dynamic slices (per-bucket rows are contiguous within a
+    device under round-robin striping). The ``blk_lo_l``/``blk_hi_l``
+    operand slots then carry the (n_dev, nlist) local row starts and
+    counts instead of block extents — same shapes, same shardings."""
 
     def local(slab_l, valid_l, scales_l, blk_lo_l, blk_hi_l, centroids,
               residual_l, rcount_l, q):
@@ -73,15 +80,70 @@ def _build_clustered_search(
         )
         p_eff = min(nprobe, centroids.shape[0])
         _, probe = jax.lax.top_k(cs, p_eff)
-        nblocks = rpd // c
-        uniq, ok = _dedup_blocks(
-            probe, blk_lo_l[0], blk_hi_l[0], nblocks, u, m,
-            valid=valid_l[0], c=c,
-        )
         slab2 = slab_l[0]  # (rpd, d) — local inside shard_map
         valid1 = valid_l[0]
         scales1 = scales_l[0]
-        if use_kernel:
+        if not use_ranges:
+            nblocks = rpd // c
+            uniq, ok = _dedup_blocks(
+                probe, blk_lo_l[0], blk_hi_l[0], nblocks, u, m,
+                valid=valid_l[0], c=c,
+            )
+        if use_ranges:
+            row_lo1, row_cnt1 = blk_lo_l[0], blk_hi_l[0]
+            Ls = max(1, min(L, rpd))
+            flat_probe = probe.reshape(-1)
+            owner = jax.lax.broadcasted_iota(
+                jnp.int32, (b, p_eff), 0
+            ).reshape(-1)
+
+            def step(carry, x):
+                pj, ow = x
+                lo = jnp.take(row_lo1, pj)
+                cnt = jnp.take(row_cnt1, pj)
+                start = jnp.clip(lo, 0, rpd - Ls)
+                rows = jax.lax.dynamic_slice(
+                    slab2, (start, jnp.int32(0)), (Ls, d)
+                )
+                v = jax.lax.dynamic_slice(valid1, (start,), (Ls,))
+                pos = start + jnp.arange(Ls, dtype=jnp.int32)
+                in_bucket = v & (pos >= lo) & (pos < lo + cnt)
+                if int8:
+                    s = jax.lax.dot_general(
+                        q.astype(jnp.bfloat16), rows.astype(jnp.bfloat16),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    ) * jax.lax.dynamic_slice(
+                        scales1, (start,), (Ls,)
+                    )[None, :]
+                else:
+                    s = jax.lax.dot_general(
+                        q.astype(rows.dtype), rows,
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    )
+                is_owner = jax.lax.broadcasted_iota(
+                    jnp.int32, (b, 1), 0
+                ) == ow
+                s = jnp.where(is_owner & in_bucket[None, :], s, -jnp.inf)
+                return carry, (s, pos)
+
+            _, (ss, pp) = jax.lax.scan(step, 0, (flat_probe, owner))
+            flat_s = jnp.moveaxis(ss, 0, 1).reshape(b, -1)
+            flat_p = jnp.broadcast_to(
+                pp.reshape(1, -1), (b, pp.size)
+            )
+            k_eff = min(k, flat_s.shape[-1])
+            s_loc, sel = jax.lax.top_k(flat_s, k_eff)
+            kp = jnp.take_along_axis(flat_p, sel, axis=-1)
+            if k_eff < k:
+                s_loc = jnp.pad(s_loc, ((0, 0), (0, k - k_eff)),
+                                constant_values=-jnp.inf)
+                kp = jnp.pad(kp, ((0, 0), (0, k - k_eff)),
+                             constant_values=0)
+        elif use_kernel:
             from wdbx_tpu.kernels.clustered_scan import clustered_block_topk
 
             qk = q.astype(jnp.bfloat16) if int8 else q.astype(slab2.dtype)
@@ -248,6 +310,10 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
         self.block_bytes_target = 786_432
         #: "auto" | "pallas" | "lax" (see ClusteredIVFIndex)
         self.ivf_kernel = "auto"
+        #: batches at/below this take the exact-bucket-range latency
+        #: program (see ClusteredIVFIndex.latency_path)
+        self.small_batch_threshold = 4
+        self.latency_path = "auto"
         self._cluster_cache: dict[tuple, object] = {}
         self._reset_overlay()
 
@@ -256,6 +322,9 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
         self._centroids = None  # (nlist, d) replicated
         self._blk_lo = None  # (n_dev, nlist) int32, sharded
         self._blk_hi = None
+        self._row_lo = None  # (n_dev, nlist) int32, sharded
+        self._row_cnt = None
+        self._range_L = 1
         self._local_counts: np.ndarray | None = None  # (n_dev, nlist)
         self._m = 1
         self._c = 1
@@ -479,6 +548,18 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
         )
         self._blk_lo = jax.device_put(jnp.asarray(blk_lo), sh)
         self._blk_hi = jax.device_put(jnp.asarray(blk_hi), sh)
+        # exact per-(device, bucket) row ranges for the small-batch
+        # ranges path; L = static slice length (max local bucket rows)
+        self._row_lo = jax.device_put(
+            jnp.asarray(local_starts[:, :-1].astype(np.int32)), sh
+        )
+        self._row_cnt = jax.device_put(
+            jnp.asarray(local_counts.astype(np.int32)), sh
+        )
+        maxc = int(local_counts.max()) if local_counts.size else 1
+        self._range_L = int(
+            max(1, min(rpd, -(-max(1, maxc) // 512) * 512))
+        )
         self._cluster_cache.clear()
 
     # -- query ---------------------------------------------------------------
@@ -505,9 +586,9 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
             table = table[:, :0]
         return table, counts
 
-    def _search_fn(self, k, nprobe, u):
+    def _search_fn(self, k, nprobe, u, use_ranges=False):
         key = (k, nprobe, u, self._m, self._c, self._cap,
-               self._use_kernel())
+               self._use_kernel(), use_ranges, self._range_L)
         fn = self._cluster_cache.get(key)
         if fn is None:
             fn = _build_clustered_search(
@@ -517,9 +598,23 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
                 use_kernel=self._use_kernel(),
                 interpret=jax.default_backend() != "tpu",
                 replica_axis=self.replica_axis,
+                use_ranges=use_ranges, L=self._range_L,
             )
             self._cluster_cache[key] = fn
         return fn
+
+    def _use_ranges(self, pad_b: int, nprobe: int) -> bool:
+        lp = getattr(self, "latency_path", "auto")
+        if lp in ("narrow", "wide") or self._row_lo is None:
+            return False
+        if lp == "ranges":
+            return True
+        nlist = int(self._row_cnt.shape[1]) if self._row_cnt is not None \
+            else 1
+        return (
+            pad_b <= self.small_batch_threshold
+            and self._range_L * min(nprobe, nlist) <= 1 << 18
+        )
 
     def search(self, queries, k, slot_mask=None):
         if self._needs_build():
@@ -566,10 +661,13 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
             q = np.pad(np.asarray(queries, np.float32),
                        ((0, pad_b - b), (0, 0)))
             table, counts = self._residual_arrays()
-            fn = self._search_fn(k, nprobe, u)
+            ranges = self._use_ranges(pad_b, nprobe)
+            fn = self._search_fn(k, nprobe, u, use_ranges=ranges)
+            ext_lo = self._row_lo if ranges else self._blk_lo
+            ext_hi = self._row_cnt if ranges else self._blk_hi
             scores, pos = fn(
-                self._slab, valid, self._scales, self._blk_lo,
-                self._blk_hi, self._centroids,
+                self._slab, valid, self._scales, ext_lo,
+                ext_hi, self._centroids,
                 jax.device_put(jnp.asarray(table),
                                self._sharding(P(self.axis, None))),
                 jax.device_put(jnp.asarray(counts),
@@ -607,10 +705,13 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
             nprobe = min(self.nprobe, nlist)
             u = self._scan_u(pad_b, nprobe)  # padded lanes draw probes too
             table, counts = self._residual_arrays()
-            fn = self._search_fn(k, nprobe, u)
+            ranges = self._use_ranges(pad_b, nprobe)
+            fn = self._search_fn(k, nprobe, u, use_ranges=ranges)
+            ext_lo = self._row_lo if ranges else self._blk_lo
+            ext_hi = self._row_cnt if ranges else self._blk_hi
             scores, pos = fn.pipelined(
-                self._slab, self._valid, self._scales, self._blk_lo,
-                self._blk_hi, self._centroids,
+                self._slab, self._valid, self._scales, ext_lo,
+                ext_hi, self._centroids,
                 jax.device_put(jnp.asarray(table),
                                self._sharding(P(self.axis, None))),
                 jax.device_put(jnp.asarray(counts),
