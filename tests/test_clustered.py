@@ -516,6 +516,24 @@ class TestClusteredIVF:
 
         self._run_differential(seed, make, steps=60)
 
+    def test_deep_overfetch_routes_off_kernel(self, rng):
+        """k' = k * fetch_factor (the store's int4 re-rank over-fetch)
+        must not take the Pallas kernel — its k-pass fold scales scoped
+        VMEM with k (measured blow-up at k=200 on-chip). The lax path
+        serves deep k correctly."""
+        d = 32
+        idx = _make(d, dtype="int4", nlist=8, nprobe=8)
+        idx.ivf_kernel = "pallas"
+        assert idx._use_kernel(10)
+        assert not idx._use_kernel(200)
+        idx.ivf_kernel = "auto"
+        db = _normed(rng, 2000, d)
+        slots = idx.add_batch(db)
+        idx.build()
+        _, got = idx.search(_normed(rng, 2, d), 200)
+        assert got.shape == (2, 200)
+        assert (got[:, 0] >= 0).all()
+
     @pytest.mark.parametrize("dtype", ["float32", "int8", "int4"])
     def test_ranges_path_matches_block_paths(self, rng, dtype):
         """The exact-bucket-range latency path (r3) must agree with the

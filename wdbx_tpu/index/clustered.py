@@ -730,10 +730,17 @@ class ClusteredSlotMixin:
             return False
         return False
 
-    def _use_kernel(self) -> bool:
+    #: deep over-fetch (store re-rank at k' = k * fetch_factor) must
+    #: take the lax path: the kernel's k-pass fold scales its scoped
+    #: VMEM with k (measured: k=200 needs 164 MB > the 128 MB cap)
+    KERNEL_K_MAX = 64
+
+    def _use_kernel(self, k: int = 1) -> bool:
         """Pallas block-scan kernel vs the portable lax scan. 'auto'
         picks the kernel on real TPUs (Mosaic); 'pallas' forces it
         (interpret mode off-TPU — tests), 'lax' forces the scan."""
+        if k > self.KERNEL_K_MAX:
+            return False
         if self.ivf_kernel == "pallas":
             return True
         return self.ivf_kernel == "auto" and jax.default_backend() == "tpu"
@@ -1463,7 +1470,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
                 precision=self._precision, int8=self._is_int8,
                 normalize=self.metric == "cosine", int4=self._is_int4,
             )
-        elif self._use_kernel():
+        elif self._use_kernel(k):
             scores, pos = _clustered_search_kernelpath(
                 self._slab, valid, scales,
                 self._centroids, blk_lo, blk_hi,
@@ -1539,7 +1546,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
                     normalize=self.metric == "cosine",
                     int4=self._is_int4,
                 )
-            elif self._use_kernel():
+            elif self._use_kernel(k):
                 scores, pos = _clustered_kernelpath_pipelined(
                     self._slab, self._valid, scales,
                     self._centroids, blk_lo, blk_hi,

@@ -588,14 +588,14 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
 
     def _search_fn(self, k, nprobe, u, use_ranges=False):
         key = (k, nprobe, u, self._m, self._c, self._cap,
-               self._use_kernel(), use_ranges, self._range_L)
+               self._use_kernel(k), use_ranges, self._range_L)
         fn = self._cluster_cache.get(key)
         if fn is None:
             fn = _build_clustered_search(
                 self.mesh, self.axis, k=k, nprobe=nprobe, u=u, m=self._m,
                 c=self._c, precision=self._precision, int8=self._is_int8,
                 normalize=self.metric == "cosine",
-                use_kernel=self._use_kernel(),
+                use_kernel=self._use_kernel(k),
                 interpret=jax.default_backend() != "tpu",
                 replica_axis=self.replica_axis,
                 use_ranges=use_ranges, L=self._range_L,
