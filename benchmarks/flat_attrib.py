@@ -63,12 +63,10 @@ def main() -> None:
     # practical ceiling, turning cross-window absolutes into ratios.
     slab_bf = db32.astype(jnp.bfloat16)
 
-    @jax.jit
-    def stream_sum(s):
-        def step(acc, blk):
-            return acc + jnp.sum(blk, dtype=jnp.float32), None
-        tiles = s.reshape(128, -1, s.shape[-1])
-        return jax.lax.scan(step, jnp.float32(0), tiles)[0]
+    # single fused reduce: XLA streams the slab at bandwidth (a scan of
+    # small tiles is per-step-overhead-bound on this chip and reads 30x
+    # low)
+    stream_sum = jax.jit(lambda s: jnp.sum(s, dtype=jnp.float32))
 
     float(stream_sum(slab_bf))  # warm/compile
     t0 = time.perf_counter()
@@ -184,4 +182,10 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:
+        import traceback
+
+        emit(stage="fatal", traceback=traceback.format_exc()[-1500:])
+        raise
