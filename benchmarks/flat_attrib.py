@@ -24,6 +24,9 @@ import time
 import numpy as np
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_wdbx")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import jax
 import jax.numpy as jnp
@@ -58,29 +61,45 @@ def main() -> None:
     qbf = qstack.astype(jnp.bfloat16)
 
     # -- (a) window calibration: how fast is HBM *today*? ----------------
-    # A tiled reduce over the bf16 slab streams the same bytes the search
-    # kernel reads with near-zero compute: its GB/s is this window's
-    # practical ceiling, turning cross-window absolutes into ratios.
+    # 32 slab-reading matvecs against DISTINCT vectors in ONE dispatch
+    # (distinct operands defeat CSE; one dispatch amortizes the ~30 ms
+    # tunnel RTT, which otherwise IS the measurement). An empty-dispatch
+    # RTT estimate is subtracted.
     slab_bf = db32.astype(jnp.bfloat16)
+    creps = 32
+    V = jax.random.normal(jax.random.PRNGKey(2), (creps, dim),
+                          jnp.bfloat16)
 
-    # single fused reduce: XLA streams the slab at bandwidth (a scan of
-    # small tiles is per-step-overhead-bound on this chip and reads 30x
-    # low)
-    stream_sum = jax.jit(lambda s: jnp.sum(s, dtype=jnp.float32))
+    @jax.jit
+    def calib(s, vs):
+        def step(acc, v):
+            r = jax.lax.dot_general(
+                s, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return acc + jnp.sum(r), None
+        return jax.lax.scan(step, jnp.float32(0), vs)[0]
 
-    float(stream_sum(slab_bf))  # warm/compile
+    trivial = jax.jit(lambda x: x + 1.0)
+    float(trivial(jnp.float32(0)))
     t0 = time.perf_counter()
-    reps = 10
+    for _ in range(5):
+        float(trivial(jnp.float32(0)))
+    rtt = (time.perf_counter() - t0) / 5
+
+    float(calib(slab_bf, V))  # warm/compile
+    t0 = time.perf_counter()
+    reps = 3
     for _ in range(reps):
-        got = float(stream_sum(slab_bf))  # D2H scalar forces completion
-    dt = (time.perf_counter() - t0) / reps
-    gbs = n * dim * 2 / dt / 1e9
+        got = float(calib(slab_bf, V))  # D2H forces completion
+    dt = max(1e-9, (time.perf_counter() - t0) / reps - rtt)
+    gbs = creps * n * dim * 2 / dt / 1e9
     emit(stage="hbm_calibration", ms=round(dt * 1e3, 3),
-         effective_gb_s=round(gbs, 1),
-         note="bf16 slab tiled reduce-sum, D2H-forced")
+         rtt_ms=round(rtt * 1e3, 1), effective_gb_s=round(gbs, 1),
+         note=f"{creps} distinct slab matvecs/dispatch, RTT-corrected")
     roofline_ms = n * dim * 2 / (gbs * 1e9) * 1e3
     emit(stage="roofline", ms_per_batch=round(roofline_ms, 3),
-         qps_ceiling=round(nb * kb / (roofline_ms * nb / 1e3), 1))
+         qps_ceiling=round(kb / roofline_ms * 1e3, 1))
 
     # -- build the index once (device-resident ingest) --------------------
     from wdbx_tpu.index.flat import FlatIndex
