@@ -312,7 +312,11 @@ def _clustered_search_ranges(
         pj, ow = x
         lo = jnp.take(row_lo, pj)
         cnt = jnp.take(row_cnt, pj)
-        start = jnp.clip(lo, 0, cap - Ls)
+        # slice starts round DOWN to a 512-row boundary: arbitrary-offset
+        # HBM slices pay a relayout penalty the (aligned) dense-table IVF
+        # slices never see; L carries a 512-row margin so the bucket
+        # tail still fits and the in-bucket mask drops the lead-in rows
+        start = jnp.clip((lo // 512) * 512, 0, cap - Ls)
         rows = jax.lax.dynamic_slice(
             slab, (start, jnp.int32(0)), (Ls, slab.shape[1])
         )
@@ -1247,7 +1251,10 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
         self._row_lo = jnp.asarray(start[:-1].astype(np.int32))
         self._row_cnt = jnp.asarray(cnt)
         maxc = int(cnt.max()) if len(cnt) else 1
-        self._range_L = int(min(self._cap, -(-max(1, maxc) // 512) * 512))
+        # +512 margin: slice starts round down to a 512 boundary
+        self._range_L = int(
+            min(self._cap, -(-max(1, maxc) // 512) * 512 + 512)
+        )
         self._blk_lo = main["lo"]
         self._blk_hi = main["hi"]
         self._u_prefix = main["u_prefix"]

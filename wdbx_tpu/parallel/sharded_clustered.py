@@ -101,7 +101,8 @@ def _build_clustered_search(
                 pj, ow = x
                 lo = jnp.take(row_lo1, pj)
                 cnt = jnp.take(row_cnt1, pj)
-                start = jnp.clip(lo, 0, rpd - Ls)
+                # aligned slice starts (see index/clustered.py ranges)
+                start = jnp.clip((lo // 512) * 512, 0, rpd - Ls)
                 rows = jax.lax.dynamic_slice(
                     slab2, (start, jnp.int32(0)), (Ls, d)
                 )
@@ -557,8 +558,9 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
             jnp.asarray(local_counts.astype(np.int32)), sh
         )
         maxc = int(local_counts.max()) if local_counts.size else 1
+        # +512 margin: slice starts round down to a 512 boundary
         self._range_L = int(
-            max(1, min(rpd, -(-max(1, maxc) // 512) * 512))
+            max(1, min(rpd, -(-max(1, maxc) // 512) * 512 + 512))
         )
         self._cluster_cache.clear()
 
