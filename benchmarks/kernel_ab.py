@@ -107,6 +107,7 @@ def main():
     from wdbx_tpu.kernels.clustered_scan import (
         clustered_block_topk,
         clustered_block_topk_v2,
+        clustered_block_topk_v3,
     )
 
     cap, d, c = args.rows, args.dim, args.c
@@ -117,7 +118,7 @@ def main():
     qstack = jax.random.normal(qkey, (args.nb, args.b, d), jnp.float32)
     np.asarray(slab[:1])  # force materialization before timing
 
-    def pipelined(kernel, n_ways, b_eff, qdtype):
+    def pipelined(kernel, kw, b_eff, qdtype):
         nb_eff = args.nb * args.b // b_eff
         qs = qstack.reshape(nb_eff, b_eff, d).astype(qdtype)
 
@@ -126,7 +127,7 @@ def main():
             def step(carry, q):
                 v, p = kernel(
                     slab, valid, scales, uniq, ok, q,
-                    k=args.k, c=c, n_ways=n_ways,
+                    k=args.k, c=c, **kw,
                 )
                 return carry, (v, p)
 
@@ -141,23 +142,31 @@ def main():
           f"(roofline ~{dma_gb / 800 * 1000:.2f} ms @800GB/s)")
 
     all_variants = {
-        "v1w4": ("v1 w4 B64", clustered_block_topk, 4, args.b,
-                 jnp.bfloat16),
-        "v1w8": ("v1 w8 B64", clustered_block_topk, 8, args.b,
-                 jnp.bfloat16),
-        "v2w4": ("v2 w4 B64", clustered_block_topk_v2, 4, args.b,
-                 jnp.float32),
-        "v2w8": ("v2 w8 B64", clustered_block_topk_v2, 8, args.b,
-                 jnp.float32),
-        "v2w8b128": ("v2 w8 B128", clustered_block_topk_v2, 8,
-                     2 * args.b, jnp.float32),
+        "v1w4": ("v1 w4 B64", clustered_block_topk, {"n_ways": 4},
+                 args.b, jnp.bfloat16),
+        "v1w8": ("v1 w8 B64", clustered_block_topk, {"n_ways": 8},
+                 args.b, jnp.bfloat16),
+        "v2w4": ("v2 w4 B64", clustered_block_topk_v2, {"n_ways": 4},
+                 args.b, jnp.float32),
+        "v2w8": ("v2 w8 B64", clustered_block_topk_v2, {"n_ways": 8},
+                 args.b, jnp.float32),
+        "v2w8b128": ("v2 w8 B128", clustered_block_topk_v2,
+                     {"n_ways": 8}, 2 * args.b, jnp.float32),
+        "v3d4": ("v3 d4 B64", clustered_block_topk_v3, {"depth": 4},
+                 args.b, jnp.float32),
+        "v3d8": ("v3 d8 B64", clustered_block_topk_v3, {"depth": 8},
+                 args.b, jnp.float32),
+        "v3d8b128": ("v3 d8 B128", clustered_block_topk_v3,
+                     {"depth": 8}, 2 * args.b, jnp.float32),
+        "v3d16": ("v3 d16 B64", clustered_block_topk_v3, {"depth": 16},
+                  args.b, jnp.float32),
     }
     names = (args.variants.split(",") if args.variants
              else list(all_variants))
-    for name, kern, w, b_eff, qdt in (all_variants[n] for n in names):
+    for name, kern, kw, b_eff, qdt in (all_variants[n] for n in names):
         try:
             print(f"{name}: compiling...", flush=True)
-            run, qs = pipelined(kern, w, b_eff, qdt)
+            run, qs = pipelined(kern, kw, b_eff, qdt)
             t0 = time.perf_counter()
             best, med = bench(run, qs, iters=args.iters)
             nbatches = args.nb * args.b / args.b  # batch-64 equivalents

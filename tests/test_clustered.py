@@ -1162,6 +1162,77 @@ class TestReviewRound3Regressions:
         exact = np.argsort(-(q @ slab.T), axis=-1)[:, :5]
         assert set(np.asarray(p)[0].tolist()) >= set(exact[0][:3].tolist())
 
+    def test_v3_kernel_matches_v1_and_v2(self, rng):
+        """The manual-DMA v3 kernel returns the same candidates as v1
+        (f32 slabs: bit-identical fold) and as v2 (int8: identical
+        quantized-query math), including dead rows, dedup padding, and
+        interior ok=0 holes."""
+        import jax.numpy as jnp
+
+        from wdbx_tpu.kernels.clustered_scan import (
+            clustered_block_topk,
+            clustered_block_topk_v2,
+            clustered_block_topk_v3,
+        )
+
+        d, c, k = 64, 512, 10
+        cap = 32 * c
+        nblocks = cap // c
+        slab_f = rng.standard_normal((cap, d)).astype(np.float32)
+        valid = np.ones((1, cap), np.int8)
+        valid[0, 5] = 0
+        live, u = 12, 16
+        uniq = np.full(u, nblocks - 1, np.int32)
+        uniq[:live] = rng.permutation(nblocks)[:live].astype(np.int32)
+        ok = np.zeros(u, np.int32)
+        ok[:live] = 1
+        ok[3] = 0  # interior hole
+        q = rng.standard_normal((8, d)).astype(np.float32)
+        kw = dict(k=k, c=c, interpret=True, group=0)
+        # f32 slab: v3 == v1 exactly
+        v1, p1 = clustered_block_topk(
+            jnp.asarray(slab_f), jnp.asarray(valid), None,
+            jnp.asarray(uniq), jnp.asarray(ok), jnp.asarray(q), **kw
+        )
+        v3, p3 = clustered_block_topk_v3(
+            jnp.asarray(slab_f), jnp.asarray(valid), None,
+            jnp.asarray(uniq), jnp.asarray(ok), jnp.asarray(q),
+            depth=4, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p3))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v3))
+        # int8 slab: v3 == v2 exactly (same int8xint8 quantized math)
+        scales_row = (np.abs(slab_f).max(axis=1) / 127.0).astype(
+            np.float32
+        )
+        s8 = np.clip(
+            np.round(slab_f / scales_row[:, None]), -127, 127
+        ).astype(np.int8)
+        v2, p2 = clustered_block_topk_v2(
+            jnp.asarray(s8), jnp.asarray(valid),
+            jnp.asarray(scales_row.reshape(1, -1)),
+            jnp.asarray(uniq), jnp.asarray(ok), jnp.asarray(q),
+            n_ways=1, **kw
+        )
+        v3q, p3q = clustered_block_topk_v3(
+            jnp.asarray(s8), jnp.asarray(valid),
+            jnp.asarray(scales_row.reshape(1, -1)),
+            jnp.asarray(uniq), jnp.asarray(ok), jnp.asarray(q),
+            depth=8, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(p2), np.asarray(p3q))
+        np.testing.assert_allclose(
+            np.asarray(v2), np.asarray(v3q), rtol=1e-6
+        )
+        # B=1 int8 pads to the sublane tile like v2
+        v, p = clustered_block_topk_v3(
+            jnp.asarray(s8), jnp.asarray(valid),
+            jnp.asarray(scales_row.reshape(1, -1)),
+            jnp.asarray(uniq), jnp.asarray(ok), jnp.asarray(q[:1]),
+            depth=4, **kw
+        )
+        assert v.shape == (1, k)
+
     def test_filter_selectivity_counts_live_rows_only(self, rng,
                                                       monkeypatch):
         """A mask whose True bits mostly cover DELETED slots must route

@@ -218,6 +218,11 @@ class TestShardedClustered:
         idx._cluster_cache.clear()
         _, g_k = idx.search(db[:4], 5)
         assert (g_lax == g_k).all()
+        # v3 (manual-DMA pipeline) inside shard_map
+        idx.kernel_version = "v3"
+        idx._cluster_cache.clear()
+        _, g_v3 = idx.search(db[:4], 5)
+        assert (g_lax == g_v3).all()
 
 
 class TestFilterPushdown:

@@ -385,24 +385,27 @@ def _clustered_ranges_pipelined(
 @partial(
     jax.jit,
     static_argnames=("k", "nprobe", "u", "m", "c", "precision", "int8",
-                     "normalize", "interpret", "int4", "v2"),
+                     "normalize", "interpret", "int4", "kern"),
 )
 def _clustered_search_kernelpath(
     slab, valid, scales, centroids, blk_lo, blk_hi,
     residual_pos, residual_count, q,
     k, nprobe, u, m, c, precision, int8=False, normalize=False,
-    interpret=False, int4=False, v2=False,
+    interpret=False, int4=False, kern="v1",
 ):
     """One-dispatch kernel query: probe selection, block dedup, the
-    scalar-prefetch Pallas block scan, and the residual merge inline in
-    a single compiled program. Candidate positions come back as global
-    slab rows, so the residual merge is shared with the lax path.
-    ``v2`` selects the restructured kernel (int8×int8 MXU, padding-step
-    skip — kernels/clustered_scan._kernel_v2); int4 slabs require it."""
+    Pallas block scan, and the residual merge inline in a single
+    compiled program. Candidate positions come back as global slab
+    rows, so the residual merge is shared with the lax path.
+    ``kern`` selects the kernel generation: "v1" (scalar-prefetch grid),
+    "v2" (restructured step body — int8×int8 MXU, padding-step skip),
+    "v3" (manual depth-buffered DMA pipeline); int4 slabs require
+    v2/v3 (v1 has no unpack)."""
     from wdbx_tpu.index.ivf import _residual_merge
     from wdbx_tpu.kernels.clustered_scan import (
         clustered_block_topk,
         clustered_block_topk_v2,
+        clustered_block_topk_v3,
     )
 
     if normalize:
@@ -422,7 +425,14 @@ def _clustered_search_kernelpath(
     sc_arg = (
         scales.astype(jnp.float32).reshape(1, -1) if quant else None
     )
-    if v2 or int4:
+    if kern == "v3":
+        kv, kp = clustered_block_topk_v3(
+            slab, valid_i8, sc_arg,
+            uniq.astype(jnp.int32), uniq_ok.astype(jnp.int32),
+            q if quant else q.astype(slab.dtype),
+            k=k, c=c, interpret=interpret, int4=int4,
+        )
+    elif kern == "v2" or int4:
         kv, kp = clustered_block_topk_v2(
             slab, valid_i8, sc_arg,
             uniq.astype(jnp.int32), uniq_ok.astype(jnp.int32),
@@ -446,13 +456,13 @@ def _clustered_search_kernelpath(
 @partial(
     jax.jit,
     static_argnames=("k", "nprobe", "u", "m", "c", "precision", "int8",
-                     "normalize", "interpret", "int4", "v2"),
+                     "normalize", "interpret", "int4", "kern"),
 )
 def _clustered_kernelpath_pipelined(
     slab, valid, scales, centroids, blk_lo, blk_hi,
     residual_pos, residual_count, qstack,
     k, nprobe, u, m, c, precision, int8=False, normalize=False,
-    interpret=False, int4=False, v2=False,
+    interpret=False, int4=False, kern="v1",
 ):
     def step(carry, q):
         s, i = _clustered_search_kernelpath(
@@ -460,7 +470,7 @@ def _clustered_kernelpath_pipelined(
             residual_pos, residual_count, q,
             k=k, nprobe=nprobe, u=u, m=m, c=c, precision=precision,
             int8=int8, normalize=normalize, interpret=interpret,
-            int4=int4, v2=v2,
+            int4=int4, kern=kern,
         )
         return carry, (s, i)
 
@@ -720,19 +730,21 @@ class ClusteredSlotMixin:
             and self._range_L * min(nprobe, len(self._row_cnt)) <= 1 << 18
         )
 
-    def _use_v2(self, pad_b: int) -> bool:
-        """Kernel generation for the Pallas path. int4 requires v2 (v1
-        has no unpack); for int8, "auto" currently keeps v1 — flipped
-        per batch size once the on-chip A/B settles (kernel_version
-        "v1"/"v2" forces)."""
-        if self._is_int4:
-            return True
+    def _kernel_gen(self, pad_b: int) -> str:
+        """Kernel generation for the Pallas path ("v1"/"v2"/"v3").
+        int4 requires v2/v3 (v1 has no unpack). "auto" keeps v1 for
+        int8/bf16 — flipped once the on-chip A/B settles
+        (``kernel_version`` forces a generation). v3 (manual
+        depth-buffered DMA) is the r3-late candidate to close the
+        scalar-prefetch grid's DMA underrun."""
         kv = getattr(self, "kernel_version", "auto")
-        if kv == "v2":
-            return True
-        if kv == "v1":
-            return False
-        return False
+        if kv in ("v1", "v2", "v3"):
+            if kv == "v1" and self._is_int4:
+                return "v2"
+            return kv
+        if self._is_int4:
+            return "v2"
+        return "v1"
 
     #: deep over-fetch (store re-rank at k' = k * fetch_factor) must
     #: take the lax path: the kernel's k-pass fold scales its scoped
@@ -1486,7 +1498,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
                 precision=self._precision, int8=self._is_int8,
                 normalize=self.metric == "cosine",
                 interpret=jax.default_backend() != "tpu",
-                int4=self._is_int4, v2=self._use_v2(pad_b),
+                int4=self._is_int4, kern=self._kernel_gen(pad_b),
             )
         else:
             scores, pos = _clustered_search(
@@ -1562,7 +1574,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
                     precision=self._precision, int8=self._is_int8,
                     normalize=self.metric == "cosine",
                     interpret=jax.default_backend() != "tpu",
-                    int4=self._is_int4, v2=self._use_v2(b),
+                    int4=self._is_int4, kern=self._kernel_gen(b),
                 )
             else:
                 scores, pos = _clustered_search_pipelined(

@@ -56,6 +56,7 @@ NEG = -3.4e38
 def _build_clustered_search(
     mesh, axis, *, k, nprobe, u, m, c, precision, int8, normalize,
     use_kernel, interpret, replica_axis=None, use_ranges=False, L=0,
+    kern="v1",
 ):
     """shard_map'd cluster query; per-batch and (NB,B,d)-stack variants.
 
@@ -145,15 +146,32 @@ def _build_clustered_search(
                 kp = jnp.pad(kp, ((0, 0), (0, k - k_eff)),
                              constant_values=0)
         elif use_kernel:
-            from wdbx_tpu.kernels.clustered_scan import clustered_block_topk
-
-            qk = q.astype(jnp.bfloat16) if int8 else q.astype(slab2.dtype)
-            kv, kp = clustered_block_topk(
-                slab2, valid1.astype(jnp.int8).reshape(1, -1),
-                scales1.astype(jnp.float32).reshape(1, -1) if int8 else None,
-                uniq.astype(jnp.int32), ok.astype(jnp.int32), qk,
-                k=min(k, rpd), c=c, interpret=interpret,
+            from wdbx_tpu.kernels.clustered_scan import (
+                clustered_block_topk,
+                clustered_block_topk_v3,
             )
+
+            sc_arg = (
+                scales1.astype(jnp.float32).reshape(1, -1) if int8
+                else None
+            )
+            if kern == "v3":
+                kv, kp = clustered_block_topk_v3(
+                    slab2, valid1.astype(jnp.int8).reshape(1, -1),
+                    sc_arg,
+                    uniq.astype(jnp.int32), ok.astype(jnp.int32),
+                    q if int8 else q.astype(slab2.dtype),
+                    k=min(k, rpd), c=c, interpret=interpret,
+                )
+            else:
+                qk = (q.astype(jnp.bfloat16) if int8
+                      else q.astype(slab2.dtype))
+                kv, kp = clustered_block_topk(
+                    slab2, valid1.astype(jnp.int8).reshape(1, -1),
+                    sc_arg,
+                    uniq.astype(jnp.int32), ok.astype(jnp.int32), qk,
+                    k=min(k, rpd), c=c, interpret=interpret,
+                )
             s_loc = jnp.where(kv <= NEG, -jnp.inf, kv)
             if s_loc.shape[-1] < k:  # k can exceed rows_per_device
                 pad = k - s_loc.shape[-1]
@@ -588,9 +606,18 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
             table = table[:, :0]
         return table, counts
 
+    def _kernel_gen(self) -> str:
+        """Kernel generation for the per-device Pallas scan ("v1"/"v3";
+        v2's restructured fold measured at parity with v1, so only the
+        manual-DMA v3 is offered as an alternative here). "auto" keeps
+        v1 until the on-chip A/B settles; ``kernel_version`` forces."""
+        kv = getattr(self, "kernel_version", "auto")
+        return kv if kv in ("v1", "v3") else "v1"
+
     def _search_fn(self, k, nprobe, u, use_ranges=False):
         key = (k, nprobe, u, self._m, self._c, self._cap,
-               self._use_kernel(k), use_ranges, self._range_L)
+               self._use_kernel(k), use_ranges, self._range_L,
+               self._kernel_gen())
         fn = self._cluster_cache.get(key)
         if fn is None:
             fn = _build_clustered_search(
@@ -601,6 +628,7 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
                 interpret=jax.default_backend() != "tpu",
                 replica_axis=self.replica_axis,
                 use_ranges=use_ranges, L=self._range_L,
+                kern=self._kernel_gen(),
             )
             self._cluster_cache[key] = fn
         return fn
