@@ -181,16 +181,36 @@ def main() -> None:
                     "BENCH_SERVING_CONFIGS", "16:128,16:64"
                 ).split(",")
             ]
+            flights = int(os.environ.get("BENCH_FLIGHTS", 3))
             for nb, b in configs:
                 qs = np.asarray(
                     gen_chunk(777, nb * b), np.float32
                 ).reshape(nb, b, dim)
                 try:
-                    dt = bench(lambda: idx.search_pipelined(qs, k))
+                    # steady-state serving keeps dispatches IN FLIGHT
+                    # (same double-buffered pattern as bench.py): the
+                    # ~30 ms tunnel RTT and the query-stack H2D overlap
+                    # device compute instead of serializing with it
+                    idx.resolve_pipelined(
+                        idx.search_pipelined(qs, k, materialize=False)
+                    )  # warm/compile
+                    reps = 3
+                    t0 = time.perf_counter()
+                    hs = [
+                        idx.search_pipelined(qs, k, materialize=False)
+                        for _ in range(max(reps, flights))
+                    ]
+                    for h in hs:
+                        idx.resolve_pipelined(h)
+                    dt = (time.perf_counter() - t0) / len(hs)
+                    # serial (one-dispatch-at-a-time) for comparison
+                    dt_serial = bench(lambda: idx.search_pipelined(qs, k))
                     print(json.dumps({
                         "stage": "serving", "nprobe": 4, "nb": nb,
                         "batch": b, "qps": round(nb * b / dt),
-                        "ms_per_batch": round(dt / nb * 1000, 2), **tag,
+                        "ms_per_batch": round(dt / nb * 1000, 2),
+                        "qps_serial": round(nb * b / dt_serial),
+                        "in_flight": len(hs), **tag,
                     }), flush=True)
                 except Exception as e:
                     print(json.dumps({

@@ -63,9 +63,15 @@ def make_slab(cap: int, d: int, chunk: int = 1 << 18):
     return slab, valid, scales
 
 
-def make_blocklist(nblocks: int, live: int, u: int, seed: int = 1):
-    rng = np.random.default_rng(seed)
-    real = rng.permutation(nblocks)[:live].astype(np.int32)
+def make_blocklist(nblocks: int, live: int, u: int, seed: int = 1,
+                   contiguous: bool = False):
+    if contiguous:
+        # diagnostic: sorted consecutive block ids — isolates whether
+        # SCATTERED fetch order (vs a sequential sweep) costs bandwidth
+        real = np.arange(live, dtype=np.int32)
+    else:
+        rng = np.random.default_rng(seed)
+        real = rng.permutation(nblocks)[:live].astype(np.int32)
     uniq = np.full(u, nblocks - 1, np.int32)
     uniq[:live] = real
     ok = np.zeros(u, np.int32)
@@ -97,6 +103,8 @@ def main():
     ap.add_argument("--b", type=int, default=64)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--contiguous", type=int, default=0,
+                    help="1 = sorted consecutive block ids (diagnostic)")
     ap.add_argument("--variants", type=str, default="",
                     help="comma list: v1w4,v1w8,v2w4,v2w8,v2w8b128")
     args = ap.parse_args()
@@ -113,7 +121,8 @@ def main():
     cap, d, c = args.rows, args.dim, args.c
     nblocks = cap // c
     slab, valid, scales = make_slab(cap, d)
-    uniq, ok = make_blocklist(nblocks, args.live, args.u)
+    uniq, ok = make_blocklist(nblocks, args.live, args.u,
+                              contiguous=bool(args.contiguous))
     qkey = jax.random.PRNGKey(2)
     qstack = jax.random.normal(qkey, (args.nb, args.b, d), jnp.float32)
     np.asarray(slab[:1])  # force materialization before timing
@@ -122,8 +131,12 @@ def main():
         nb_eff = args.nb * args.b // b_eff
         qs = qstack.reshape(nb_eff, b_eff, d).astype(qdtype)
 
+        # Pass the slab and aux arrays as jit ARGUMENTS: closing over
+        # them captures multi-GB lowering constants (slab alone is
+        # 6.5 GB at 8M x 768), which stalls compilation and defeats the
+        # persistent cache.
         @jax.jit
-        def run(qs):
+        def run(slab, valid, scales, uniq, ok, qs):
             def step(carry, q):
                 v, p = kernel(
                     slab, valid, scales, uniq, ok, q,
@@ -160,6 +173,14 @@ def main():
                      {"depth": 8}, 2 * args.b, jnp.float32),
         "v3d16": ("v3 d16 B64", clustered_block_topk_v3, {"depth": 16},
                   args.b, jnp.float32),
+        # B-sweep diagnostics: per-step DMA is constant, compute scales
+        # with B — flat time/step => fetch-bound, linear => compute-bound
+        "v3d8b32": ("v3 d8 B32", clustered_block_topk_v3, {"depth": 8},
+                    32, jnp.float32),
+        "v3d8b256": ("v3 d8 B256", clustered_block_topk_v3,
+                     {"depth": 8}, 4 * args.b, jnp.float32),
+        "v2w8b32": ("v2 w8 B32", clustered_block_topk_v2, {"n_ways": 8},
+                    32, jnp.float32),
     }
     names = (args.variants.split(",") if args.variants
              else list(all_variants))
@@ -168,7 +189,8 @@ def main():
             print(f"{name}: compiling...", flush=True)
             run, qs = pipelined(kern, kw, b_eff, qdt)
             t0 = time.perf_counter()
-            best, med = bench(run, qs, iters=args.iters)
+            best, med = bench(run, slab, valid, scales, uniq, ok, qs,
+                              iters=args.iters)
             nbatches = args.nb * args.b / args.b  # batch-64 equivalents
             per_batch_ms = best / (args.nb * args.b / args.b) * 1000
             qps = args.nb * args.b / best

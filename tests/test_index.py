@@ -757,6 +757,46 @@ def test_ivf_search_pipelined_matches_search(rng):
     assert s.shape == (3, 8, 2)
 
 
+def test_ivf_inflight_pipelined_matches_blocking(rng):
+    """materialize=False handles (flat + IVF, trained + untrained)
+    resolve to the blocking path's exact output."""
+    from wdbx_tpu.index.flat import FlatIndex
+
+    vecs = _normed(rng, 400, 16)
+    qs = vecs[:24].reshape(3, 8, 16)
+
+    flat = FlatIndex(dim=16)
+    flat.add_batch(vecs)
+    want = flat.search_pipelined(qs, k=4)
+    got = FlatIndex.resolve_pipelined(
+        flat.search_pipelined(qs, k=4, materialize=False)
+    )
+    np.testing.assert_array_equal(got[1], want[1])
+
+    ivf = IVFIndex(dim=16, nlist=8, train_threshold=64)
+    ivf.batch_flat_fallback = False
+    ivf.add_batch(vecs)
+    ivf.build()
+    ivf.nprobe = 8
+    want = ivf.search_pipelined(qs, k=4)
+    handles = [
+        ivf.search_pipelined(qs, k=4, materialize=False)
+        for _ in range(2)
+    ]
+    for h in handles:
+        ss, ii = ivf.resolve_pipelined(h)
+        np.testing.assert_array_equal(ii, want[1])
+        np.testing.assert_array_equal(ss, want[0])
+    # untrained fallback handle routes through the flat resolve
+    fresh = IVFIndex(dim=16, train_threshold=10**9)
+    fresh.add_batch(vecs[:64])
+    want = fresh.search_pipelined(qs, k=2)
+    got = fresh.resolve_pipelined(
+        fresh.search_pipelined(qs, k=2, materialize=False)
+    )
+    np.testing.assert_array_equal(got[1], want[1])
+
+
 def test_ivf_int8_tables_stay_int8(rng, temp_dir):
     """int8 slabs must keep int8 bucket tables + scale table (bf16 tables
     would double HBM at 10M x 768 and OOM beside the slab)."""

@@ -699,6 +699,46 @@ class TestShardedPipelined:
         assert s3.shape == (2, 8, 1)
         np.testing.assert_array_equal(i3.reshape(-1), slots[:16])
 
+    def test_sharded_inflight_matches_blocking(self, rng):
+        """materialize=False handles on the sharded engines resolve to
+        the blocking path's exact output (double-buffered serving)."""
+        from wdbx_tpu.parallel import ShardedFlatIndex
+        from wdbx_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+        vecs = rng.standard_normal((512, 16)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=-1, keepdims=True)
+        qs = vecs[:24].reshape(3, 8, 16)
+
+        flat = ShardedFlatIndex(dim=16, capacity=1024)
+        flat.add_batch(vecs)
+        want = flat.search_pipelined(qs, k=5)
+        got = flat.resolve_pipelined(
+            flat.search_pipelined(qs, k=5, materialize=False)
+        )
+        np.testing.assert_array_equal(got[1], want[1])
+
+        ivf = ShardedIVFIndex(dim=16, nlist=16, nprobe=16,
+                              train_threshold=64)
+        ivf.batch_flat_fallback = False
+        ivf.add_batch(vecs)
+        ivf.build()
+        want = ivf.search_pipelined(qs, k=4)
+        handles = [
+            ivf.search_pipelined(qs, k=4, materialize=False)
+            for _ in range(2)
+        ]
+        for h in handles:
+            ss, ii = ivf.resolve_pipelined(h)
+            np.testing.assert_array_equal(ii, want[1])
+        # untrained fallback handle routes through the sflat resolve
+        cold = ShardedIVFIndex(dim=16, train_threshold=10**9)
+        cold.add_batch(vecs[:64])
+        want = cold.search_pipelined(qs, k=2)
+        got = cold.resolve_pipelined(
+            cold.search_pipelined(qs, k=2, materialize=False)
+        )
+        np.testing.assert_array_equal(got[1], want[1])
+
 
 def test_sharded_ivf_int8_tables(rng):
     """Sharded IVF must keep int8 code tables + scale table for int8

@@ -111,6 +111,30 @@ class TestShardedClustered:
             _, gi = idx.search(qs[i], 5)
             assert (gp[i] == gi).all()
 
+    def test_inflight_pipelined_matches_blocking(self, rng):
+        """materialize=False handles resolve to the blocking output
+        (slots mapped at resolve time), trained + untrained."""
+        d = 32
+        idx = _make(d)
+        idx.add_batch(_normed(rng, 2000, d))
+        idx.build()
+        qs = rng.standard_normal((2, 4, d)).astype(np.float32)
+        want = idx.search_pipelined(qs, 5)
+        handles = [
+            idx.search_pipelined(qs, 5, materialize=False)
+            for _ in range(2)
+        ]
+        for h in handles:
+            ss, gg = idx.resolve_pipelined(h)
+            assert (gg == want[1]).all() and (ss == want[0]).all()
+        cold = _make(d, train_threshold=10_000)
+        cold.add_batch(_normed(rng, 64, d))
+        want_c = cold.search_pipelined(qs, 3)
+        got_c = cold.resolve_pipelined(
+            cold.search_pipelined(qs, 3, materialize=False)
+        )
+        assert (got_c[1] == want_c[1]).all()
+
     def test_persistence_roundtrip(self, rng, temp_dir):
         d = 32
         idx = _make(d)

@@ -1517,12 +1517,26 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
     # search() is inherited from IVFIndex (build-if-stale under the write
     # lock, then _search_read_locked under read).
 
-    def search_pipelined(self, qstack, k):
+    def search_pipelined(self, qstack, k, materialize: bool = True):
+        """Serve a (NB, B, d) stack in one dispatch (see FlatIndex).
+
+        ``materialize=False`` returns raw device arrays (scores,
+        positions) without blocking, so a serving loop can keep several
+        dispatches in flight — the ~30 ms host round trip and the
+        query-stack H2D overlap device compute instead of serializing
+        with it (the same double-buffered pattern that took the flat
+        engine from ~62k to ~97k QPS). Resolve with
+        ``resolve_pipelined`` BEFORE mutating the index (positions are
+        mapped to slots at resolve time)."""
         if self._needs_build():
             with self._mu.write():
                 self._maybe_build()
         with self._mu.read():
             if not self.is_trained:
+                if not materialize:
+                    return FlatIndex.search_pipelined(
+                        self, qstack, k, materialize=False
+                    )
                 scores, pos = FlatIndex.search_pipelined(self, qstack, k)
                 return self._map_pos_to_slots(scores, pos)
             qstack = np.asarray(qstack, np.float32) if not isinstance(
@@ -1585,8 +1599,20 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
                     precision=self._precision, int8=self._is_int8,
                     normalize=self.metric == "cosine", int4=self._is_int4,
                 )
+            if not materialize:
+                return scores, pos  # in-flight device arrays
             scores, pos = jax.device_get((scores, pos))
         # _map_pos_to_slots is elementwise: map the (NB, B, k) stack at once
+        return self._map_pos_to_slots(
+            np.asarray(scores), np.asarray(pos, np.int64)
+        )
+
+    def resolve_pipelined(self, handle):
+        """Materialize a ``search_pipelined(..., materialize=False)``
+        result: one transfer for both outputs, then the position->slot
+        mapping (which is why this is an instance method here, unlike
+        FlatIndex's static resolve)."""
+        scores, pos = jax.device_get(handle)
         return self._map_pos_to_slots(
             np.asarray(scores), np.asarray(pos, np.int64)
         )

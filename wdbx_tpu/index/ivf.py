@@ -907,17 +907,24 @@ class IVFIndex(FlatIndex):
         return scores[:, :k], out_slots[:, :k]
 
     def search_pipelined(
-        self, qstack: np.ndarray, k: int
+        self, qstack: np.ndarray, k: int, materialize: bool = True
     ) -> tuple[np.ndarray, np.ndarray]:
         """Serve a (NB, B, d) stack of query batches in ONE dispatch
         through the dedup bucket scan (falls back to the flat pipelined
-        path when untrained). Returns (NB, B, k)."""
+        path when untrained). Returns (NB, B, k).
+
+        ``materialize=False`` returns an opaque in-flight handle (no
+        host sync) for double-buffered serving; resolve with
+        ``resolve_pipelined`` before mutating the index."""
         if self._needs_build():
             with self._mu.write():
                 self._maybe_build()
         with self._mu.read():
             if not self.is_trained:
-                return super().search_pipelined(qstack, k)
+                out = super().search_pipelined(
+                    qstack, k, materialize=materialize
+                )
+                return ("flat", *out) if not materialize else out
             slab, g_valid, g_scales, cap = (
                 self._slab, self._valid, self._scales, self._cap,
             )
@@ -956,18 +963,36 @@ class IVFIndex(FlatIndex):
                 k=k_fetch, nprobe=nprobe, u=u, precision=self._precision,
                 int8=self._is_int8, normalize=self.metric == "cosine",
             )
+            if not materialize:
+                return ("ivf", scores, slots, k)
             scores, slots = jax.device_get((scores, slots))
+        return self._finish_pipelined(scores, slots, k)
+
+    def _finish_pipelined(self, scores, slots, k: int):
+        """Host post-processing shared by the blocking and in-flight
+        paths: tombstone rewrite + multi-assignment dedup + k-slice."""
         scores = np.asarray(scores)
         out = np.asarray(slots, np.int64)
         out[scores == -np.inf] = -1
         if self.assignments > 1:
             deduped = [
-                _dedup_rows(scores[i], out[i], k) for i in range(nb)
+                _dedup_rows(scores[i], out[i], k)
+                for i in range(scores.shape[0])
             ]
             scores = np.stack([d[0] for d in deduped])
             out = np.stack([d[1] for d in deduped])
             return scores, out
         return scores[:, :, :k], out[:, :, :k]
+
+    def resolve_pipelined(self, handle):
+        """Materialize an in-flight ``search_pipelined`` handle."""
+        if handle[0] == "flat":
+            from wdbx_tpu.index.flat import FlatIndex
+
+            return FlatIndex.resolve_pipelined(handle[1:])
+        _, scores, slots, k = handle
+        scores, slots = jax.device_get((scores, slots))
+        return self._finish_pipelined(scores, slots, k)
 
     def tune(
         self,

@@ -711,12 +711,21 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
             np.asarray(scores)[:b], np.asarray(pos, np.int64)[:b]
         )
 
-    def search_pipelined(self, qstack, k):
+    def search_pipelined(self, qstack, k, materialize: bool = True):
+        """(NB, B, d) stack in one mesh dispatch. ``materialize=False``
+        returns an opaque in-flight handle for double-buffered serving;
+        resolve with ``resolve_pipelined`` before mutating the index
+        (positions map to slots at resolve time)."""
         if self._needs_build():
             with self._mu.write():
                 self._maybe_build()
         with self._mu.read():
             if not self.is_trained:
+                if not materialize:
+                    h = ShardedFlatIndex.search_pipelined(
+                        self, qstack, k, materialize=False
+                    )
+                    return ("sclu_flat", h)
                 scores, pos = ShardedFlatIndex.search_pipelined(
                     self, qstack, k
                 )
@@ -748,11 +757,26 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
                                self._sharding(P(self.axis))),
                 qstack,
             )
+            if not materialize:
+                return ("sclu", scores, pos, b)
             # full host gather, then slice (partial slices of replica-
             # sharded outputs are ambiguous for the partitioner)
             scores, pos = jax.device_get((scores, pos))
         # _map_pos_to_slots is elementwise: the (NB, B, k) stack maps in
         # one pass
+        return self._map_pos_to_slots(
+            np.asarray(scores)[:, :b], np.asarray(pos, np.int64)[:, :b]
+        )
+
+    def resolve_pipelined(self, handle):
+        """Materialize an in-flight ``search_pipelined`` handle."""
+        if handle[0] == "sclu_flat":  # untrained fallback: positions
+            scores, pos = ShardedFlatIndex.resolve_pipelined(
+                self, handle[1]
+            )
+            return self._map_pos_to_slots(scores, pos)
+        _, scores, pos, b = handle
+        scores, pos = jax.device_get((scores, pos))
         return self._map_pos_to_slots(
             np.asarray(scores)[:, :b], np.asarray(pos, np.int64)[:, :b]
         )

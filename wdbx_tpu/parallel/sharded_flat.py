@@ -437,11 +437,15 @@ class ShardedFlatIndex(FlatIndex):
         return scores, out
 
     def search_pipelined(
-        self, qstack: np.ndarray, k: int
+        self, qstack: np.ndarray, k: int, materialize: bool = True
     ) -> tuple[np.ndarray, np.ndarray]:
         """Serve a (NB, B, d) stack in ONE dispatch: lax.scan of the
         shard_map'd mesh search (local MXU scoring + ICI all-gather
-        merge per step). The multi-chip throughput-serving entry."""
+        merge per step). The multi-chip throughput-serving entry.
+
+        ``materialize=False`` returns an opaque in-flight handle for
+        double-buffered serving; resolve with ``resolve_pipelined``
+        before mutating the index."""
         qstack = np.asarray(qstack, np.float32) if not isinstance(
             qstack, jax.Array
         ) else qstack
@@ -466,9 +470,17 @@ class ShardedFlatIndex(FlatIndex):
             scores, slots = fn.pipelined(
                 self._slab, self._valid, self._scales, qstack
             )
+            if not materialize:
+                return ("sflat", scores, slots, b, k)
             scores, slots = jax.device_get(
                 (scores[:, :b], slots[:, :b])
             )
+        return self._finish_pipelined(scores, slots, k)
+
+    @staticmethod
+    def _finish_pipelined(scores, slots, k: int):
+        """Host post-processing shared by the blocking and in-flight
+        paths: k-pad (k can exceed rows_per_device) + tombstone -1s."""
         scores = np.asarray(scores)
         out = np.asarray(slots, np.int64)
         if scores.shape[-1] < k:
@@ -479,6 +491,14 @@ class ShardedFlatIndex(FlatIndex):
                          constant_values=-1)
         out[scores == -np.inf] = -1
         return scores, out
+
+    def resolve_pipelined(self, handle):
+        """Materialize an in-flight ``search_pipelined`` handle."""
+        _, scores, slots, b, k = handle
+        scores, slots = jax.device_get((scores, slots))
+        return self._finish_pipelined(
+            np.asarray(scores)[:, :b], np.asarray(slots)[:, :b], k
+        )
 
     # -- live re-meshing ----------------------------------------------------
     def adopt_mesh(self, mesh: Mesh) -> None:

@@ -521,16 +521,20 @@ class ShardedIVFIndex(IVFIndex, ShardedFlatIndex):
         out[scores == -np.inf] = -1
         return scores, out
 
-    def search_pipelined(self, qstack, k):
+    def search_pipelined(self, qstack, k, materialize: bool = True):
         """(NB, B, d) stack through the shard_map'd cluster query in one
         dispatch (scan of the mesh program); flat fallback when
-        untrained."""
+        untrained. ``materialize=False`` returns an opaque in-flight
+        handle for double-buffered serving; resolve with
+        ``resolve_pipelined`` before mutating the index."""
         if self._needs_build():
             with self._mu.write():
                 self._maybe_build()
         with self._mu.read():
             if not self.is_trained:
-                return ShardedFlatIndex.search_pipelined(self, qstack, k)
+                return ShardedFlatIndex.search_pipelined(
+                    self, qstack, k, materialize=materialize
+                )
             qstack = np.asarray(qstack, np.float32) if not isinstance(
                 qstack, jax.Array
             ) else qstack
@@ -566,7 +570,20 @@ class ShardedIVFIndex(IVFIndex, ShardedFlatIndex):
                 self._bucket_valid, b_scale, self._slab, self._valid,
                 self._scales, residual_slots, np.int32(r_n), qstack,
             )
+            if not materialize:
+                return ("sivf", scores, slots)
             scores, slots = jax.device_get((scores, slots))
+        scores = np.asarray(scores)
+        out = np.asarray(slots, np.int64)
+        out[scores == -np.inf] = -1
+        return scores, out
+
+    def resolve_pipelined(self, handle):
+        """Materialize an in-flight ``search_pipelined`` handle."""
+        if handle[0] == "sflat":  # untrained fallback handle
+            return ShardedFlatIndex.resolve_pipelined(self, handle)
+        _, scores, slots = handle
+        scores, slots = jax.device_get((scores, slots))
         scores = np.asarray(scores)
         out = np.asarray(slots, np.int64)
         out[scores == -np.inf] = -1
