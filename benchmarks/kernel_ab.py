@@ -184,6 +184,59 @@ def main():
     }
     names = (args.variants.split(",") if args.variants
              else list(all_variants))
+
+    def run_e2e(kern_name):
+        """FULL index search path (probe + dedup + kernel + residual
+        merge) on a synthetic one-block-per-bucket geometry (m=1,
+        nlist=nblocks): same slab, so (e2e - kernel-only at the
+        matching live/u) attributes the non-kernel device cost.
+        At B=64 nprobe=4 the deduped live-block count is ~248 of
+        u=256 — compare against `--live 248 --u 256` kernel-only."""
+        from wdbx_tpu.index.clustered import (
+            _clustered_kernelpath_pipelined,
+        )
+
+        nlist = nblocks
+        cents = jax.random.normal(
+            jax.random.PRNGKey(5), (nlist, d), jnp.float32
+        )
+        cents = cents / jnp.linalg.norm(cents, axis=-1, keepdims=True)
+        blk_lo = jnp.arange(nlist, dtype=jnp.int32)
+        blk_hi = blk_lo + 1
+        valid_b = jnp.ones((cap,), bool)
+        scales_f = jnp.full((cap,), 1.0 / 127.0, jnp.float32)
+        nprobe = 4
+        u_eff = min(args.u, args.b * nprobe)
+        qs = qstack  # (nb, b, d) f32
+
+        def run(slab, valid_b, scales_f, cents, qs):
+            return _clustered_kernelpath_pipelined(
+                slab, valid_b, scales_f, cents, blk_lo, blk_hi,
+                np.zeros((0,), np.int32), np.int32(0), qs,
+                k=args.k, nprobe=nprobe, u=u_eff, m=1, c=c,
+                precision="default", int8=True, normalize=True,
+                kern=kern_name,
+            )
+
+        print(f"e2e_{kern_name}: compiling... (nprobe={nprobe} "
+              f"u={u_eff} m=1)", flush=True)
+        t0 = time.perf_counter()
+        best, med = bench(run, slab, valid_b, scales_f, cents, qs,
+                          iters=args.iters)
+        per_batch_ms = best / args.nb * 1000
+        qps = args.nb * args.b / best
+        print(f"e2e_{kern_name:8s} best {best*1000:7.2f} ms/dispatch "
+              f"({per_batch_ms:6.2f} ms/batch-{args.b}) "
+              f"median {med*1000:7.2f}  ~{qps:8.0f} q/s "
+              f"[first-call {time.perf_counter()-t0:.1f}s]")
+
+    for name in [n for n in names if n.startswith("e2e_")]:
+        try:
+            run_e2e(name[4:])
+        except Exception as e:  # noqa: BLE001 — report and continue
+            print(f"{name:12s} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:200]}")
+    names = [n for n in names if not n.startswith("e2e_")]
     for name, kern, kw, b_eff, qdt in (all_variants[n] for n in names):
         try:
             print(f"{name}: compiling...", flush=True)

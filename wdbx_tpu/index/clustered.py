@@ -732,19 +732,20 @@ class ClusteredSlotMixin:
 
     def _kernel_gen(self, pad_b: int) -> str:
         """Kernel generation for the Pallas path ("v1"/"v2"/"v3").
-        int4 requires v2/v3 (v1 has no unpack). "auto" keeps v1 for
-        int8/bf16 — flipped once the on-chip A/B settles
-        (``kernel_version`` forces a generation). v3 (manual
-        depth-buffered DMA) is the r3-late candidate to close the
-        scalar-prefetch grid's DMA underrun."""
+        int4 requires v2/v3 (v1 has no unpack). "auto" picks v2: the
+        r3 on-chip A/Bs settled it — with dispatch overhead amortized
+        (NB=64 stacks / in-flight serving) v2 measures 1.50 ms/batch-64
+        vs v1 1.77 and v3 1.75 kernel-isolated at the 10M x 768
+        flagship geometry (~85% of the deduped-block DMA roofline), and
+        wins the in-flight e2e at B=128 (13.7k vs 9.8k QPS same
+        window). v3 (manual depth-buffered DMA) stays available via
+        ``kernel_version`` but never beat the grid's own pipeline."""
         kv = getattr(self, "kernel_version", "auto")
         if kv in ("v1", "v2", "v3"):
             if kv == "v1" and self._is_int4:
                 return "v2"
             return kv
-        if self._is_int4:
-            return "v2"
-        return "v1"
+        return "v2"
 
     #: deep over-fetch (store re-rank at k' = k * fetch_factor) must
     #: take the lax path: the kernel's k-pass fold scales its scoped

@@ -148,6 +148,7 @@ def _build_clustered_search(
         elif use_kernel:
             from wdbx_tpu.kernels.clustered_scan import (
                 clustered_block_topk,
+                clustered_block_topk_v2,
                 clustered_block_topk_v3,
             )
 
@@ -157,6 +158,14 @@ def _build_clustered_search(
             )
             if kern == "v3":
                 kv, kp = clustered_block_topk_v3(
+                    slab2, valid1.astype(jnp.int8).reshape(1, -1),
+                    sc_arg,
+                    uniq.astype(jnp.int32), ok.astype(jnp.int32),
+                    q if int8 else q.astype(slab2.dtype),
+                    k=min(k, rpd), c=c, interpret=interpret,
+                )
+            elif kern == "v2":
+                kv, kp = clustered_block_topk_v2(
                     slab2, valid1.astype(jnp.int8).reshape(1, -1),
                     sc_arg,
                     uniq.astype(jnp.int32), ok.astype(jnp.int32),
@@ -607,12 +616,13 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
         return table, counts
 
     def _kernel_gen(self) -> str:
-        """Kernel generation for the per-device Pallas scan ("v1"/"v3";
-        v2's restructured fold measured at parity with v1, so only the
-        manual-DMA v3 is offered as an alternative here). "auto" keeps
-        v1 until the on-chip A/B settles; ``kernel_version`` forces."""
+        """Kernel generation for the per-device Pallas scan. "auto"
+        picks v2, matching the single-device engine: kernel-isolated
+        and in-flight e2e A/Bs at the flagship geometry settled on v2
+        (see ClusteredIVFIndex._kernel_gen); ``kernel_version``
+        forces v1/v2/v3."""
         kv = getattr(self, "kernel_version", "auto")
-        return kv if kv in ("v1", "v3") else "v1"
+        return kv if kv in ("v1", "v2", "v3") else "v2"
 
     def _search_fn(self, k, nprobe, u, use_ranges=False):
         key = (k, nprobe, u, self._m, self._c, self._cap,
