@@ -182,10 +182,20 @@ def main() -> None:
                 ).split(",")
             ]
             flights = int(os.environ.get("BENCH_FLIGHTS", 3))
+            # BENCH_DEVICE_QS=1 keeps the query stack device-resident:
+            # isolates the per-dispatch H2D upload of the numpy stack
+            # (3-6 MB through the tunnel) from device compute.
+            # "ab" measures both modes in one window.
+            dq_env = os.environ.get("BENCH_DEVICE_QS", "0")
+            dq_modes = [False, True] if dq_env == "ab" else [dq_env == "1"]
             for nb, b in configs:
+              for device_qs in dq_modes:
                 qs = np.asarray(
                     gen_chunk(777, nb * b), np.float32
                 ).reshape(nb, b, dim)
+                if device_qs:
+                    qs = jax.device_put(jnp.asarray(qs))
+                    jax.block_until_ready(qs)
                 try:
                     # steady-state serving keeps dispatches IN FLIGHT
                     # (same double-buffered pattern as bench.py): the
@@ -203,15 +213,20 @@ def main() -> None:
                     for h in hs:
                         idx.resolve_pipelined(h)
                     dt = (time.perf_counter() - t0) / len(hs)
-                    # serial (one-dispatch-at-a-time) for comparison
-                    dt_serial = bench(lambda: idx.search_pipelined(qs, k))
-                    print(json.dumps({
+                    rec = {
                         "stage": "serving", "nprobe": 4, "nb": nb,
                         "batch": b, "qps": round(nb * b / dt),
                         "ms_per_batch": round(dt / nb * 1000, 2),
-                        "qps_serial": round(nb * b / dt_serial),
-                        "in_flight": len(hs), **tag,
-                    }), flush=True)
+                        "in_flight": len(hs),
+                        "device_qs": device_qs, **tag,
+                    }
+                    if os.environ.get("BENCH_SERIAL", "1") == "1":
+                        # serial (one-dispatch-at-a-time) comparison
+                        dt_s = bench(
+                            lambda: idx.search_pipelined(qs, k)
+                        )
+                        rec["qps_serial"] = round(nb * b / dt_s)
+                    print(json.dumps(rec), flush=True)
                 except Exception as e:
                     print(json.dumps({
                         "stage": "serving", "nb": nb, "batch": b,
