@@ -98,6 +98,8 @@ def main() -> None:
         dim, dtype="int8", nlist=nlist, nprobe=4,
         train_threshold=1 << 62,  # no auto-retrain during the bench
     )
+    if os.environ.get("BENCH_QPREC"):
+        idx.kernel_qprec = os.environ["BENCH_QPREC"]
     idx.block_bytes_target = int(
         os.environ.get("BENCH_BLOCK_TARGET", 786_432)
     )

@@ -226,6 +226,32 @@ class TestClusteredIVF:
             _, gi = idx.search(qs[i], 5)
             assert (gp[i] == gi).all()
 
+    def test_v2_qprec_int8_mode(self, rng):
+        """kernel_qprec='int8' (int8×int8 MXU with per-query
+        quantization) stays rank-consistent with the default bf16
+        query mode on an int8 slab — quantization noise may flip
+        near-ties but self-queries and high recall must hold."""
+        d = 64
+        db = _normed(rng, 3000, d)
+        q = _normed(rng, 8, d)
+        idx = _make(d, dtype="int8")
+        idx.kernel_version = "v2"
+        idx.add_batch(db)
+        idx.build()
+        _, want = idx.search(q, 10)  # qprec default: bf16
+        idx.kernel_qprec = "int8"
+        _, got = idx.search(q, 10)
+        overlap = np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / 10
+            for a, b in zip(got, want)
+        ])
+        assert overlap >= 0.9, overlap
+        # self-query must return itself at rank 1 (strongest invariant),
+        # and the pipelined program must agree with the per-batch one
+        _, got_self = idx.search(db[:8], 1)
+        _, g2 = idx.search_pipelined(db[:8].reshape(2, 4, d), 1)
+        assert (g2.reshape(-1) == got_self.ravel()).all()
+
     def test_inflight_pipelined_matches_blocking(self, rng):
         """materialize=False handles resolve to exactly the blocking
         path's output (the double-buffered serving contract), both
@@ -1238,7 +1264,7 @@ class TestReviewRound3Regressions:
             jnp.asarray(s8), jnp.asarray(valid),
             jnp.asarray(scales_row.reshape(1, -1)),
             jnp.asarray(uniq), jnp.asarray(ok), jnp.asarray(q),
-            n_ways=1, **kw
+            n_ways=1, qprec="int8", **kw
         )
         v3q, p3q = clustered_block_topk_v3(
             jnp.asarray(s8), jnp.asarray(valid),

@@ -797,6 +797,42 @@ def test_ivf_inflight_pipelined_matches_blocking(rng):
     np.testing.assert_array_equal(got[1], want[1])
 
 
+def test_half_precision_query_stacks(rng):
+    """float16 / bfloat16 numpy query stacks are accepted end-to-end
+    (half the H2D bytes — the serving wall on network-attached
+    devices) and rank like the f32 stack: the per-query normalize /
+    quantize scale is a positive scalar, so only bf16 rounding of the
+    query itself can perturb near-ties."""
+    import ml_dtypes
+
+    from wdbx_tpu.index.clustered import ClusteredIVFIndex
+    from wdbx_tpu.index.flat import FlatIndex
+
+    vecs = _normed(rng, 600, 32)
+    qs32 = vecs[:24].reshape(3, 8, 32).copy()
+
+    flat = FlatIndex(dim=32)
+    flat.add_batch(vecs)
+    clu = ClusteredIVFIndex(32, nlist=8, nprobe=8, train_threshold=256)
+    clu.batch_flat_fallback = False
+    clu.add_batch(vecs)
+    clu.build()
+
+    for idx in (flat, clu):
+        _, want = idx.search_pipelined(qs32, 5)
+        for half in (np.float16, ml_dtypes.bfloat16):
+            _, got = idx.search_pipelined(qs32.astype(half), 5)
+            overlap = np.mean([
+                len(set(a.tolist()) & set(b.tolist())) / 5
+                for a, b in zip(
+                    got.reshape(-1, 5), want.reshape(-1, 5)
+                )
+            ])
+            assert overlap >= 0.9, (idx.__class__.__name__, half, overlap)
+            # self-queries must still hit themselves at rank 1
+            assert (got[:, :, 0].reshape(-1) == want[:, :, 0].reshape(-1)).mean() >= 0.9
+
+
 def test_ivf_int8_tables_stay_int8(rng, temp_dir):
     """int8 slabs must keep int8 bucket tables + scale table (bf16 tables
     would double HBM at 10M x 768 and OOM beside the slab)."""

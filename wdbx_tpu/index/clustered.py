@@ -385,13 +385,13 @@ def _clustered_ranges_pipelined(
 @partial(
     jax.jit,
     static_argnames=("k", "nprobe", "u", "m", "c", "precision", "int8",
-                     "normalize", "interpret", "int4", "kern"),
+                     "normalize", "interpret", "int4", "kern", "qprec"),
 )
 def _clustered_search_kernelpath(
     slab, valid, scales, centroids, blk_lo, blk_hi,
     residual_pos, residual_count, q,
     k, nprobe, u, m, c, precision, int8=False, normalize=False,
-    interpret=False, int4=False, kern="v1",
+    interpret=False, int4=False, kern="v1", qprec="bf16",
 ):
     """One-dispatch kernel query: probe selection, block dedup, the
     Pallas block scan, and the residual merge inline in a single
@@ -437,7 +437,7 @@ def _clustered_search_kernelpath(
             slab, valid_i8, sc_arg,
             uniq.astype(jnp.int32), uniq_ok.astype(jnp.int32),
             q if quant else q.astype(slab.dtype),
-            k=k, c=c, interpret=interpret, int4=int4,
+            k=k, c=c, interpret=interpret, int4=int4, qprec=qprec,
         )
     else:
         qk = q.astype(jnp.bfloat16) if int8 else q.astype(slab.dtype)
@@ -456,13 +456,13 @@ def _clustered_search_kernelpath(
 @partial(
     jax.jit,
     static_argnames=("k", "nprobe", "u", "m", "c", "precision", "int8",
-                     "normalize", "interpret", "int4", "kern"),
+                     "normalize", "interpret", "int4", "kern", "qprec"),
 )
 def _clustered_kernelpath_pipelined(
     slab, valid, scales, centroids, blk_lo, blk_hi,
     residual_pos, residual_count, qstack,
     k, nprobe, u, m, c, precision, int8=False, normalize=False,
-    interpret=False, int4=False, kern="v1",
+    interpret=False, int4=False, kern="v1", qprec="bf16",
 ):
     def step(carry, q):
         s, i = _clustered_search_kernelpath(
@@ -470,7 +470,7 @@ def _clustered_kernelpath_pipelined(
             residual_pos, residual_count, q,
             k=k, nprobe=nprobe, u=u, m=m, c=c, precision=precision,
             int8=int8, normalize=normalize, interpret=interpret,
-            int4=int4, kern=kern,
+            int4=int4, kern=kern, qprec=qprec,
         )
         return carry, (s, i)
 
@@ -1500,6 +1500,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
                 normalize=self.metric == "cosine",
                 interpret=jax.default_backend() != "tpu",
                 int4=self._is_int4, kern=self._kernel_gen(pad_b),
+                qprec=getattr(self, "kernel_qprec", "bf16"),
             )
         else:
             scores, pos = _clustered_search(
@@ -1540,8 +1541,9 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
                     )
                 scores, pos = FlatIndex.search_pipelined(self, qstack, k)
                 return self._map_pos_to_slots(scores, pos)
-            qstack = np.asarray(qstack, np.float32) if not isinstance(
-                qstack, jax.Array) else qstack
+            from wdbx_tpu.index.flat import _as_qstack
+
+            qstack = _as_qstack(qstack)
             nb, b, _ = qstack.shape
             nlist = int(self._centroids.shape[0])
             nprobe = min(self.nprobe, nlist)
@@ -1590,6 +1592,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
                     normalize=self.metric == "cosine",
                     interpret=jax.default_backend() != "tpu",
                     int4=self._is_int4, kern=self._kernel_gen(b),
+                    qprec=getattr(self, "kernel_qprec", "bf16"),
                 )
             else:
                 scores, pos = _clustered_search_pipelined(

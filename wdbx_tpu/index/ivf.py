@@ -935,9 +935,9 @@ class IVFIndex(FlatIndex):
             bucket_scale = self._bucket_scale
             residual = list(self._residual)
 
-            qstack = np.asarray(qstack, np.float32) if not isinstance(
-                qstack, jax.Array
-            ) else qstack
+            from wdbx_tpu.index.flat import _as_qstack
+
+            qstack = _as_qstack(qstack)
             nb, b, _ = qstack.shape
             nlist = int(bucket_slot.shape[0])
             nprobe = min(self.nprobe, nlist)

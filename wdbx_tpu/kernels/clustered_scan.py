@@ -105,12 +105,18 @@ def _kernel(uniq_ref, ok_ref, q_ref, *rest, k: int, c: int, group: int,
 
 def _kernel_v2(uniq_ref, ok_ref, meta_ref, q_ref, qs_ref, *rest, k: int,
                c: int, group: int, n_ways: int, int8: bool,
-               int4: bool = False):
+               int4: bool = False, qprec: str = "int8"):
     """v2 step body: int8×int8 MXU matmul (quantized queries), per-way
     group-reduce before any concat (the v1 (B, W*c) concat copied 2M
     f32 per step), and full compute skip on dedup-padding steps (live
     entries sort first in the dedup's popularity priority, so padding
-    is a suffix — ``meta[0]`` holds the live step count)."""
+    is a suffix — ``meta[0]`` holds the live step count).
+
+    ``qprec="bf16"`` keeps queries in bf16 against int8/int4 rows
+    (v1's numerics inside v2's structure): query int8-quantization
+    noise costs ~2 points of raw recall@10 at 10M×768 (0.972 vs
+    0.991), and the scan is DMA-bound, so the int8×int8 MXU rate is
+    not load-bearing."""
     # rest layout: n_ways block refs, n_ways valid refs,
     #              [n_ways scale refs if int8], out_v, out_i, tv, ti
     blk_refs = rest[:n_ways]
@@ -146,7 +152,13 @@ def _kernel_v2(uniq_ref, ok_ref, meta_ref, q_ref, qs_ref, *rest, k: int,
                 lo = ((r32 & 0xF) - 8).astype(jnp.int8)
                 hi = (((r32 >> 4) & 0xF) - 8).astype(jnp.int8)
                 rows = jnp.concatenate([lo, hi], axis=1)
-            if int8:
+            if int8 and qprec == "bf16":
+                s = jax.lax.dot_general(
+                    q, rows.astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale_refs[j][:]
+            elif int8:
                 # int8×int8 → int32 rides the MXU at 2× the bf16 rate
                 # and skips v1's 6M-element int8→bf16 cast per step;
                 # per-query dequant (qs_ref) is constant per row, so it
@@ -184,7 +196,7 @@ def _kernel_v2(uniq_ref, ok_ref, meta_ref, q_ref, qs_ref, *rest, k: int,
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _emit():
-        if int8:
+        if int8 and qprec == "int8":
             # masked entries are exactly NEG: scaling them by a small
             # qscale would pull them above the caller's `v <= NEG`
             # -inf rewrite, so they pass through unscaled
@@ -198,7 +210,7 @@ def _kernel_v2(uniq_ref, ok_ref, meta_ref, q_ref, qs_ref, *rest, k: int,
 
 @functools.partial(
     jax.jit, static_argnames=("k", "c", "interpret", "group", "n_ways",
-                              "int4")
+                              "int4", "qprec")
 )
 def clustered_block_topk_v2(
     slab: jax.Array,      # (cap, dw), cap % c == 0 (dw = d/2 for int4)
@@ -213,14 +225,22 @@ def clustered_block_topk_v2(
     group: int | None = None,
     n_ways: int = 8,
     int4: bool = False,
+    qprec: str = "bf16",
 ) -> tuple[jax.Array, jax.Array]:
     """v2 of ``clustered_block_topk``: same contract, restructured step
     body (see ``_kernel_v2``). Queries arrive as floats; for int8/int4
-    slabs they are symmetric-quantized per query row (scale = max|q|/127)
-    so the MXU runs int8×int8→int32 — measured sub-0.1% score error on
-    unit-norm vectors, recall-neutral with the index layer's f32
-    re-rank path above. Batches under 32 rows pad to the int8 sublane
-    tile internally (outputs slice back).
+    slabs ``qprec`` picks the query side of the MXU:
+
+    - ``"bf16"`` (default): bf16 queries × int8 rows — v1's numerics,
+      full raw recall (0.991+ at 10M×768). The scan is DMA-bound, so
+      the cheaper matmul below costs no throughput.
+    - ``"int8"``: symmetric per-query-row quantization (scale =
+      max|q|/127), int8×int8→int32 at 2× the bf16 MXU rate — ~2 points
+      of raw recall@10 at 10M×768 (0.972); recall-neutral through the
+      store's f32 re-rank path. For compute-dense geometries.
+
+    Batches under 32 rows pad to the int8 sublane tile internally
+    (outputs slice back).
     ``int4=True`` marks ``slab`` as nibble-packed (uint8, half width);
     blocks unpack on the VPU before the matmul — half the DMA per row."""
     cap, d = slab.shape
@@ -232,13 +252,16 @@ def clustered_block_topk_v2(
         steps = u // max(1, n_ways)
         group = 256 if steps >= 16 and k <= 32 else 0
     int8 = scales is not None
-    if int8:
+    if int8 and qprec == "int8":
         qf = q.astype(jnp.float32)
         qmax = jnp.maximum(
             jnp.max(jnp.abs(qf), axis=1, keepdims=True), 1e-20
         )
         qs = (qmax / 127.0).astype(jnp.float32)  # (B, 1)
         qq = jnp.clip(jnp.round(qf / qs), -127, 127).astype(jnp.int8)
+    elif int8:
+        qq = q.astype(jnp.bfloat16)
+        qs = jnp.zeros((b, 1), jnp.float32)  # unused (no query dequant)
     else:
         qq = q.astype(slab.dtype)
         qs = jnp.zeros((b, 1), jnp.float32)  # unused
@@ -304,7 +327,7 @@ def clustered_block_topk_v2(
         blk_bytes = c * d * slab.dtype.itemsize
     kern = functools.partial(
         _kernel_v2, k=k, c=c, group=group, n_ways=n_ways, int8=int8,
-        int4=int4,
+        int4=int4, qprec=qprec,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # uniq, ok, meta drive maps + step skip

@@ -56,7 +56,7 @@ NEG = -3.4e38
 def _build_clustered_search(
     mesh, axis, *, k, nprobe, u, m, c, precision, int8, normalize,
     use_kernel, interpret, replica_axis=None, use_ranges=False, L=0,
-    kern="v1",
+    kern="v1", qprec="bf16",
 ):
     """shard_map'd cluster query; per-batch and (NB,B,d)-stack variants.
 
@@ -171,6 +171,7 @@ def _build_clustered_search(
                     uniq.astype(jnp.int32), ok.astype(jnp.int32),
                     q if int8 else q.astype(slab2.dtype),
                     k=min(k, rpd), c=c, interpret=interpret,
+                    qprec=qprec,
                 )
             else:
                 qk = (q.astype(jnp.bfloat16) if int8
@@ -625,9 +626,10 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
         return kv if kv in ("v1", "v2", "v3") else "v2"
 
     def _search_fn(self, k, nprobe, u, use_ranges=False):
+        qprec = getattr(self, "kernel_qprec", "bf16")
         key = (k, nprobe, u, self._m, self._c, self._cap,
                self._use_kernel(k), use_ranges, self._range_L,
-               self._kernel_gen())
+               self._kernel_gen(), qprec)
         fn = self._cluster_cache.get(key)
         if fn is None:
             fn = _build_clustered_search(
@@ -638,7 +640,7 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
                 interpret=jax.default_backend() != "tpu",
                 replica_axis=self.replica_axis,
                 use_ranges=use_ranges, L=self._range_L,
-                kern=self._kernel_gen(),
+                kern=self._kernel_gen(), qprec=qprec,
             )
             self._cluster_cache[key] = fn
         return fn
@@ -740,14 +742,16 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
                     self, qstack, k
                 )
                 return self._map_pos_to_slots(scores, pos)
-            qstack = np.asarray(qstack, np.float32) if not isinstance(
-                qstack, jax.Array) else qstack
+            from wdbx_tpu.index.flat import _as_qstack
+
+            qstack = _as_qstack(qstack)
             nb, b, _ = qstack.shape
             pad_b = _next_pow2(max(b, 1))
             pad_b = -(-pad_b // self.replicas) * self.replicas
             if pad_b != b:
+                # dtype-preserving pad (half-precision stacks stay half)
                 qstack = np.pad(
-                    np.asarray(qstack, np.float32),
+                    np.asarray(qstack),
                     ((0, 0), (0, pad_b - b), (0, 0)),
                 )
             nlist = int(self._centroids.shape[0])

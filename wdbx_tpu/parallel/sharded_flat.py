@@ -446,9 +446,9 @@ class ShardedFlatIndex(FlatIndex):
         ``materialize=False`` returns an opaque in-flight handle for
         double-buffered serving; resolve with ``resolve_pipelined``
         before mutating the index."""
-        qstack = np.asarray(qstack, np.float32) if not isinstance(
-            qstack, jax.Array
-        ) else qstack
+        from wdbx_tpu.index.flat import _as_qstack
+
+        qstack = _as_qstack(qstack)
         assert qstack.ndim == 3 and qstack.shape[-1] == self.dim
         nb, b, _ = qstack.shape
         pad_b = _next_pow2(max(b, 1))

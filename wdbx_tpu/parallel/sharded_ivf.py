@@ -535,9 +535,9 @@ class ShardedIVFIndex(IVFIndex, ShardedFlatIndex):
                 return ShardedFlatIndex.search_pipelined(
                     self, qstack, k, materialize=materialize
                 )
-            qstack = np.asarray(qstack, np.float32) if not isinstance(
-                qstack, jax.Array
-            ) else qstack
+            from wdbx_tpu.index.flat import _as_qstack
+
+            qstack = _as_qstack(qstack)
             nb, b, _ = qstack.shape
             nlist = int(self._bucket_slot.shape[0])
             cap_b = int(self._bucket_slot.shape[1])
