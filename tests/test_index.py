@@ -297,6 +297,25 @@ class TestFactory:
         with pytest.raises(ValueError):
             create_index("hnsw-graph", 8)
 
+    def test_kernel_knobs_from_config(self):
+        """IVF_KERNEL_VERSION / IVF_KERNEL_QPREC reach the clustered
+        engines (operator control of the scan generation and the
+        recall-vs-turbo query precision)."""
+        from wdbx_tpu.core.config import WDBXConfig
+
+        cfg = WDBXConfig()
+        cfg.set("IVF_KERNEL_VERSION", "v3")
+        cfg.set("IVF_KERNEL_QPREC", "int8")
+        idx = create_index("ivf_clustered", 8, cfg)
+        assert idx.kernel_version == "v3"
+        assert idx.kernel_qprec == "int8"
+        # invalid spellings fall back to the defaults, not crashes
+        cfg.set("IVF_KERNEL_VERSION", "v9")
+        cfg.set("IVF_KERNEL_QPREC", "fp8")
+        idx2 = create_index("ivf_clustered", 8, cfg)
+        assert getattr(idx2, "kernel_version", "auto") == "auto"
+        assert getattr(idx2, "kernel_qprec", "bf16") == "bf16"
+
 
 class TestInt8:
     def test_int8_flat_recall(self, rng):

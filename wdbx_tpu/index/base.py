@@ -105,6 +105,20 @@ class VectorIndex(abc.ABC):
         }
 
 
+def _apply_kernel_knobs(idx: Any, config: Any) -> None:
+    """Operator control of the clustered scan's kernel generation and
+    query precision (benchmarks/RESULTS.md r3-late): IVF_KERNEL_VERSION
+    auto|v1|v2|v3 and IVF_KERNEL_QPREC bf16|int8 ("int8" is the turbo
+    mode — ~2 points of raw recall@10 at 10M, recall-neutral through
+    the store's exact re-rank)."""
+    kv = str(config.get("IVF_KERNEL_VERSION", "auto")).lower()
+    if kv in ("v1", "v2", "v3"):
+        idx.kernel_version = kv
+    qp = str(config.get("IVF_KERNEL_QPREC", "bf16")).lower()
+    if qp in ("bf16", "int8"):
+        idx.kernel_qprec = qp
+
+
 def create_index(kind: str, dim: int, config: Any = None) -> "VectorIndex":
     """Factory keyed by config, mirroring the reference's index-type
     switch (reference wdbx/core/vector_store.py:111-134 choosing
@@ -143,6 +157,7 @@ def create_index(kind: str, dim: int, config: Any = None) -> "VectorIndex":
             idx.background_rebuild = bool(
                 config.get("IVF_BACKGROUND_REBUILD", False)
             )
+            _apply_kernel_knobs(idx, config)
         return idx
     if kind == "faiss":
         # Reference FAISS backend: dispatch on FAISS_INDEX_TYPE ("Flat" or
@@ -202,6 +217,7 @@ def create_index(kind: str, dim: int, config: Any = None) -> "VectorIndex":
             idx.background_rebuild = bool(
                 config.get("IVF_BACKGROUND_REBUILD", False)
             )
+            _apply_kernel_knobs(idx, config)
         return idx
     if kind == "sharded_flat":
         from wdbx_tpu.parallel.sharded_flat import ShardedFlatIndex
@@ -221,7 +237,10 @@ def create_index(kind: str, dim: int, config: Any = None) -> "VectorIndex":
             kwargs["train_threshold"] = int(
                 config.get("IVF_TRAIN_THRESHOLD", 4096)
             )
-        return ShardedClusteredIndex(dim, **kwargs)
+        idx = ShardedClusteredIndex(dim, **kwargs)
+        if config is not None:
+            _apply_kernel_knobs(idx, config)
+        return idx
     if kind == "sharded_ivf":
         from wdbx_tpu.parallel.sharded_ivf import ShardedIVFIndex
 
