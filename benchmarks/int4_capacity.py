@@ -203,18 +203,33 @@ def main() -> None:
         stats = idx.get_stats()
         hbm_gb = (stats["hbm_bytes"] + idx.capacity * (4 + 1 + 4)) / 1e9
         idx.batch_flat_fallback = False
-        qstack = np.asarray(
-            _gen(centers, 31338, 8 * 64), np.float32
-        ).reshape(8, 64, dim)
-        idx.search_pipelined(qstack, k)
+        # serving protocol matched to clustered_10m.py: NB=16 stacks,
+        # device-resident queries, in-flight dispatches (the serial
+        # f32-upload protocol measured 4-6x low — RESULTS.md r3-late)
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        qstack = _jax.device_put(_jnp.asarray(np.asarray(
+            _gen(centers, 31338, 16 * 64), np.float32
+        ).reshape(16, 64, dim)))
+        _jax.block_until_ready(qstack)
+        idx.resolve_pipelined(
+            idx.search_pipelined(qstack, k, materialize=False)
+        )
+        flights = 8
         t0 = time.perf_counter()
-        for _ in range(3):
-            idx.search_pipelined(qstack, k)
-        qps = 8 * 64 * 3 / (time.perf_counter() - t0)
+        hs = [
+            idx.search_pipelined(qstack, k, materialize=False)
+            for _ in range(flights)
+        ]
+        for h in hs:
+            idx.resolve_pipelined(h)
+        qps = 16 * 64 * flights / (time.perf_counter() - t0)
         print(json.dumps({
             "stage": "flagship_int4", "n": big_n, "dim": dim,
             "build_s": round(build_s, 1), "hbm_gb": round(hbm_gb, 2),
-            "batch64_qps": round(qps),
+            "batch64_qps": round(qps), "in_flight": flights,
+            "device_qs": True,
         }), flush=True)
 
 

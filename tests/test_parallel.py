@@ -738,6 +738,18 @@ class TestShardedPipelined:
             cold.search_pipelined(qs, k=2, materialize=False)
         )
         np.testing.assert_array_equal(got[1], want[1])
+        # k > rows_per_device on the untrained fallback must PAD to k
+        # (MRO regression: IVFIndex._finish_pipelined shadows the sflat
+        # one on ShardedIVF and slices instead of padding)
+        tiny = ShardedIVFIndex(dim=16, train_threshold=10**9,
+                               capacity=64)
+        tiny.add_batch(vecs[:64])
+        ks, kg = tiny.search_pipelined(qs, k=12)
+        assert ks.shape == (3, 8, 12) and kg.shape == (3, 8, 12)
+        ks2, kg2 = tiny.resolve_pipelined(
+            tiny.search_pipelined(qs, k=12, materialize=False)
+        )
+        np.testing.assert_array_equal(kg2, kg)
 
 
 def test_sharded_ivf_int8_tables(rng):

@@ -475,7 +475,11 @@ class ShardedFlatIndex(FlatIndex):
             scores, slots = jax.device_get(
                 (scores[:, :b], slots[:, :b])
             )
-        return self._finish_pipelined(scores, slots, k)
+        # explicit class call: on ShardedIVF/ShardedClustered (which
+        # put IVFIndex before ShardedFlatIndex in the MRO) a self.
+        # lookup would find IVFIndex._finish_pipelined, which slices to
+        # k instead of padding when k exceeds rows_per_device
+        return ShardedFlatIndex._finish_pipelined(scores, slots, k)
 
     @staticmethod
     def _finish_pipelined(scores, slots, k: int):
@@ -496,7 +500,7 @@ class ShardedFlatIndex(FlatIndex):
         """Materialize an in-flight ``search_pipelined`` handle."""
         _, scores, slots, b, k = handle
         scores, slots = jax.device_get((scores, slots))
-        return self._finish_pipelined(
+        return ShardedFlatIndex._finish_pipelined(
             np.asarray(scores)[:, :b], np.asarray(slots)[:, :b], k
         )
 
