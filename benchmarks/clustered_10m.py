@@ -98,8 +98,12 @@ def main() -> None:
         dim, dtype="int8", nlist=nlist, nprobe=4,
         train_threshold=1 << 62,  # no auto-retrain during the bench
     )
-    if os.environ.get("BENCH_QPREC"):
-        idx.kernel_qprec = os.environ["BENCH_QPREC"]
+    qprec_env = os.environ.get("BENCH_QPREC", "").strip().lower()
+    if qprec_env:
+        # validate up front: a typo would otherwise survive the
+        # multi-minute build and die at the first serving dispatch
+        assert qprec_env in ("bf16", "int8"), qprec_env
+        idx.kernel_qprec = qprec_env
     idx.block_bytes_target = int(
         os.environ.get("BENCH_BLOCK_TARGET", 786_432)
     )

@@ -55,7 +55,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from wdbx_tpu.index.flat import FlatIndex, _next_pow2
+from wdbx_tpu.index.flat import FlatIndex, _as_qstack, _next_pow2
 from wdbx_tpu.index.ivf import IVFIndex
 from wdbx_tpu.ops.kmeans import kmeans
 from wdbx_tpu.ops.normalize import l2_normalize
@@ -730,7 +730,7 @@ class ClusteredSlotMixin:
             and self._range_L * min(nprobe, len(self._row_cnt)) <= 1 << 18
         )
 
-    def _kernel_gen(self, pad_b: int) -> str:
+    def _kernel_gen(self) -> str:
         """Kernel generation for the Pallas path ("v1"/"v2"/"v3").
         int4 requires v2/v3 (v1 has no unpack). "auto" picks v2: the
         r3 on-chip A/Bs settled it — with dispatch overhead amortized
@@ -1499,7 +1499,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
                 precision=self._precision, int8=self._is_int8,
                 normalize=self.metric == "cosine",
                 interpret=jax.default_backend() != "tpu",
-                int4=self._is_int4, kern=self._kernel_gen(pad_b),
+                int4=self._is_int4, kern=self._kernel_gen(),
                 qprec=getattr(self, "kernel_qprec", "bf16"),
             )
         else:
@@ -1541,8 +1541,6 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
                     )
                 scores, pos = FlatIndex.search_pipelined(self, qstack, k)
                 return self._map_pos_to_slots(scores, pos)
-            from wdbx_tpu.index.flat import _as_qstack
-
             qstack = _as_qstack(qstack)
             nb, b, _ = qstack.shape
             nlist = int(self._centroids.shape[0])
@@ -1591,7 +1589,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
                     precision=self._precision, int8=self._is_int8,
                     normalize=self.metric == "cosine",
                     interpret=jax.default_backend() != "tpu",
-                    int4=self._is_int4, kern=self._kernel_gen(b),
+                    int4=self._is_int4, kern=self._kernel_gen(),
                     qprec=getattr(self, "kernel_qprec", "bf16"),
                 )
             else:

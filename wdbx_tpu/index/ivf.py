@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from wdbx_tpu.index.flat import FlatIndex, _next_pow2
+from wdbx_tpu.index.flat import FlatIndex, _as_qstack, _next_pow2
 from wdbx_tpu.ops.kmeans import kmeans
 from wdbx_tpu.ops.normalize import l2_normalize
 
@@ -934,8 +934,6 @@ class IVFIndex(FlatIndex):
             bucket_rows = self._bucket_rows
             bucket_scale = self._bucket_scale
             residual = list(self._residual)
-
-            from wdbx_tpu.index.flat import _as_qstack
 
             qstack = _as_qstack(qstack)
             nb, b, _ = qstack.shape

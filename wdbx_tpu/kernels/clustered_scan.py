@@ -105,7 +105,7 @@ def _kernel(uniq_ref, ok_ref, q_ref, *rest, k: int, c: int, group: int,
 
 def _kernel_v2(uniq_ref, ok_ref, meta_ref, q_ref, qs_ref, *rest, k: int,
                c: int, group: int, n_ways: int, int8: bool,
-               int4: bool = False, qprec: str = "int8"):
+               int4: bool = False, qprec: str = "bf16"):
     """v2 step body: int8×int8 MXU matmul (quantized queries), per-way
     group-reduce before any concat (the v1 (B, W*c) concat copied 2M
     f32 per step), and full compute skip on dedup-padding steps (live
@@ -152,7 +152,11 @@ def _kernel_v2(uniq_ref, ok_ref, meta_ref, q_ref, qs_ref, *rest, k: int,
                 lo = ((r32 & 0xF) - 8).astype(jnp.int8)
                 hi = (((r32 >> 4) & 0xF) - 8).astype(jnp.int8)
                 rows = jnp.concatenate([lo, hi], axis=1)
-            if int8 and qprec == "bf16":
+            if int8 and qprec != "int8":
+                # bf16 queries (the default; the fallback arm must
+                # mirror the wrapper's quantization choice exactly, or
+                # an unrecognized qprec sends bf16 queries into the
+                # int8 dot and fails Mosaic compilation)
                 s = jax.lax.dot_general(
                     q, rows.astype(jnp.bfloat16),
                     dimension_numbers=(((1,), (1,)), ((), ())),
@@ -196,7 +200,7 @@ def _kernel_v2(uniq_ref, ok_ref, meta_ref, q_ref, qs_ref, *rest, k: int,
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _emit():
-        if int8 and qprec == "int8":
+        if int8 and qprec == "int8":  # bf16 arm wrote true scores to tv
             # masked entries are exactly NEG: scaling them by a small
             # qscale would pull them above the caller's `v <= NEG`
             # -inf rewrite, so they pass through unscaled
@@ -243,6 +247,9 @@ def clustered_block_topk_v2(
     (outputs slice back).
     ``int4=True`` marks ``slab`` as nibble-packed (uint8, half width);
     blocks unpack on the VPU before the matmul — half the DMA per row."""
+    qprec = str(qprec).lower()
+    if qprec not in ("bf16", "int8"):
+        raise ValueError(f"qprec must be 'bf16' or 'int8', got {qprec!r}")
     cap, d = slab.shape
     b = q.shape[0]
     u = uniq.shape[0]

@@ -44,7 +44,7 @@ from jax.sharding import PartitionSpec as P
 from wdbx_tpu.index.clustered import (
     ClusteredSlotMixin, _block_rows, _dedup_blocks,
 )
-from wdbx_tpu.index.flat import _next_pow2
+from wdbx_tpu.index.flat import _as_qstack, _next_pow2
 from wdbx_tpu.index.ivf import IVFIndex
 from wdbx_tpu.ops.kmeans import kmeans
 from wdbx_tpu.ops.normalize import l2_normalize
@@ -742,8 +742,6 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
                     self, qstack, k
                 )
                 return self._map_pos_to_slots(scores, pos)
-            from wdbx_tpu.index.flat import _as_qstack
-
             qstack = _as_qstack(qstack)
             nb, b, _ = qstack.shape
             pad_b = _next_pow2(max(b, 1))

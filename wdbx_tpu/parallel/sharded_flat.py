@@ -26,7 +26,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from wdbx_tpu.index.flat import FlatIndex, _fused_block_for, _next_pow2
+from wdbx_tpu.index.flat import (
+    FlatIndex,
+    _as_qstack,
+    _fused_block_for,
+    _next_pow2,
+)
 from wdbx_tpu.ops.exact_search import score_block
 from wdbx_tpu.ops.normalize import l2_normalize
 
@@ -446,8 +451,6 @@ class ShardedFlatIndex(FlatIndex):
         ``materialize=False`` returns an opaque in-flight handle for
         double-buffered serving; resolve with ``resolve_pipelined``
         before mutating the index."""
-        from wdbx_tpu.index.flat import _as_qstack
-
         qstack = _as_qstack(qstack)
         assert qstack.ndim == 3 and qstack.shape[-1] == self.dim
         nb, b, _ = qstack.shape
@@ -475,14 +478,10 @@ class ShardedFlatIndex(FlatIndex):
             scores, slots = jax.device_get(
                 (scores[:, :b], slots[:, :b])
             )
-        # explicit class call: on ShardedIVF/ShardedClustered (which
-        # put IVFIndex before ShardedFlatIndex in the MRO) a self.
-        # lookup would find IVFIndex._finish_pipelined, which slices to
-        # k instead of padding when k exceeds rows_per_device
-        return ShardedFlatIndex._finish_pipelined(scores, slots, k)
+        return ShardedFlatIndex._finish_sharded_pipelined(scores, slots, k)
 
     @staticmethod
-    def _finish_pipelined(scores, slots, k: int):
+    def _finish_sharded_pipelined(scores, slots, k: int):
         """Host post-processing shared by the blocking and in-flight
         paths: k-pad (k can exceed rows_per_device) + tombstone -1s."""
         scores = np.asarray(scores)
@@ -500,7 +499,7 @@ class ShardedFlatIndex(FlatIndex):
         """Materialize an in-flight ``search_pipelined`` handle."""
         _, scores, slots, b, k = handle
         scores, slots = jax.device_get((scores, slots))
-        return ShardedFlatIndex._finish_pipelined(
+        return ShardedFlatIndex._finish_sharded_pipelined(
             np.asarray(scores)[:, :b], np.asarray(slots)[:, :b], k
         )
 

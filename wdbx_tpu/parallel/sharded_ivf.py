@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from wdbx_tpu.index.flat import _next_pow2
+from wdbx_tpu.index.flat import _as_qstack, _next_pow2
 from wdbx_tpu.index.ivf import IVFIndex
 from wdbx_tpu.ops.kmeans import kmeans
 from wdbx_tpu.ops.normalize import l2_normalize
@@ -535,8 +535,6 @@ class ShardedIVFIndex(IVFIndex, ShardedFlatIndex):
                 return ShardedFlatIndex.search_pipelined(
                     self, qstack, k, materialize=materialize
                 )
-            from wdbx_tpu.index.flat import _as_qstack
-
             qstack = _as_qstack(qstack)
             nb, b, _ = qstack.shape
             nlist = int(self._bucket_slot.shape[0])
