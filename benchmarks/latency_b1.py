@@ -99,7 +99,13 @@ def main() -> None:
     for name in ("wide", "narrow", "ranges"):
         idx.latency_path = name
         try:
-            idx.search(qstack[0, :1][0:1].reshape(1, dim), k)  # warm
+            # warm with the EXACT timed program: warming via search()
+            # compiles the per-batch program but not the (NB,1,d)
+            # pipelined one, so rep 1 paid the fresh compile / cache
+            # deserialization (seconds) and every recorded absolute was
+            # compile-time, not latency (r3 bug — ratios survived,
+            # absolutes did not)
+            idx.search_pipelined(qstack, k)
             lat = one_lat()
             results[name] = lat
             print(json.dumps({

@@ -226,6 +226,23 @@ class TestClusteredIVF:
             _, gi = idx.search(qs[i], 5)
             assert (gp[i] == gi).all()
 
+    def test_ranges_gate_budgets_bytes(self, rng):
+        """The auto small-batch routing picks the exact-range program
+        only while its read footprint (L × nprobe × row bytes) stays
+        under 8 MB — past that, max-bucket-sized slices read more than
+        narrow covering blocks (measured 3× slower at 10M×768)."""
+        d = 32
+        idx = _make(d, dtype="int8")
+        idx.add_batch(_normed(rng, 2000, d))
+        idx.build()
+        assert idx._use_ranges(1, idx.nprobe)  # tiny footprint: on
+        idx._range_L = (1 << 23) // d // min(
+            idx.nprobe, len(idx._row_cnt)
+        ) + 1024  # inflate past the byte budget
+        assert not idx._use_ranges(1, idx.nprobe)
+        idx.latency_path = "ranges"  # explicit force still wins
+        assert idx._use_ranges(1, idx.nprobe)
+
     def test_v2_qprec_int8_mode(self, rng):
         """kernel_qprec='int8' (int8×int8 MXU with per-query
         quantization) stays rank-consistent with the default bf16

@@ -714,10 +714,13 @@ class ClusteredSlotMixin:
 
     def _use_ranges(self, pad_b: int, nprobe: int) -> bool:
         """Route small batches to the exact-bucket-range scan. Guarded
-        by the probe footprint (a pathologically skewed build would
-        make the static slice length L, hence every probe's read,
-        max-bucket-sized — past the budget the narrow-block path reads
-        less)."""
+        by the probe READ footprint in BYTES: every probe's slice is
+        the static max-bucket length L, so skewed bucket sizes (or big
+        dims) inflate the ranges read past what narrow covering blocks
+        fetch. Measured crossover (fixed-warm latency_b1, same window):
+        1M×384 ranges 1.27 vs narrow 1.38 ms/query (ranges reads
+        ~4 MB/query) but 10M×768 ranges 1.97 vs narrow 0.67 (ranges
+        reads ~17 MB/query) — an 8 MB budget splits the two."""
         lp = getattr(self, "latency_path", "auto")
         if lp in ("narrow", "wide"):
             return False
@@ -725,9 +728,11 @@ class ClusteredSlotMixin:
             return False
         if lp == "ranges":
             return True
+        bytes_per_row = self._slab.shape[1] * self._slab.dtype.itemsize
+        read = self._range_L * min(nprobe, len(self._row_cnt))
         return (
             pad_b <= self.small_batch_threshold
-            and self._range_L * min(nprobe, len(self._row_cnt)) <= 1 << 18
+            and read * bytes_per_row <= 1 << 23
         )
 
     def _kernel_gen(self) -> str:

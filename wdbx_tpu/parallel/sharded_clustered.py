@@ -653,9 +653,14 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
             return True
         nlist = int(self._row_cnt.shape[1]) if self._row_cnt is not None \
             else 1
+        # bytes-based footprint gate (see ClusteredIVFIndex._use_ranges:
+        # the static slice length is max-bucket-sized, so the rows-only
+        # gate mispicked ranges at 10M×768 where narrow reads ~3x less)
+        bytes_per_row = self._slab.shape[-1] * self._slab.dtype.itemsize
+        read = self._range_L * min(nprobe, nlist)
         return (
             pad_b <= self.small_batch_threshold
-            and self._range_L * min(nprobe, nlist) <= 1 << 18
+            and read * bytes_per_row <= 1 << 23
         )
 
     def search(self, queries, k, slot_mask=None):
