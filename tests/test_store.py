@@ -81,6 +81,19 @@ class TestVectorStore:
         assert not store.delete("v1")
         assert store.count() == 0
 
+    def test_warm_precompiles_batch_widths(self, temp_dir):
+        """warm() runs one search per power-of-two batch width (serving
+        pads to pow2, so this covers every QueryBatcher flush size) and
+        no-ops on an empty store."""
+        store = make_store(temp_dir)
+        assert store.warm(max_batch=8) == 0  # empty: nothing to warm
+        rng = np.random.default_rng(0)
+        store.batch_store({
+            f"w{i}": rng.standard_normal(4).astype(np.float32)
+            for i in range(32)
+        })
+        assert store.warm(max_batch=8) == 4  # widths 1, 2, 4, 8
+
     def test_missing_id_semantics(self, temp_dir):
         store = make_store(temp_dir)
         assert store.get("nope") is None

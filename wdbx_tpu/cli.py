@@ -254,12 +254,21 @@ class WDBXCLI:
         p = argparse.ArgumentParser(prog="serve", exit_on_error=False)
         p.add_argument("--host", default=None)
         p.add_argument("--port", type=int, default=None)
+        p.add_argument(
+            "--warm", action="store_true",
+            help="pre-compile serving programs for every batch width "
+                 "before accepting requests (first-request compile "
+                 "stalls otherwise land on live traffic)",
+        )
         try:
             ns = p.parse_args(args)
         except (argparse.ArgumentError, SystemExit):
             return 1
         from wdbx_tpu.api.server import WDBXAPIServer
 
+        if ns.warm:
+            widths = await asyncio.to_thread(self.wdbx.store.warm)
+            print(f"warmed {widths} batch widths")
         server = WDBXAPIServer(self.wdbx, host=ns.host, port=ns.port)
         await server.initialize()
         print(f"serving on http://{server.host}:{server.port}/api/v1 (ctrl-c to stop)")

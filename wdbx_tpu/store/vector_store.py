@@ -708,6 +708,30 @@ class VectorStore:
                 self._invalidate_snapshots()
             return False
 
+    def warm(self, max_batch: int = 128, limit: int = 10) -> int:
+        """Pre-compile the serving programs for every power-of-two
+        batch width up to ``max_batch`` (indexes pad widths to powers
+        of two, so this covers all QueryBatcher flush sizes). Without
+        it, the first request at each width bills a fresh device
+        compile — seconds to minutes on fresh geometries — to some
+        unlucky caller's latency. Compiled programs land in the
+        persistent cache, so warm cost is one-time per geometry.
+        Returns the number of widths warmed; no-op on an empty store."""
+        if self.count() == 0:
+            return 0
+        rng = np.random.default_rng(0)
+        q = rng.standard_normal((max(1, max_batch), self.dim))
+        q = (q / np.linalg.norm(q, axis=-1, keepdims=True)).astype(
+            np.float32
+        )
+        n = 0
+        w = 1
+        while w <= max_batch:
+            self.search_batch(q[:w], limit=limit)
+            n += 1
+            w *= 2
+        return n
+
     # -- persistence ------------------------------------------------------
     def _index_path(self, shard: int) -> str:
         return os.path.join(self.data_dir, "indices", f"shard_{shard}")
