@@ -135,6 +135,69 @@ class TestShardedClustered:
         )
         assert (got_c[1] == want_c[1]).all()
 
+    def test_int4_capacity_tier(self, rng, temp_dir):
+        """int4 on the mesh: packed (n_dev, rpd, d/2) uint8 slab, v2
+        kernel unpacks per block per device; CRUD, recall, persistence
+        and remesh behave like int8 with coarser codes."""
+        import os
+
+        from wdbx_tpu.parallel import make_mesh
+
+        d, n, k = 64, 3000, 10
+        db = _normed(rng, n, d)
+        q = _normed(rng, 8, d)
+        idx = _make(d, dtype="int4")
+        slots = idx.add_batch(db)
+        idx.build()
+        assert idx._slab.shape[-1] == d // 2
+        assert idx._slab.dtype == np.uint8
+        # self-query: int4 noise is under the self-match margin
+        _, got = idx.search(db[:8], 1)
+        assert (got.ravel() == slots[:8]).all()
+        # raw ranking far above chance on uniform-random (the
+        # adversarial corpus; the store's re-rank recovers ≥0.95)
+        exact = np.argsort(-(q @ db.T), axis=-1)[:, :k]
+        _, gk = idx.search(q, k)
+        recall = np.mean([
+            len(set(int(x) for x in a) & set(slots[b_].tolist())) / k
+            for a, b_ in zip(gk, exact)
+        ])
+        assert recall >= 0.25, recall
+        # get_vectors round-trips to ~int4 precision
+        back = idx.get_vectors(slots[:5])
+        cos = np.mean(np.sum(back * db[:5], axis=1)
+                      / np.linalg.norm(back, axis=1))
+        assert cos > 0.98, cos
+        # mutation + in-flight serving
+        idx.remove_slots(slots[:4])
+        fresh = _normed(rng, 4, d)
+        fslots = idx.add_batch(fresh)
+        _, gf = idx.search(fresh, 1)
+        assert (gf.ravel() == fslots).all()
+        qs = q.reshape(2, 4, d)
+        want = idx.search_pipelined(qs, 5)
+        got_h = idx.resolve_pipelined(
+            idx.search_pipelined(qs, 5, materialize=False)
+        )
+        assert (got_h[1] == want[1]).all()
+        # persistence round-trip
+        path = os.path.join(temp_dir, "si4")
+        idx.save(path)
+        idx2 = _make(d, dtype="int4")
+        assert idx2.load(path)
+        _, g2 = idx2.search(fresh, 1)
+        assert (g2.ravel() == fslots).all()
+        # live remesh keeps slots
+        idx.remesh(make_mesh(4))
+        _, g3 = idx.search(fresh, 1)
+        assert (g3.ravel() == fslots).all()
+
+    def test_sharded_flat_rejects_int4(self):
+        from wdbx_tpu.parallel import ShardedFlatIndex
+
+        with pytest.raises(ValueError, match="int4"):
+            ShardedFlatIndex(32, dtype="int4")
+
     def test_persistence_roundtrip(self, rng, temp_dir):
         d = 32
         idx = _make(d)

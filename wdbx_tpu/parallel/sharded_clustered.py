@@ -56,7 +56,7 @@ NEG = -3.4e38
 def _build_clustered_search(
     mesh, axis, *, k, nprobe, u, m, c, precision, int8, normalize,
     use_kernel, interpret, replica_axis=None, use_ranges=False, L=0,
-    kern="v1", qprec="bf16",
+    kern="v1", qprec="bf16", int4=False,
 ):
     """shard_map'd cluster query; per-batch and (NB,B,d)-stack variants.
 
@@ -66,6 +66,16 @@ def _build_clustered_search(
     device under round-robin striping). The ``blk_lo_l``/``blk_hi_l``
     operand slots then carry the (n_dev, nlist) local row starts and
     counts instead of block extents — same shapes, same shardings."""
+
+    def _unp(rows):
+        # int4 slabs store two signed nibbles per byte: unpack before
+        # any contraction (the Pallas kernels unpack per block in VMEM
+        # via their own int4 flag; these are the XLA legs)
+        if not int4:
+            return rows
+        from wdbx_tpu.kernels.quant import unpack_int4
+
+        return unpack_int4(rows)
 
     def local(slab_l, valid_l, scales_l, blk_lo_l, blk_hi_l, centroids,
               residual_l, rcount_l, q):
@@ -112,7 +122,8 @@ def _build_clustered_search(
                 in_bucket = v & (pos >= lo) & (pos < lo + cnt)
                 if int8:
                     s = jax.lax.dot_general(
-                        q.astype(jnp.bfloat16), rows.astype(jnp.bfloat16),
+                        q.astype(jnp.bfloat16),
+                        _unp(rows).astype(jnp.bfloat16),
                         (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=precision,
@@ -162,7 +173,7 @@ def _build_clustered_search(
                     sc_arg,
                     uniq.astype(jnp.int32), ok.astype(jnp.int32),
                     q if int8 else q.astype(slab2.dtype),
-                    k=min(k, rpd), c=c, interpret=interpret,
+                    k=min(k, rpd), c=c, interpret=interpret, int4=int4,
                 )
             elif kern == "v2":
                 kv, kp = clustered_block_topk_v2(
@@ -171,7 +182,7 @@ def _build_clustered_search(
                     uniq.astype(jnp.int32), ok.astype(jnp.int32),
                     q if int8 else q.astype(slab2.dtype),
                     k=min(k, rpd), c=c, interpret=interpret,
-                    qprec=qprec,
+                    qprec=qprec, int4=int4,
                 )
             else:
                 qk = (q.astype(jnp.bfloat16) if int8
@@ -199,7 +210,9 @@ def _build_clustered_search(
 
             def step(carry, x):
                 blk, okk = x
-                rows = jax.lax.dynamic_index_in_dim(slab3, blk, 0, False)
+                rows = _unp(
+                    jax.lax.dynamic_index_in_dim(slab3, blk, 0, False)
+                )
                 v = jax.lax.dynamic_index_in_dim(v2, blk, 0, False)
                 if int8:
                     sc = jax.lax.dynamic_index_in_dim(s2, blk, 0, False)
@@ -241,7 +254,7 @@ def _build_clustered_search(
         r_cap = residual_l.shape[1]
         if r_cap:
             rpos = residual_l[0]
-            rows = slab2[rpos]
+            rows = _unp(slab2[rpos])
             if int8:
                 rows = rows.astype(jnp.bfloat16)
                 rq = q.astype(jnp.bfloat16)
@@ -318,6 +331,9 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
     """
 
     kind = "sharded_clustered"
+    #: the per-device v2/v3 scan kernels unpack int4 nibbles per block
+    #: in VMEM — the capacity tier scales across the mesh here
+    _INT4_OK = True
 
     def __init__(self, dim, metric="cosine", dtype="float32",
                  capacity=1024, mesh=None, axis="shard", nlist=128,
@@ -420,10 +436,13 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
         def gather_rows(slab, scales, pos):
             dev, row = pos % n_dev, pos // n_dev
             # gathers from sharded operands need an explicit out sharding
-            rows = slab.at[dev, row].get(out_sharding=repl).astype(
-                jnp.float32
-            )
-            if self._is_int8:
+            rows = slab.at[dev, row].get(out_sharding=repl)
+            if self._is_int4:
+                from wdbx_tpu.kernels.quant import unpack_int4
+
+                rows = unpack_int4(rows)
+            rows = rows.astype(jnp.float32)
+            if self._is_quantized:
                 scl = scales.at[dev, row].get(out_sharding=repl)
                 rows = rows * scl[:, None]
             if self.metric == "cosine":
@@ -623,6 +642,8 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
         (see ClusteredIVFIndex._kernel_gen); ``kernel_version``
         forces v1/v2/v3."""
         kv = getattr(self, "kernel_version", "auto")
+        if kv == "v1" and self._is_int4:
+            return "v2"  # v1 has no nibble unpack
         return kv if kv in ("v1", "v2", "v3") else "v2"
 
     def _search_fn(self, k, nprobe, u, use_ranges=False):
@@ -634,13 +655,15 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
         if fn is None:
             fn = _build_clustered_search(
                 self.mesh, self.axis, k=k, nprobe=nprobe, u=u, m=self._m,
-                c=self._c, precision=self._precision, int8=self._is_int8,
+                c=self._c, precision=self._precision,
+                int8=self._is_quantized,
                 normalize=self.metric == "cosine",
                 use_kernel=self._use_kernel(k),
                 interpret=jax.default_backend() != "tpu",
                 replica_axis=self.replica_axis,
                 use_ranges=use_ranges, L=self._range_L,
                 kern=self._kernel_gen(), qprec=qprec,
+                int4=self._is_int4,
             )
             self._cluster_cache[key] = fn
         return fn

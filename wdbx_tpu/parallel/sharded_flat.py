@@ -39,14 +39,25 @@ from wdbx_tpu.ops.normalize import l2_normalize
 def _build_search(mesh: Mesh, axis: str, k: int, precision: str, int8: bool,
                   method: str = "exact", normalize: bool = False,
                   replica_axis: str | None = None,
-                  interpret: bool = False):
+                  interpret: bool = False, int4: bool = False):
+    # ``int8`` means "per-row scales exist" (int8 OR int4 callers pass
+    # _is_quantized); ``int4`` additionally unpacks nibble-packed rows
+    # before the contraction (the fused kernel has no unpack here, so
+    # int4 takes the exact/approx branch)
+    def _rows3(slab_l):
+        if not int4:
+            return slab_l
+        from wdbx_tpu.kernels.quant import unpack_int4
+
+        return unpack_int4(slab_l)
+
     def local(slab_l, valid_l, scales_l, q):
         n_dev = jax.lax.axis_size(axis)
         rows = slab_l.shape[1]
         k_local = min(k, rows)
         if normalize:  # folded in: saves one dispatch round trip per call
             q = l2_normalize(q)
-        if method == "fused" and rows % 256 == 0:
+        if method == "fused" and rows % 256 == 0 and not int4:
             # The roofline kernel runs per device inside shard_map
             # (Pallas composes with shard_map): the local (rows, d)
             # block streams through VMEM with the grouped fold — no
@@ -70,7 +81,7 @@ def _build_search(mesh: Mesh, axis: str, k: int, precision: str, int8: bool,
             # per query batch (measured 20x slowdown at 10M x 768).
             if int8:
                 qq = q.astype(jnp.bfloat16)
-                slab_t = slab_l.astype(jnp.bfloat16)
+                slab_t = _rows3(slab_l).astype(jnp.bfloat16)
             else:
                 qq = q.astype(slab_l.dtype)
                 slab_t = slab_l
@@ -109,7 +120,7 @@ def _build_search(mesh: Mesh, axis: str, k: int, precision: str, int8: bool,
         n_dev = jax.lax.axis_size(axis)
         rows = slab_l.shape[1]
         k_local = min(k, rows)
-        if method == "fused" and rows % 256 == 0:
+        if method == "fused" and rows % 256 == 0 and not int4:
             from wdbx_tpu.kernels.fused_topk import fused_topk_search_batched
 
             s, i = fused_topk_search_batched(
@@ -132,7 +143,7 @@ def _build_search(mesh: Mesh, axis: str, k: int, precision: str, int8: bool,
             def step(carry, q):
                 if int8:
                     qq = q.astype(jnp.bfloat16)
-                    slab_t = slab_l.astype(jnp.bfloat16)
+                    slab_t = _rows3(slab_l).astype(jnp.bfloat16)
                 else:
                     qq = q.astype(slab_l.dtype)
                     slab_t = slab_l
@@ -188,6 +199,9 @@ def _build_search(mesh: Mesh, axis: str, k: int, precision: str, int8: bool,
 
 class ShardedFlatIndex(FlatIndex):
     kind = "sharded_flat"
+    #: int4 needs a per-block unpack in the scan; the clustered
+    #: subclass's kernel has one, the flat mesh scan does not (yet)
+    _INT4_OK = False
 
     def __init__(
         self,
@@ -199,10 +213,10 @@ class ShardedFlatIndex(FlatIndex):
         axis: str = "shard",
         replicas: int = 1,
     ):
-        if dtype == "int4":
+        if dtype == "int4" and not self._INT4_OK:
             raise ValueError(
-                "int4 slabs are single-device for now (flat/ivf_clustered);"
-                " shard by running one int4 index per host"
+                "int4 slabs need a per-block unpack in the scan kernel: "
+                "use ivf_clustered (single-device) or sharded_clustered"
             )
         if mesh is None:
             if replicas > 1:
@@ -260,7 +274,9 @@ class ShardedFlatIndex(FlatIndex):
     def _alloc(self, cap: int) -> None:
         rpd = cap // self.n_devices
         self._slab = jax.device_put(
-            jnp.zeros((self.n_devices, rpd, self.dim), self._dtype),
+            jnp.zeros(
+                (self.n_devices, rpd, self._row_width), self._dtype
+            ),
             self._sharding(P(self.axis, None, None)),
         )
         self._valid = jax.device_put(
@@ -300,14 +316,19 @@ class ShardedFlatIndex(FlatIndex):
             slab_s = self._sharding(P(self.axis, None, None))
             valid_s = self._sharding(P(self.axis, None))
             int8 = self._is_int8
+            int4 = self._is_int4
 
             @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnums=(6,))
             def write(slab, valid, scales, v, s, f, n_dev):
                 dev, row = s % n_dev, s // n_dev
-                if int8:
-                    from wdbx_tpu.kernels.quant import quantize_rows
+                if int8 or int4:
+                    from wdbx_tpu.kernels.quant import (
+                        quantize_rows, quantize_rows_int4,
+                    )
 
-                    qv, sc = quantize_rows(v)
+                    qv, sc = (
+                        quantize_rows_int4(v) if int4 else quantize_rows(v)
+                    )
                     slab = slab.at[dev, row].set(qv, out_sharding=slab_s)
                     scales = scales.at[dev, row].set(sc, out_sharding=valid_s)
                 else:
@@ -346,7 +367,9 @@ class ShardedFlatIndex(FlatIndex):
         # slot-ordered (cap, dim) host layout → (n_dev, rpd, dim) striped
         rpd = self._cap // self.n_devices
         slab3 = np.ascontiguousarray(
-            slab_np.reshape(rpd, self.n_devices, self.dim).transpose(1, 0, 2)
+            slab_np.reshape(
+                rpd, self.n_devices, self._row_width
+            ).transpose(1, 0, 2)
         )
         valid2 = np.ascontiguousarray(
             valid_np.reshape(rpd, self.n_devices).T
@@ -382,7 +405,7 @@ class ShardedFlatIndex(FlatIndex):
         persistence backend instead of npz/remesh paths that need
         this)."""
         slab = self._host_replicated(self._slab).transpose(1, 0, 2).reshape(
-            -1, self.dim
+            -1, self._row_width
         )
         valid = self._host_replicated(self._valid).T.reshape(-1)
         return slab, valid
@@ -423,10 +446,12 @@ class ShardedFlatIndex(FlatIndex):
             fn = self._search_cache.get(key)
             if fn is None:
                 fn = _build_search(
-                    self.mesh, self.axis, k, self._precision, self._is_int8,
+                    self.mesh, self.axis, k, self._precision,
+                    self._is_quantized,
                     method=method, normalize=self.metric == "cosine",
                     replica_axis=self.replica_axis,
                     interpret=jax.default_backend() != "tpu",
+                    int4=self._is_int4,
                 )
                 self._search_cache[key] = fn
             scores, slots = fn(self._slab, valid, self._scales, q)
@@ -464,10 +489,12 @@ class ShardedFlatIndex(FlatIndex):
             fn = self._search_cache.get(key)
             if fn is None:
                 fn = _build_search(
-                    self.mesh, self.axis, k, self._precision, self._is_int8,
+                    self.mesh, self.axis, k, self._precision,
+                    self._is_quantized,
                     method=method, normalize=self.metric == "cosine",
                     replica_axis=self.replica_axis,
                     interpret=jax.default_backend() != "tpu",
+                    int4=self._is_int4,
                 )
                 self._search_cache[key] = fn
             scores, slots = fn.pipelined(
@@ -598,8 +625,15 @@ class ShardedFlatIndex(FlatIndex):
         slots = np.asarray(slots, np.int64)
         with self._mu.read():
             slab, _ = self._host_slot_view()
-            rows = slab[slots].astype(np.float32)
-            if self._is_int8:
+            rows = slab[slots]
+            if self._is_int4:
+                # host nibble unpack (kernels/quant.py layout: dim j
+                # low nibble, dim j + d/2 high)
+                lo = (rows & 0xF).astype(np.int8) - 8
+                hi = (rows >> 4).astype(np.int8) - 8
+                rows = np.concatenate([lo, hi], axis=-1)
+            rows = rows.astype(np.float32)
+            if self._is_quantized:
                 scales = self._host_replicated(self._scales).T.reshape(-1)
                 rows = rows * scales[slots][:, None]
         return rows
@@ -609,7 +643,7 @@ class ShardedFlatIndex(FlatIndex):
         rpd = self._cap // self.n_devices
         out = {
             "slab": jax.ShapeDtypeStruct(
-                (self.n_devices, rpd, self.dim), self._dtype,
+                (self.n_devices, rpd, self._row_width), self._dtype,
                 sharding=self._sharding(P(self.axis, None, None)),
             ),
             "valid": jax.ShapeDtypeStruct(
@@ -650,10 +684,10 @@ class ShardedFlatIndex(FlatIndex):
         slab, valid = self._host_slot_view()
         hwm = self._next_slot
         slab = slab[:hwm]
-        if slab.dtype not in (np.float32, np.int8):
+        if slab.dtype not in (np.float32, np.int8, np.uint8):
             slab = slab.view(np.uint16)
         arrays = {"slab": slab, "valid": valid[:hwm]}
-        if self._is_int8:
+        if self._is_quantized:
             arrays["scales"] = self._host_replicated(self._scales).T.reshape(-1)[:hwm]
         np.savez(path + ".npz", **arrays)
         with open(path + ".meta.json", "w") as f:
