@@ -93,6 +93,10 @@ class TestVectorStore:
             for i in range(32)
         })
         assert store.warm(max_batch=8) == 4  # widths 1, 2, 4, 8
+        # non-pow2 limits sweep one pow2 PAST the limit: a 6-query
+        # flush pads to 8, and QueryBatcher flushes can exceed the
+        # nominal max — warming only up to 4 would leave width 8 cold
+        assert store.warm(max_batch=6) == 4  # widths 1, 2, 4, 8
 
     def test_missing_id_semantics(self, temp_dir):
         store = make_store(temp_dir)

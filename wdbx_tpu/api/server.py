@@ -436,29 +436,19 @@ class WDBXAPIServer:
 
     async def warmup(self, k: int = 10) -> int:
         """Pre-trace the query programs for every pow2-padded batch
-        width up to the batcher's coalesce limit. Without this, the
-        FIRST request at each coalesced width pays an XLA compile
-        (measured p95 ~4 s on first contact vs ~90 ms warm); a
-        production server warms before taking traffic. Returns the
-        number of widths traced. Enabled by API_WARMUP=true or the
-        ``warmup`` kwarg of serve paths."""
-        import numpy as np
-
-        dim = self.wdbx.vector_dim
-        if self.wdbx.count_vectors() == 0:
-            return 0
+        width up to (and one past) the batcher's coalesce limit.
+        Without this, the FIRST request at each coalesced width pays an
+        XLA compile (measured p95 ~4 s on first contact vs ~90 ms
+        warm); a production server warms before taking traffic.
+        Delegates to ``VectorStore.warm`` (one implementation of the
+        width sweep). Returns the number of widths traced. Enabled by
+        API_WARMUP=true or the ``warmup`` kwarg of serve paths."""
         max_b = self.batcher.max_batch if self.batcher else 64
-        widths = []
-        b = 1
-        while b <= max_b:
-            widths.append(b)
-            b *= 2
-        rng = np.random.default_rng(0)
-        for width in widths:
-            q = rng.standard_normal((width, dim)).astype(np.float32)
-            await asyncio.to_thread(self.wdbx.store.search_batch, q, k)
-        logger.info("warmed %d batch widths (<= %d)", len(widths), max_b)
-        return len(widths)
+        n = await asyncio.to_thread(
+            self.wdbx.store.warm, max_b, k
+        )
+        logger.info("warmed %d batch widths (limit %d)", n, max_b)
+        return n
 
     async def start(self) -> None:
         # warm BEFORE the socket opens: a load balancer health-checking

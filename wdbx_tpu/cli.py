@@ -266,11 +266,13 @@ class WDBXCLI:
             return 1
         from wdbx_tpu.api.server import WDBXAPIServer
 
-        if ns.warm:
-            widths = await asyncio.to_thread(self.wdbx.store.warm)
-            print(f"warmed {widths} batch widths")
         server = WDBXAPIServer(self.wdbx, host=ns.host, port=ns.port)
         await server.initialize()
+        if ns.warm:
+            # server.warmup reads the QueryBatcher's real coalesce
+            # limit (API_BATCH_MAX), not a hardcoded width
+            widths = await server.warmup()
+            print(f"warmed {widths} batch widths")
         print(f"serving on http://{server.host}:{server.port}/api/v1 (ctrl-c to stop)")
         try:
             await server.serve_forever()

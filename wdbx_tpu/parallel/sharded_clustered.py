@@ -563,8 +563,9 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
         n_dev, nlist = local_counts.shape
         rpd = self.rows_per_device
         if c is None:
+            # row bytes via the STORAGE width (int4 packs two dims/byte)
             c = _block_rows(
-                self.dim, np.dtype(self._dtype).itemsize, rpd,
+                self._row_width, np.dtype(self._dtype).itemsize, rpd,
                 target=self.block_bytes_target,
             )
         # NOTE: load() passes the PERSISTED c — recomputing from the
@@ -634,17 +635,6 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
         if r_cap == 0:
             table = table[:, :0]
         return table, counts
-
-    def _kernel_gen(self) -> str:
-        """Kernel generation for the per-device Pallas scan. "auto"
-        picks v2, matching the single-device engine: kernel-isolated
-        and in-flight e2e A/Bs at the flagship geometry settled on v2
-        (see ClusteredIVFIndex._kernel_gen); ``kernel_version``
-        forces v1/v2/v3."""
-        kv = getattr(self, "kernel_version", "auto")
-        if kv == "v1" and self._is_int4:
-            return "v2"  # v1 has no nibble unpack
-        return kv if kv in ("v1", "v2", "v3") else "v2"
 
     def _search_fn(self, k, nprobe, u, use_ranges=False):
         qprec = getattr(self, "kernel_qprec", "bf16")

@@ -44,12 +44,47 @@ def _build_search(mesh: Mesh, axis: str, k: int, precision: str, int8: bool,
     # _is_quantized); ``int4`` additionally unpacks nibble-packed rows
     # before the contraction (the fused kernel has no unpack here, so
     # int4 takes the exact/approx branch)
-    def _rows3(slab_l):
-        if not int4:
-            return slab_l
+    def _int4_topk(slab_l, valid_l, scales_l, q, k_local):
+        """Blocked int4 scan: unpack one row-block at a time inside a
+        lax.scan — a whole-slab unpack would materialize a 2x int8 (4x
+        bf16) copy of the local slab per batch, which cannot exist at
+        the capacity tier this dtype is FOR (20M x 768 packed is
+        7.7 GB of a 16 GB chip). Takes the (1, rows, dw) shard_map
+        locals directly: the reshape is layout-free, where a [0] slice
+        first would materialize a packed copy per batch."""
         from wdbx_tpu.kernels.quant import unpack_int4
 
-        return unpack_int4(slab_l)
+        rows = slab_l.shape[1]
+        blk = 8192
+        while blk > 1 and rows % blk:
+            blk //= 2
+        nblk = rows // blk
+        slab_b = slab_l.reshape(nblk, blk, slab_l.shape[2])
+        valid_b = valid_l.reshape(nblk, blk)
+        scales_b = scales_l.reshape(nblk, blk)
+        off = jnp.arange(nblk, dtype=jnp.int32) * blk
+        qq = q.astype(jnp.bfloat16)
+        kb = min(k_local, blk)
+
+        def step(carry, x):
+            rb, vb, sb, o = x
+            s = jax.lax.dot_general(
+                qq, unpack_int4(rb).astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            ) * sb[None, :]
+            s = jnp.where(vb[None, :], s, -jnp.inf)
+            v_, i_ = jax.lax.top_k(s, kb)
+            return carry, (v_, i_.astype(jnp.int32) + o)
+
+        _, (vs, is_) = jax.lax.scan(
+            step, 0, (slab_b, valid_b, scales_b, off)
+        )
+        b = q.shape[0]
+        flat_s = vs.transpose(1, 0, 2).reshape(b, nblk * kb)
+        flat_i = is_.transpose(1, 0, 2).reshape(b, nblk * kb)
+        s, sel = jax.lax.top_k(flat_s, min(k_local, flat_s.shape[-1]))
+        return s, jnp.take_along_axis(flat_i, sel, axis=1)
 
     def local(slab_l, valid_l, scales_l, q):
         n_dev = jax.lax.axis_size(axis)
@@ -75,13 +110,15 @@ def _build_search(mesh: Mesh, axis: str, k: int, precision: str, int8: bool,
             )
             s = jnp.where(s <= -3.0e38, -jnp.inf, s)
             i = i.astype(jnp.int32)
+        elif int4:
+            s, i = _int4_topk(slab_l, valid_l, scales_l, q, k_local)
         else:
             # Contract against the 3D slab directly — slicing slab_l[0]
             # first makes XLA materialize a full copy of the local slab
             # per query batch (measured 20x slowdown at 10M x 768).
             if int8:
                 qq = q.astype(jnp.bfloat16)
-                slab_t = _rows3(slab_l).astype(jnp.bfloat16)
+                slab_t = slab_l.astype(jnp.bfloat16)
             else:
                 qq = q.astype(slab_l.dtype)
                 slab_t = slab_l
@@ -141,9 +178,14 @@ def _build_search(mesh: Mesh, axis: str, k: int, precision: str, int8: bool,
                 )
 
             def step(carry, q):
+                if int4:
+                    s_, i_ = _int4_topk(
+                        slab_l, valid_l, scales_l, q, k_local
+                    )
+                    return carry, (s_, i_)
                 if int8:
                     qq = q.astype(jnp.bfloat16)
-                    slab_t = _rows3(slab_l).astype(jnp.bfloat16)
+                    slab_t = slab_l.astype(jnp.bfloat16)
                 else:
                     qq = q.astype(slab_l.dtype)
                     slab_t = slab_l

@@ -710,23 +710,28 @@ class VectorStore:
 
     def warm(self, max_batch: int = 128, limit: int = 10) -> int:
         """Pre-compile the serving programs for every power-of-two
-        batch width up to ``max_batch`` (indexes pad widths to powers
-        of two, so this covers all QueryBatcher flush sizes). Without
-        it, the first request at each width bills a fresh device
-        compile — seconds to minutes on fresh geometries — to some
-        unlucky caller's latency. Compiled programs land in the
-        persistent cache, so warm cost is one-time per geometry.
+        batch width up to ``_next_pow2(max_batch)`` INCLUSIVE — indexes
+        pad widths to powers of two, and QueryBatcher flushes can run
+        slightly past max_batch (appends race the flush trigger), so
+        the sweep must reach the pow2 ABOVE the nominal limit or a
+        live request still bills the compile. Without warming, the
+        first request at each width pays a fresh device compile —
+        seconds to minutes on fresh geometries. Compiled programs land
+        in the persistent cache, so warm cost is one-time per geometry.
         Returns the number of widths warmed; no-op on an empty store."""
+        from wdbx_tpu.index.flat import _next_pow2
+
         if self.count() == 0:
             return 0
+        stop = _next_pow2(max(1, int(max_batch)))
         rng = np.random.default_rng(0)
-        q = rng.standard_normal((max(1, max_batch), self.dim))
+        q = rng.standard_normal((stop, self.dim))
         q = (q / np.linalg.norm(q, axis=-1, keepdims=True)).astype(
             np.float32
         )
         n = 0
         w = 1
-        while w <= max_batch:
+        while w <= stop:
             self.search_batch(q[:w], limit=limit)
             n += 1
             w *= 2
