@@ -1055,6 +1055,28 @@ class TestInt4:
             # store layer's exact re-rank recovers to ≥0.95 (next test)
             assert recall >= 0.25, (kernel, recall)
 
+    def test_flat_int4_fused_kernel_matches_exact(self, rng):
+        """The fused kernel's per-tile int4 unpack (the path that keeps
+        the PACKED slab in HBM — a whole-slab unpack cannot exist at
+        the 20M capacity tier) must rank like the exact XLA path's
+        whole-slab unpack."""
+        d = 64
+        db = _normed(rng, 2048, d)
+        q = _normed(rng, 8, d)
+        idx = FlatIndex(d, dtype="int4", capacity=2048)
+        slots = idx.add_batch(db)
+        idx.topk_method = "exact"
+        _, want = idx.search(q, 10)
+        idx.topk_method = "fused"  # interpret-mode Pallas off-TPU
+        _, got = idx.search(q, 10)
+        overlap = np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / 10
+            for a, b in zip(got, want)
+        ])
+        assert overlap >= 0.9, overlap
+        _, selfq = idx.search(db[:8], 1)
+        assert (selfq.ravel() == slots[:8]).all()
+
     def test_int4_dim_must_be_even(self):
         with pytest.raises(ValueError, match="even"):
             FlatIndex(33, dtype="int4")

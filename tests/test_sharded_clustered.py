@@ -192,11 +192,34 @@ class TestShardedClustered:
         _, g3 = idx.search(fresh, 1)
         assert (g3.ravel() == fslots).all()
 
-    def test_sharded_flat_rejects_int4(self):
+    def test_sharded_flat_int4(self, rng):
+        """Packed int4 on the flat mesh scan: the fused kernel unpacks
+        per tile (and the exact fallback per block) — self-queries and
+        slot bookkeeping behave like int8 with coarser codes."""
         from wdbx_tpu.parallel import ShardedFlatIndex
 
+        d = 64
+        idx = ShardedFlatIndex(d, dtype="int4", capacity=1024)
+        db = _normed(rng, 300, d)
+        slots = idx.add_batch(db)
+        assert idx._slab.shape[-1] == d // 2
+        assert idx._slab.dtype == np.uint8
+        _, got = idx.search(db[:8], 1)
+        assert (got.ravel() == slots[:8]).all()
+        idx.remove_slots(slots[:2])
+        _, g2 = idx.search(db[:2], 1)
+        assert slots[0] not in g2 and slots[1] not in g2
+        qs = db[:8].reshape(2, 4, d)
+        _, gp = idx.search_pipelined(qs, 1)
+        assert (gp.reshape(-1)[2:] == slots[2:8]).all()
+
+    def test_sharded_ivf_rejects_int4(self):
+        """The dense-table IVF (single-device AND sharded) stays int8:
+        its bucket tables gather raw codes with no nibble unpack."""
+        from wdbx_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
         with pytest.raises(ValueError, match="int4"):
-            ShardedFlatIndex(32, dtype="int4")
+            ShardedIVFIndex(32, dtype="int4")
 
     def test_persistence_roundtrip(self, rng, temp_dir):
         d = 32

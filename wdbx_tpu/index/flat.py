@@ -369,15 +369,16 @@ class FlatIndex(VectorIndex):
             slab, valid, scales, cap = (
                 self._slab, self._valid, self._scales, self._cap,
             )
-            if self._is_int4:
-                # unpack to int8 codes on device; the row scale (max/7)
-                # then flows through the ordinary int8 scoring paths
-                slab = _unpack4(slab)
             if slot_mask is not None:
                 mask = np.zeros(cap, bool)
                 mask[: len(slot_mask)] = slot_mask[:cap]
                 valid = jnp.logical_and(valid, jnp.asarray(mask))
             method = self._resolve_topk()
+            if self._is_int4 and method != "fused":
+                # exact/XLA fallback: unpack to int8 codes on device
+                # (the fused kernel unpacks per TILE instead — a
+                # whole-slab copy cannot exist at the capacity tier)
+                slab = _unpack4(slab)
             if method == "fused":
                 from wdbx_tpu.kernels.fused_topk import fused_topk_search
 
@@ -387,6 +388,7 @@ class FlatIndex(VectorIndex):
                     interpret=jax.default_backend() != "tpu",  # Mosaic: TPU-only
                     scales=scales if self._is_quantized else None,
                     normalize=normalize,  # folded into the one dispatch
+                    int4=self._is_int4,
                 )
                 if scores.shape[1] < k:
                     pad = k - scores.shape[1]
@@ -449,8 +451,6 @@ class FlatIndex(VectorIndex):
             slab, valid, scales, cap = (
                 self._slab, self._valid, self._scales, self._cap,
             )
-            if self._is_int4:
-                slab = _unpack4(slab)
             if self._resolve_topk() == "fused":
                 from wdbx_tpu.kernels.fused_topk import (
                     fused_topk_search_batched,
@@ -462,8 +462,13 @@ class FlatIndex(VectorIndex):
                     interpret=jax.default_backend() != "tpu",
                     scales=scales if self._is_quantized else None,
                     normalize=normalize,  # folded into the one dispatch
+                    int4=self._is_int4,
                 )
             else:
+                if self._is_int4:
+                    # exact/XLA fallback only: the fused kernel above
+                    # unpacks per tile instead
+                    slab = _unpack4(slab)
                 if normalize:
                     flat = l2_normalize(qstack.reshape(-1, self.dim))
                     qstack = flat.reshape(qstack.shape)

@@ -430,11 +430,13 @@ class IVFIndex(FlatIndex):
         assignments: int = 1,
     ):
         super().__init__(dim, metric=metric, dtype=dtype, capacity=capacity)
-        if dtype == "int4" and self.kind == "ivf":
+        if dtype == "int4" and self.kind in ("ivf", "sharded_ivf"):
             # the dense-table layout would duplicate packed codes into
-            # bucket tables; int4 is the clustered/flat capacity tier
+            # bucket tables (and its table scoring has no nibble
+            # unpack); int4 is the flat/clustered capacity tier
             raise ValueError(
-                "int4 is supported by 'flat' and 'ivf_clustered' "
+                "int4 is supported by 'flat', 'sharded_flat', "
+                "'ivf_clustered' and 'sharded_clustered' "
                 "(the dense-table IVF stays int8)"
             )
         self.nlist = nlist

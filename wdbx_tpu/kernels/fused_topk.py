@@ -165,7 +165,8 @@ def _kernel(q_ref, db_ref, valid_ref, out_v_ref, out_i_ref, tv, ti, *, k: int,
 
 
 def _kernel_int8(q_ref, db_ref, valid_ref, scales_ref, out_v_ref, out_i_ref,
-                 tv, ti, *, k: int, block_n: int, group: int = 0):
+                 tv, ti, *, k: int, block_n: int, group: int = 0,
+                 int4: bool = False):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -173,8 +174,19 @@ def _kernel_int8(q_ref, db_ref, valid_ref, scales_ref, out_v_ref, out_i_ref,
         tv[:] = jnp.full_like(tv, NEG)
         ti[:] = jnp.full_like(ti, -1)
 
+    rows = db_ref[:]
+    if int4:
+        # packed nibbles (kernels/quant.py layout: dim j low, dim
+        # j + d/2 high) unpack on the VPU per TILE — the packed slab
+        # streams from HBM at half of int8's bytes and the unpacked
+        # copy never exceeds one (BLOCK_N, d) tile in VMEM. The -8
+        # bias runs in i32 (Mosaic has no i8 vector sub).
+        r32 = rows.astype(jnp.int32)
+        lo = ((r32 & 0xF) - 8).astype(jnp.int8)
+        hi = (((r32 >> 4) & 0xF) - 8).astype(jnp.int8)
+        rows = jnp.concatenate([lo, hi], axis=1)
     scores = jax.lax.dot_general(
-        q_ref[:], db_ref[:].astype(q_ref.dtype),
+        q_ref[:], rows.astype(q_ref.dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (B, BLOCK_N)
@@ -202,28 +214,31 @@ def _default_group(n: int, block_n: int, k: int) -> int:
 
 
 def _pallas_topk(db, queries, valid_i8, scales, k, block_n, interpret,
-                 group):
-    """Single-batch pallas_call; traceable, so callers may scan it."""
-    n, d = db.shape
-    b = queries.shape[0]
+                 group, int4=False):
+    """Single-batch pallas_call; traceable, so callers may scan it.
+    For ``int4`` the db is nibble-packed (n, d/2) uint8 and the query
+    width differs from the storage width — tiles unpack in-kernel."""
+    n, dw = db.shape
+    b, qd = queries.shape
     grid = (n // block_n,)
     in_specs = [
-        pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, qd), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(
-            (block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (block_n, dw), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         pl.BlockSpec((1, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
     ]
     operands = [queries, db, valid_i8]
+    d = qd
     if scales is not None:
         kern = functools.partial(_kernel_int8, k=k, block_n=block_n,
-                                 group=group)
+                                 group=group, int4=int4)
         in_specs.append(
             pl.BlockSpec((1, block_n), lambda i: (0, i),
                          memory_space=pltpu.VMEM)
         )
         operands.append(scales)
-        slab_bytes = n * d  # int8
+        slab_bytes = n * dw  # int8 / packed int4
     else:
         kern = functools.partial(_kernel, k=k, block_n=block_n, group=group)
         slab_bytes = n * d * db.dtype.itemsize
@@ -262,7 +277,7 @@ def _pallas_topk(db, queries, valid_i8, scales, k, block_n, interpret,
 
 @functools.partial(
     jax.jit, static_argnames=("k", "block_n", "interpret", "group",
-                              "normalize")
+                              "normalize", "int4")
 )
 def fused_topk_search(
     db: jax.Array,
@@ -274,6 +289,7 @@ def fused_topk_search(
     scales: jax.Array | None = None,
     group: int | None = None,
     normalize: bool = False,
+    int4: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Top-k inner products of ``queries`` (B, d) against ``db`` (N, d).
 
@@ -282,9 +298,11 @@ def fused_topk_search(
     of shape ``(B, k)``; sorted descending because the fold fills ranks
     in order. Invalid rows surface as ``-3.4e38``/whatever index — mask
     them by score like the exact_search contract. For int8 slabs pass
-    per-row ``scales`` (N,) f32; queries then stay bf16/f32.
+    per-row ``scales`` (N,) f32; queries then stay bf16/f32. For int4
+    pass the PACKED (N, d/2) uint8 slab with ``int4=True`` — tiles
+    unpack in VMEM, the packed slab streams at half of int8's bytes.
     """
-    n, d = db.shape
+    n = db.shape[0]
     assert n % block_n == 0, (n, block_n)
     if group is None:
         group = _default_group(n, block_n, k)
@@ -299,7 +317,7 @@ def fused_topk_search(
     else:
         queries = queries.astype(db.dtype)
     v, i = _pallas_topk(db, queries, valid_i8, scales, k, block_n, interpret,
-                        group)
+                        group, int4=int4)
     # -inf rewrite stays inside this program: a separate jnp.where
     # dispatch costs one blocking round trip per call on tunneled devices
     return jnp.where(v <= NEG, -jnp.inf, v), i
@@ -307,7 +325,7 @@ def fused_topk_search(
 
 @functools.partial(
     jax.jit, static_argnames=("k", "block_n", "interpret", "group",
-                              "normalize")
+                              "normalize", "int4")
 )
 def fused_topk_search_batched(
     db: jax.Array,
@@ -319,21 +337,22 @@ def fused_topk_search_batched(
     scales: jax.Array | None = None,
     group: int | None = None,
     normalize: bool = False,
+    int4: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Scan the fused kernel over a (NB, B, d) query stack in ONE
     dispatch. Returns (NB, B, k) values/indices. This is the serving
     pipeline: dispatch overhead (a ~30 ms round trip on tunneled
     devices) amortizes over NB batches while the kernel streams the
     slab once per batch at HBM speed."""
-    n, d = db.shape
+    n = db.shape[0]
     assert n % block_n == 0, (n, block_n)
     if group is None:
         group = _default_group(n, block_n, k)
     if normalize:
         from wdbx_tpu.ops.normalize import l2_normalize
 
-        nb_, b_, _ = qstack.shape
-        qstack = l2_normalize(qstack.reshape(-1, d)).reshape(nb_, b_, d)
+        nb_, b_, d_ = qstack.shape
+        qstack = l2_normalize(qstack.reshape(-1, d_)).reshape(nb_, b_, d_)
     valid_i8 = valid.astype(jnp.int8).reshape(1, n)
     if scales is not None:
         scales = scales.astype(jnp.float32).reshape(1, n)
@@ -343,7 +362,7 @@ def fused_topk_search_batched(
 
     def step(carry, q):
         v, i = _pallas_topk(db, q, valid_i8, scales, k, block_n, interpret,
-                            group)
+                            group, int4=int4)
         return carry, (v, i)
 
     _, (vals, idx) = jax.lax.scan(step, 0, qstack)

@@ -41,9 +41,9 @@ def _build_search(mesh: Mesh, axis: str, k: int, precision: str, int8: bool,
                   replica_axis: str | None = None,
                   interpret: bool = False, int4: bool = False):
     # ``int8`` means "per-row scales exist" (int8 OR int4 callers pass
-    # _is_quantized); ``int4`` additionally unpacks nibble-packed rows
-    # before the contraction (the fused kernel has no unpack here, so
-    # int4 takes the exact/approx branch)
+    # _is_quantized); ``int4`` marks nibble-packed rows — the fused
+    # kernel unpacks per tile in VMEM, the blocked fallback below
+    # unpacks per 8192-row block
     def _int4_topk(slab_l, valid_l, scales_l, q, k_local):
         """Blocked int4 scan: unpack one row-block at a time inside a
         lax.scan — a whole-slab unpack would materialize a 2x int8 (4x
@@ -92,12 +92,13 @@ def _build_search(mesh: Mesh, axis: str, k: int, precision: str, int8: bool,
         k_local = min(k, rows)
         if normalize:  # folded in: saves one dispatch round trip per call
             q = l2_normalize(q)
-        if method == "fused" and rows % 256 == 0 and not int4:
+        if method == "fused" and rows % 256 == 0:
             # The roofline kernel runs per device inside shard_map
             # (Pallas composes with shard_map): the local (rows, d)
             # block streams through VMEM with the grouped fold — no
             # (B, rows) score matrix in HBM on ANY chip. Inside
             # shard_map the [0] reshape is local, not a GSPMD slice.
+            # int4 slabs stay PACKED: the kernel unpacks per tile.
             from wdbx_tpu.kernels.fused_topk import fused_topk_search
 
             s, i = fused_topk_search(
@@ -107,6 +108,7 @@ def _build_search(mesh: Mesh, axis: str, k: int, precision: str, int8: bool,
                 ),
                 interpret=interpret,
                 scales=scales_l[0] if int8 else None,
+                int4=int4,
             )
             s = jnp.where(s <= -3.0e38, -jnp.inf, s)
             i = i.astype(jnp.int32)
@@ -157,7 +159,7 @@ def _build_search(mesh: Mesh, axis: str, k: int, precision: str, int8: bool,
         n_dev = jax.lax.axis_size(axis)
         rows = slab_l.shape[1]
         k_local = min(k, rows)
-        if method == "fused" and rows % 256 == 0 and not int4:
+        if method == "fused" and rows % 256 == 0:
             from wdbx_tpu.kernels.fused_topk import fused_topk_search_batched
 
             s, i = fused_topk_search_batched(
@@ -167,6 +169,7 @@ def _build_search(mesh: Mesh, axis: str, k: int, precision: str, int8: bool,
                 ),
                 interpret=interpret,
                 scales=scales_l[0] if int8 else None, normalize=normalize,
+                int4=int4,
             )  # (NB, B, k_local)
             s = jnp.where(s <= -3.4e38, -jnp.inf, s)
             i = i.astype(jnp.int32)
@@ -241,9 +244,11 @@ def _build_search(mesh: Mesh, axis: str, k: int, precision: str, int8: bool,
 
 class ShardedFlatIndex(FlatIndex):
     kind = "sharded_flat"
-    #: int4 needs a per-block unpack in the scan; the clustered
-    #: subclass's kernel has one, the flat mesh scan does not (yet)
-    _INT4_OK = False
+    #: packed int4 is supported: the fused kernel unpacks per tile and
+    #: the exact fallback per 8192-row block — the packed slab never
+    #: expands in HBM. (ShardedIVFIndex still rejects int4 through the
+    #: IVFIndex constructor: its dense bucket tables have no unpack.)
+    _INT4_OK = True
 
     def __init__(
         self,
@@ -257,8 +262,7 @@ class ShardedFlatIndex(FlatIndex):
     ):
         if dtype == "int4" and not self._INT4_OK:
             raise ValueError(
-                "int4 slabs need a per-block unpack in the scan kernel: "
-                "use ivf_clustered (single-device) or sharded_clustered"
+                "int4 slabs need a per-block unpack in the scan kernel"
             )
         if mesh is None:
             if replicas > 1:

@@ -211,6 +211,9 @@ class ShardedIVFIndex(IVFIndex, ShardedFlatIndex):
     layout."""
 
     kind = "sharded_ivf"
+    #: the dense bucket tables gather raw codes with no nibble unpack
+    #: (same rule as single-device IVFIndex) — int4 stays flat/clustered
+    _INT4_OK = False
 
     def __init__(self, dim, metric="cosine", dtype="float32",
                  capacity=1024, mesh=None, axis="shard", nlist=128,
