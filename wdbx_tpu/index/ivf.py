@@ -430,7 +430,9 @@ class IVFIndex(FlatIndex):
         assignments: int = 1,
     ):
         super().__init__(dim, metric=metric, dtype=dtype, capacity=capacity)
-        if dtype == "int4" and self.kind in ("ivf", "sharded_ivf"):
+        # (ShardedIVFIndex bypasses this constructor; its rejection
+        # runs through ShardedFlatIndex._INT4_OK instead)
+        if dtype == "int4" and self.kind == "ivf":
             # the dense-table layout would duplicate packed codes into
             # bucket tables (and its table scoring has no nibble
             # unpack); int4 is the flat/clustered capacity tier

@@ -143,15 +143,9 @@ def _kernel_v2(uniq_ref, ok_ref, meta_ref, q_ref, qs_ref, *rest, k: int,
         for j in range(n_ways):
             rows = blk_refs[j][:]
             if int4:
-                # packed nibbles (kernels/quant.py layout: dim j low,
-                # dim j+d/2 high) — unpack on the VPU, then the int8
-                # MXU path below scores the codes. Mosaic has no i8
-                # vector sub, so the -8 bias runs in i32 and truncates
-                # back (codes stay in [-8, 7], no wrap possible).
-                r32 = rows.astype(jnp.int32)
-                lo = ((r32 & 0xF) - 8).astype(jnp.int8)
-                hi = (((r32 >> 4) & 0xF) - 8).astype(jnp.int8)
-                rows = jnp.concatenate([lo, hi], axis=1)
+                from wdbx_tpu.kernels.quant import unpack_int4_kernel
+
+                rows = unpack_int4_kernel(rows)
             if int8 and qprec != "int8":
                 # bf16 queries (the default; the fallback arm must
                 # mirror the wrapper's quantization choice exactly, or
@@ -431,12 +425,9 @@ def _kernel_v3(uniq_ref, ok_ref, meta_ref, q_ref, qs_ref, *rest, k: int,
         dma(i).wait()
         rows = blk_buf[i & slot_mask]
         if int4:
-            # packed nibbles: unpack on the VPU in i32 (no i8 vector
-            # sub in Mosaic), codes stay in [-8, 7] — matches _kernel_v2
-            r32 = rows.astype(jnp.int32)
-            lo = ((r32 & 0xF) - 8).astype(jnp.int8)
-            hi = (((r32 >> 4) & 0xF) - 8).astype(jnp.int8)
-            rows = jnp.concatenate([lo, hi], axis=1)
+            from wdbx_tpu.kernels.quant import unpack_int4_kernel
+
+            rows = unpack_int4_kernel(rows)
         q = q_ref[:]
         if int8:
             s = jax.lax.dot_general(

@@ -176,15 +176,12 @@ def _kernel_int8(q_ref, db_ref, valid_ref, scales_ref, out_v_ref, out_i_ref,
 
     rows = db_ref[:]
     if int4:
-        # packed nibbles (kernels/quant.py layout: dim j low, dim
-        # j + d/2 high) unpack on the VPU per TILE — the packed slab
-        # streams from HBM at half of int8's bytes and the unpacked
-        # copy never exceeds one (BLOCK_N, d) tile in VMEM. The -8
-        # bias runs in i32 (Mosaic has no i8 vector sub).
-        r32 = rows.astype(jnp.int32)
-        lo = ((r32 & 0xF) - 8).astype(jnp.int8)
-        hi = (((r32 >> 4) & 0xF) - 8).astype(jnp.int8)
-        rows = jnp.concatenate([lo, hi], axis=1)
+        # per-TILE VPU unpack — the packed slab streams from HBM at
+        # half of int8's bytes and the unpacked copy never exceeds one
+        # (BLOCK_N, d) tile in VMEM
+        from wdbx_tpu.kernels.quant import unpack_int4_kernel
+
+        rows = unpack_int4_kernel(rows)
     scores = jax.lax.dot_general(
         q_ref[:], rows.astype(q_ref.dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -302,6 +299,8 @@ def fused_topk_search(
     pass the PACKED (N, d/2) uint8 slab with ``int4=True`` — tiles
     unpack in VMEM, the packed slab streams at half of int8's bytes.
     """
+    if int4 and scales is None:
+        raise ValueError("int4 slabs require per-row scales")
     n = db.shape[0]
     assert n % block_n == 0, (n, block_n)
     if group is None:
@@ -344,6 +343,8 @@ def fused_topk_search_batched(
     pipeline: dispatch overhead (a ~30 ms round trip on tunneled
     devices) amortizes over NB batches while the kernel streams the
     slab once per batch at HBM speed."""
+    if int4 and scales is None:
+        raise ValueError("int4 slabs require per-row scales")
     n = db.shape[0]
     assert n % block_n == 0, (n, block_n)
     if group is None:

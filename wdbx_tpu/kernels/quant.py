@@ -88,6 +88,18 @@ def unpack_int4(packed: jax.Array) -> jax.Array:
     return jnp.concatenate([lo, hi], axis=-1)
 
 
+def unpack_int4_kernel(rows: jax.Array) -> jax.Array:
+    """In-kernel (Mosaic-safe) nibble unpack: the -8 bias runs in i32
+    because Mosaic has no i8 vector subtract, then truncates back
+    (codes stay in [-7, 7], no wrap). One implementation shared by the
+    fused and clustered scan kernels so the packing layout (dim j low
+    nibble, dim j + d/2 high) can never diverge between them."""
+    r32 = rows.astype(jnp.int32)
+    lo = ((r32 & 0xF) - 8).astype(jnp.int8)
+    hi = (((r32 >> 4) & 0xF) - 8).astype(jnp.int8)
+    return jnp.concatenate([lo, hi], axis=1)
+
+
 @jax.jit
 def dequantize_rows_int4(packed: jax.Array, scale: jax.Array) -> jax.Array:
     return unpack_int4(packed).astype(jnp.float32) * scale[:, None]

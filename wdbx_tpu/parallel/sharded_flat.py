@@ -262,7 +262,9 @@ class ShardedFlatIndex(FlatIndex):
     ):
         if dtype == "int4" and not self._INT4_OK:
             raise ValueError(
-                "int4 slabs need a per-block unpack in the scan kernel"
+                "int4 is supported by 'flat', 'sharded_flat', "
+                "'ivf_clustered' and 'sharded_clustered' — the "
+                "dense-table IVF's bucket tables have no nibble unpack"
             )
         if mesh is None:
             if replicas > 1:
