@@ -897,6 +897,123 @@ class TestAdvisoryRegressions:
         assert idx.count() == n_before + 2 - 1
 
 
+class TestHoleRecycling:
+    """Bucket-matched reuse of quarantined clustered-region positions:
+    delete/update churn must not grow capacity until the next rebuild
+    (round-2 known gap). A hole is reusable only by a row whose nearest
+    centroid is the hole's own bucket, preserving the kernel-path
+    invariant that every scanned row belongs to its covering bucket."""
+
+    def _near(self, rng, base):
+        v = 0.95 * base + 0.05 * _normed(rng, len(base), base.shape[1])
+        return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+    def test_insert_fills_bucket_matched_holes(self, rng):
+        d = 32
+        idx = _make(d, nlist=8, nprobe=8)
+        db = _normed(rng, 1024, d)
+        slots = idx.add_batch(db)
+        idx.build()
+        ns0 = idx._next_slot
+        idx.remove_slots(slots[:100])
+        assert idx._quar_len() == 100
+        # near-duplicates of the deleted rows assign to the same buckets
+        new_slots = idx.add_batch(self._near(rng, db[:100]))
+        # the odd row may cross a centroid boundary; the bulk recycles
+        assert idx._quar_len() <= 10
+        assert idx._next_slot - ns0 == idx._quar_len()
+        assert idx.count() == 1024
+        # recycled rows live in the clustered region and the BLOCK scan
+        # (not the residual scan) must find them
+        pos = idx._positions_of(new_slots)
+        in_cluster = pos < idx._fresh_base
+        assert in_cluster.sum() == 100 - idx._quar_len()
+        probe = np.asarray(
+            idx.get_vectors(new_slots[in_cluster][:10]), np.float32
+        )
+        _, got = idx.search(probe, 1)
+        assert (got[:, 0] == new_slots[in_cluster][:10]).all()
+
+    def test_update_rewrites_in_place(self, rng):
+        """A small perturbation keeps the row in its own bucket, so
+        move-on-update reclaims the hole it just opened — usually its
+        own position — and the residual region stays empty."""
+        d = 32
+        idx = _make(d, nlist=8, nprobe=8)
+        db = _normed(rng, 1024, d)
+        slots = idx.add_batch(db)
+        idx.build()
+        upd = slots[:50]
+        old_pos = idx._positions_of(upd)
+        idx.update_slots(upd, self._near(rng, db[:50]))
+        new_pos = idx._positions_of(upd)
+        # every bucket-matched update reuses the hole set it just made
+        stayed = np.isin(new_pos, old_pos).sum()
+        assert stayed >= 40, stayed
+        assert len(idx._residual) == 50 - stayed
+        _, got = idx.search(
+            np.asarray(idx.get_vectors(upd[:8]), np.float32), 1
+        )
+        assert (got[:, 0] == upd[:8]).all()
+
+    def test_recycle_holes_off_preserves_quarantine(self, rng):
+        d = 32
+        idx = _make(d, nlist=8, nprobe=8)
+        db = _normed(rng, 1024, d)
+        slots = idx.add_batch(db)
+        idx.build()
+        idx.recycle_holes = False
+        idx.remove_slots(slots[:64])
+        ns0 = idx._next_slot
+        idx.add_batch(self._near(rng, db[:64]))
+        assert idx._quar_len() == 64  # untouched
+        assert idx._next_slot == ns0 + 64  # all landed in the residual
+        assert idx.count() == 1024
+
+    def test_recycling_defers_rebuild_trigger(self, rng):
+        """Recycled holes leave the quarantine, so steady delete+insert
+        churn stays below rebuild_fraction instead of forcing periodic
+        stop-the-world rebuilds."""
+        d = 32
+        idx = _make(d, nlist=8, nprobe=8, rebuild_fraction=0.1)
+        db = _normed(rng, 1000, d)
+        slots = idx.add_batch(db)
+        idx.build()
+        for i in range(0, 400, 50):  # 40% churn > rebuild_fraction
+            idx.remove_slots(slots[i:i + 50])
+            idx.add_batch(self._near(rng, db[i:i + 50]))
+        assert idx._quar_len() <= 40
+        assert not idx._needs_build()
+
+    def test_quarantine_persists_with_buckets(self, rng, tmp_path):
+        d = 32
+        idx = _make(d, nlist=8, nprobe=8)
+        db = _normed(rng, 1024, d)
+        slots = idx.add_batch(db)
+        idx.build()
+        idx.remove_slots(slots[:64])
+        path = str(tmp_path / "ck")
+        idx.save(path)
+        idx2 = _make(d, nlist=8, nprobe=8)
+        assert idx2.load(path)
+        assert sorted(idx2._quar_flat()) == sorted(idx._quar_flat())
+        assert all(b >= 0 for b in idx2._quar)  # re-keyed, recyclable
+        ns0 = idx2._next_slot
+        idx2.add_batch(self._near(rng, db[:64]))
+        assert idx2._quar_len() <= 8
+        assert idx2._next_slot - ns0 == idx2._quar_len()
+
+    def test_factory_config_knob(self):
+        from wdbx_tpu.core.config import WDBXConfig
+        from wdbx_tpu.index.base import create_index
+
+        cfg = WDBXConfig({"IVF_RECYCLE_HOLES": False})
+        idx = create_index("ivf_clustered", 16, cfg)
+        assert idx.recycle_holes is False
+        idx = create_index("ivf_clustered", 16, WDBXConfig({}))
+        assert idx.recycle_holes is True
+
+
 class TestBackgroundRebuild:
     """build_background(): searches serve from the old layout during
     the rebuild; mutations in the window journal and replay at swap."""

@@ -335,6 +335,55 @@ class TestShardedClustered:
         assert (g_lax == g_v3).all()
 
 
+class TestShardedHoleRecycling:
+    """Bucket-matched hole reuse on the mesh-striped layout: a hole on
+    device d in bucket b is reusable by any row assigning to b (the
+    scan is per-device over local extents, so placement device is
+    free); capacity stays bounded under delete churn."""
+
+    def test_delete_insert_churn_bounded(self, rng):
+        d = 32
+        idx = _make(d, nlist=8, nprobe=8)
+        db = _normed(rng, 2048, d)
+        slots = idx.add_batch(db)
+        idx.build()
+        ns0 = idx._next_slot
+        idx.remove_slots(slots[:200])
+        assert idx._quar_len() == 200
+        near = 0.95 * db[:200] + 0.05 * _normed(rng, 200, d)
+        near /= np.linalg.norm(near, axis=-1, keepdims=True)
+        new_slots = idx.add_batch(near)
+        assert idx._quar_len() <= 20
+        assert idx._next_slot - ns0 == idx._quar_len()
+        assert idx.count() == 2048
+        # recycled rows are served by the per-device block scan
+        pos = idx._positions_of(new_slots)
+        in_cluster = pos < idx._fresh_base
+        probe = np.asarray(
+            idx.get_vectors(new_slots[in_cluster][:8]), np.float32
+        )
+        _, got = idx.search(probe, 1)
+        assert (got[:, 0] == new_slots[in_cluster][:8]).all()
+
+    def test_persist_rekeys_and_remesh_clears(self, rng, temp_dir):
+        d = 32
+        idx = _make(d, nlist=8, nprobe=8)
+        db = _normed(rng, 2048, d)
+        slots = idx.add_batch(db)
+        idx.build()
+        idx.remove_slots(slots[:100])
+        path = os.path.join(temp_dir, "ck")
+        idx.save(path)
+        idx2 = _make(d, nlist=8, nprobe=8)
+        assert idx2.load(path)
+        assert sorted(idx2._quar_flat()) == sorted(idx._quar_flat())
+        assert all(b >= 0 for b in idx2._quar)
+        # remesh triggers a rebuild, which absorbs the holes
+        idx2.remesh(make_mesh(4))
+        assert idx2._quar_len() == 0
+        assert idx2.count() == 2048 - 100
+
+
 class TestFilterPushdown:
     """Round-3: slot_mask no longer abandons the ANN index above the
     selectivity threshold — the position mask stripes into row validity

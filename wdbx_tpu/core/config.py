@@ -42,6 +42,7 @@ DEFAULTS: dict[str, Any] = {
     "IVF_REBUILD_FRACTION": 0.2,
     "IVF_ASSIGNMENTS": 1,  # 2 = SOAR-style spilled assignment
     "IVF_BACKGROUND_REBUILD": False,  # optimize() without blocking reads
+    "IVF_RECYCLE_HOLES": True,  # reuse deleted rows' bucket-matched slots
     # parallel / mesh
     "MESH_AXIS": "shard",
     "MESH_REPLICAS": 1,  # >1 = (replica, shard) mesh, batch shards over replicas

@@ -117,6 +117,9 @@ def _apply_kernel_knobs(idx: Any, config: Any) -> None:
     qp = str(config.get("IVF_KERNEL_QPREC", "bf16")).lower()
     if qp in ("bf16", "int8"):
         idx.kernel_qprec = qp
+    # bucket-matched reuse of deleted clustered-region rows (bounds
+    # capacity growth under delete/update churn between rebuilds)
+    idx.recycle_holes = bool(config.get("IVF_RECYCLE_HOLES", True))
 
 
 def create_index(kind: str, dim: int, config: Any = None) -> "VectorIndex":

@@ -510,12 +510,82 @@ class ClusteredSlotMixin:
     cluster-ordered layouts (single-device and mesh-striped).
 
     Invariant while trained: every live position below the block-aligned
-    clustered boundary (``_fresh_base``) was placed by build(); fresh
-    rows only ever occupy positions at/above it. Freed clustered-region
-    positions are quarantined until the next build and updates MOVE the
-    row, so the block scan and the residual scan never overlap — the
-    Pallas kernel paths rely on this to skip per-row bucket masking.
+    clustered boundary (``_fresh_base``) either was placed by build() or
+    was RECYCLED into a hole inside its own assigned bucket's extent
+    (see ``_place_batch``); fresh rows otherwise occupy positions
+    at/above the boundary. Freed clustered-region positions are
+    quarantined per bucket — reusable only by a row that k-means-assigns
+    to that same bucket — and updates MOVE the row, so the block scan
+    and the residual scan never overlap and every scanned row belongs to
+    the bucket whose extent covers it. The Pallas kernel paths rely on
+    this to skip per-row bucket masking.
     """
+
+    #: reuse quarantined clustered-region holes for inserts/updates whose
+    #: nearest centroid matches the hole's bucket (config key
+    #: IVF_RECYCLE_HOLES). Bounds capacity growth under delete/update
+    #: churn without waiting for the next rebuild.
+    recycle_holes = True
+
+    # -- bucket-aware quarantine ---------------------------------------------
+    # ``self._quar`` maps bucket id -> list of quarantined positions in
+    # that bucket's extent (-1 = bucket unknown: untrained or a legacy /
+    # foreign-topology restore; never recycled, only counted). It is the
+    # single source of truth; the flat view below feeds persistence,
+    # stats, and the rebuild trigger.
+
+    @property
+    def _pos_quarantine(self) -> list[int]:
+        return self._quar_flat()
+
+    def _quar_len(self) -> int:
+        return sum(len(v) for v in self._quar.values())
+
+    def _quar_flat(self) -> list[int]:
+        return [p for holes in self._quar.values() for p in holes]
+
+    def _quarantine_positions(self, pos: np.ndarray) -> None:
+        pos = np.asarray(pos, np.int64)
+        if len(pos) == 0:
+            return
+        for p, b in zip(pos.tolist(), self._bucket_of_pos(pos).tolist()):
+            self._quar.setdefault(int(b), []).append(int(p))
+
+    def _place_batch(self, vectors, n: int):
+        """Choose physical positions for ``n`` prepped rows. When holes
+        exist, each row is assigned to its nearest centroid (the same
+        bf16-argmax rule the build uses) and fills a quarantined hole in
+        that bucket's extent if one is free — the row is then served by
+        the normal block scan, not the residual scan. Returns
+        ``(pos, fresh)`` where ``fresh`` marks rows that took residual-
+        region positions (the caller appends only those to
+        ``self._residual``)."""
+        recyclable = (
+            n > 0 and self.is_trained and self.recycle_holes
+            and any(b >= 0 and holes for b, holes in self._quar.items())
+        )
+        if not recyclable:
+            return self._take_slots(n), np.ones(n, bool)
+        rows = (
+            vectors.astype(jnp.float32)
+            if isinstance(vectors, jax.Array)
+            else jnp.asarray(vectors, jnp.float32)
+        )
+        if self.metric == "cosine":
+            rows = l2_normalize(rows)
+        buckets = np.asarray(_assign_blocked(rows, self._centroids))
+        pos = np.full(n, -1, np.int64)
+        for i, b in enumerate(buckets.tolist()):
+            holes = self._quar.get(b)
+            if holes:
+                pos[i] = holes.pop()
+                if not holes:
+                    del self._quar[b]
+        fresh = pos < 0
+        n_fresh = int(fresh.sum())
+        if n_fresh:
+            pos[fresh] = self._take_slots(n_fresh)
+        return pos, fresh
 
     def _take_ext_slots(self, n: int) -> np.ndarray:
         slots = []
@@ -544,14 +614,17 @@ class ClusteredSlotMixin:
         with self._mu.write():
             vectors = self._prep(vectors)
             n = len(vectors)
-            pos = self._take_slots(n)  # parent bookkeeping = positions
+            # recycle bucket-matched quarantined holes first (capacity
+            # stays bounded under delete churn); the rest take residual-
+            # region positions via the parent bookkeeping
+            pos, fresh = self._place_batch(vectors, n)
             self._scatter(pos, vectors, True)
             self._size += n
             slots = self._take_ext_slots(n)
             self._slot_of[pos] = slots.astype(np.int32)
             self._pos_of[slots] = pos.astype(np.int32)
             if self.is_trained:
-                self._residual.extend(int(p) for p in pos)
+                self._residual.extend(int(p) for p in pos[fresh])
             if getattr(self, "_cow_writes", False):
                 for s in slots:
                     self._bg_journal[int(s)] = "dirty"
@@ -585,18 +658,20 @@ class ClusteredSlotMixin:
                 return
             # move-on-update: tombstone the old position (quarantined
             # if inside the clustered region, recycled otherwise), land
-            # the new row above the clustered boundary
+            # the new row in a bucket-matched hole when one exists
+            # (often its own old position — an in-place rewrite), else
+            # above the clustered boundary
             self._tombstone_positions(pos)
             clustered = pos < self._fresh_base
-            self._pos_quarantine.extend(int(p) for p in pos[clustered])
+            self._quarantine_positions(pos[clustered])
             self._free.extend(int(p) for p in pos[~clustered])
             gone = set(int(x) for x in pos[~clustered])
             self._residual = [p for p in self._residual if p not in gone]
-            new_pos = self._take_slots(len(slots))
+            new_pos, fresh = self._place_batch(vectors, len(slots))
             self._scatter(new_pos, vectors, True)
             self._slot_of[new_pos] = slots.astype(np.int32)
             self._pos_of[slots] = new_pos.astype(np.int32)
-            self._residual.extend(int(p) for p in new_pos)
+            self._residual.extend(int(p) for p in new_pos[fresh])
 
     def _tombstone_positions(self, pos: np.ndarray) -> None:
         pad_n = _next_pow2(len(pos))
@@ -627,9 +702,7 @@ class ClusteredSlotMixin:
             # positions (never block-scanned) recycle right away
             if self.is_trained:
                 clustered = pos < self._fresh_base
-                self._pos_quarantine.extend(
-                    int(p) for p in pos[clustered]
-                )
+                self._quarantine_positions(pos[clustered])
                 self._free.extend(int(p) for p in pos[~clustered])
                 res = set(int(p) for p in pos)
                 self._residual = [p for p in self._residual if p not in res]
@@ -773,7 +846,7 @@ class ClusteredSlotMixin:
         # tombstone bloat: quarantined positions only return to service
         # at a rebuild, so heavy delete churn triggers one
         return bool(self._built_size) and (
-            len(self._pos_quarantine)
+            self._quar_len()
             > self.rebuild_fraction * self._built_size
         )
 
@@ -910,13 +983,23 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
         self._residual: list[int] = []  # POSITIONS of unclustered rows
         self._residual_base = 0
         self._built_size = 0
-        #: positions freed while trained INSIDE the clustered region;
-        #: held out of reuse until the next build so fresh rows never
-        #: land inside scanned blocks (the kernel path has no per-row
-        #: bucket mask — see kernels/clustered_scan.py). Freed RESIDUAL-
-        #: region positions (>= _fresh_base) recycle immediately.
-        self._pos_quarantine: list[int] = []
+        #: positions freed while trained INSIDE the clustered region,
+        #: keyed by bucket: reusable only by rows that assign to the
+        #: same bucket (so fresh rows never land in a foreign bucket's
+        #: scanned blocks — the kernel path has no per-row bucket mask,
+        #: see kernels/clustered_scan.py). Freed RESIDUAL-region
+        #: positions (>= _fresh_base) recycle immediately via _free.
+        self._quar: dict[int, list[int]] = {}
         self._fresh_base = 0
+
+    def _bucket_of_pos(self, pos: np.ndarray) -> np.ndarray:
+        """Bucket whose extent covers each clustered-region position
+        (positions are bucket-contiguous: start[b] <= pos < start[b+1]);
+        -1 when the layout is unknown."""
+        pos = np.asarray(pos, np.int64)
+        if self._bucket_start is None:
+            return np.full(len(pos), -1, np.int64)
+        return np.searchsorted(self._bucket_start, pos, side="right") - 1
 
     # clear() is inherited: FlatIndex.clear re-allocs every array
     # (including the slot maps via _alloc), then IVFIndex.clear calls
@@ -1104,7 +1187,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
         # fresh adds start at the next block boundary: scanned blocks and
         # the residual buffer stay disjoint (kernel-path invariant)
         self._free = []
-        self._pos_quarantine = []
+        self._quar = {}
         self._next_slot = min(self._cap, -(-n_live // self._c) * self._c)
         self._fresh_base = self._next_slot
         self._residual = []
@@ -1412,7 +1495,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
             self._size = total
             self._free = []
             self._free_slots = []
-            self._pos_quarantine = []
+            self._quar = {}
             # slots == positions for a fresh bulk load
             self._slot_of[:total] = np.arange(total, dtype=np.int32)
             self._pos_of[:total] = np.arange(total, dtype=np.int32)
@@ -1654,7 +1737,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
                         "residual_base": self._residual_base,
                         "next_ext_slot": self._next_ext_slot,
                         "free_slots": self._free_slots,
-                        "pos_quarantine": self._pos_quarantine,
+                        "pos_quarantine": self._quar_flat(),
                         "block_rows": self._c,
                         "fresh_base": self._fresh_base,
                     },
@@ -1682,9 +1765,6 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
             self._residual_base = int(meta.get("residual_base", 0))
             self._next_ext_slot = int(meta.get("next_ext_slot", 0))
             self._free_slots = [int(s) for s in meta.get("free_slots", [])]
-            self._pos_quarantine = [
-                int(p) for p in meta.get("pos_quarantine", [])
-            ]
             # legacy checkpoints (no fresh_base) default to the high-water
             # mark: conservatively quarantine everything below it rather
             # than risking recycled positions inside scanned blocks
@@ -1706,6 +1786,11 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
                     centroids, counts,
                     c=int(meta.get("block_rows", 0)) or None,
                 )
+            # after the layout install so holes re-key to their buckets
+            # (bucket -1 = never recycled when the layout is absent)
+            self._quarantine_positions(np.asarray(
+                meta.get("pos_quarantine", []), np.int64
+            ))
             return True
 
     def get_stats(self) -> dict:
@@ -1716,8 +1801,9 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
             trained=self.is_trained,
             residual=len(self._residual),
             layout="clustered",
-            # quarantined positions are tombstones awaiting the next
-            # build — count them so store.optimize() triggers compaction
-            tombstones=len(self._free) + len(self._pos_quarantine),
+            # quarantined positions are tombstones awaiting recycling or
+            # the next build — count them so store.optimize() triggers
+            # compaction
+            tombstones=len(self._free) + self._quar_len(),
         )
         return stats

@@ -371,6 +371,7 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
         self._row_cnt = None
         self._range_L = 1
         self._local_counts: np.ndarray | None = None  # (n_dev, nlist)
+        self._local_starts: np.ndarray | None = None  # (n_dev, nlist+1)
         self._m = 1
         self._c = 1
         self._u_prefix: np.ndarray | None = None
@@ -379,7 +380,9 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
         self._residual: list[int] = []  # GLOBAL striped positions
         self._residual_base = 0
         self._built_size = 0
-        self._pos_quarantine: list[int] = []
+        # bucket -> quarantined positions in that bucket's extent (-1 =
+        # bucket unknown; see ClusteredSlotMixin)
+        self._quar: dict[int, list[int]] = {}
         self._fresh_base = 0  # positions >= this are residual-region
         self._slot_of = np.full(self._cap, -1, np.int32)
         self._pos_of = np.full(self._cap, -1, np.int32)
@@ -546,7 +549,7 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
 
         self._install_layout(np.asarray(centroids), local_counts)
         self._free = []
-        self._pos_quarantine = []
+        self._quar = {}
         # uniform local boundary: max aligned local clustered end
         max_local = int(local_starts[:, -1].max()) if n_live else 0
         boundary = -(-max_local // self._c) * self._c
@@ -591,6 +594,7 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
             np.sort(per_bucket_max[per_bucket_max > 0])[::-1]
         )
         self._local_counts = local_counts
+        self._local_starts = local_starts
         sh = self._sharding(P(self.axis, None))
         self._centroids = jax.device_put(
             jnp.asarray(centroids, jnp.float32), self._sharding(P())
@@ -611,6 +615,21 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
             max(1, min(rpd, -(-max(1, maxc) // 512) * 512 + 512))
         )
         self._cluster_cache.clear()
+
+    def _bucket_of_pos(self, pos: np.ndarray) -> np.ndarray:
+        """Bucket whose per-device extent covers each clustered-region
+        position (striping: device = pos % n_dev, local row =
+        pos // n_dev); -1 when the layout is unknown."""
+        pos = np.asarray(pos, np.int64)
+        starts = self._local_starts
+        if starts is None:
+            return np.full(len(pos), -1, np.int64)
+        dev, row = pos % self.n_devices, pos // self.n_devices
+        out = np.full(len(pos), -1, np.int64)
+        for d in np.unique(dev):
+            m = dev == d
+            out[m] = np.searchsorted(starts[d], row[m], side="right") - 1
+        return out
 
     # -- query ---------------------------------------------------------------
     def _scan_rows(self) -> int:
@@ -834,14 +853,19 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
             # remesh preserved global positions; only the overlay and
             # the oversized mapping arrays need refitting
             slot_of, pos_of = self._slot_of, self._pos_of
-            resid, quar = self._residual, self._pos_quarantine
+            resid, quar = self._residual, self._quar_flat()
             free_s, next_ext = self._free_slots, self._next_ext_slot
             self._reset_overlay()
             n = min(len(slot_of), self._cap)
             self._slot_of[:n] = slot_of[:n]
             self._pos_of[:n] = pos_of[:n]
             self._residual = [p for p in resid if p < self._cap]
-            self._pos_quarantine = [p for p in quar if p < self._cap]
+            # per-device extents are stale on the new topology, so the
+            # holes land under bucket -1 (counted, never recycled); the
+            # build() below clears them when trained
+            self._quarantine_positions(np.asarray(
+                [p for p in quar if p < self._cap], np.int64
+            ))
             self._free_slots = free_s
             self._next_ext_slot = next_ext
         if was_trained and self._size:
@@ -872,7 +896,7 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
                         "residual_base": self._residual_base,
                         "next_ext_slot": self._next_ext_slot,
                         "free_slots": self._free_slots,
-                        "pos_quarantine": self._pos_quarantine,
+                        "pos_quarantine": self._quar_flat(),
                         "next_slot": self._next_slot,
                         "block_rows": self._c,
                         "fresh_base": self._fresh_base,
@@ -900,9 +924,6 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
             self._residual_base = int(meta.get("residual_base", 0))
             self._next_ext_slot = int(meta.get("next_ext_slot", 0))
             self._free_slots = [int(s) for s in meta.get("free_slots", [])]
-            self._pos_quarantine = [
-                int(p) for p in meta.get("pos_quarantine", [])
-            ]
             self._next_slot = int(meta.get("next_slot", self._next_slot))
             # legacy default = high-water mark (conservative quarantine)
             self._fresh_base = int(
@@ -915,6 +936,7 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
             keep = slot_of >= 0
             self._pos_of[slot_of[keep]] = np.arange(hwm, dtype=np.int32)[keep]
             self._residual = [int(p) for p in data["residual"]]
+            rebuilt = False
             if meta.get("trained") and "centroids" in data:
                 local_counts = np.asarray(data["local_counts"], np.int64)
                 if local_counts.shape[0] != self.n_devices:
@@ -931,11 +953,23 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
                         local_counts.shape[0], self.n_devices,
                     )
                     self._build_locked()
+                    rebuilt = True
                 else:
                     self._install_layout(
                         np.asarray(data["centroids"]), local_counts,
                         c=int(meta.get("block_rows", 0)) or None,
                     )
+            # after the layout install so holes re-key to their buckets;
+            # a _build_locked repacked live rows, making the checkpoint's
+            # hole positions meaningless — drop them in that case
+            if not rebuilt:
+                self._quarantine_positions(np.asarray(
+                    [
+                        int(p) for p in meta.get("pos_quarantine", [])
+                        if int(p) < self._cap
+                    ],
+                    np.int64,
+                ))
             return True
 
     def get_stats(self) -> dict:
@@ -946,6 +980,6 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
             trained=self.is_trained,
             residual=len(self._residual),
             layout="sharded_clustered",
-            tombstones=len(self._free) + len(self._pos_quarantine),
+            tombstones=len(self._free) + self._quar_len(),
         )
         return stats
