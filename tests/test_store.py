@@ -456,3 +456,30 @@ def test_store_tune_reports_per_shard(temp_dir, rng):
     flat = make_store(temp_dir + "_f", dim=8, shards=1)
     flat.store("a", rng.standard_normal(8).astype(np.float32))
     assert flat.tune()["achieved"] == 1.0
+
+
+def test_store_tune_learns_fetch_factor(temp_dir, rng):
+    """tune() on a quantized store also picks the smallest re-rank
+    over-fetch factor whose re-ranked top-k converges to the deep
+    (64x) pool — replacing the static int4 default of 20."""
+    store = make_store(
+        temp_dir, dim=16, shards=1, INDEX_TYPE="flat", INDEX_DTYPE="int4",
+    )
+    vecs = {}
+    for i in range(300):
+        v = rng.standard_normal(16).astype(np.float32)
+        vecs[f"v{i}"] = v / np.linalg.norm(v)
+    store.batch_store(vecs)
+    assert store._rerank_fetch_factor() == 20  # static int4 default
+    report = store.tune(target_recall=0.9)
+    ff = report["fetch_factor"]
+    assert ff is not None and ff["factor"] in (2, 4, 8, 16, 32, 64)
+    assert store._rerank_fetch_factor() == ff["factor"]
+    assert store._fetch_factor_force is None  # probe pin released
+    # explicit config still wins over the tuned value
+    store.config.set("RERANK_FETCH_FACTOR", 7)
+    assert store._rerank_fetch_factor() == 7
+    # unquantized stores don't tune a factor (no rerank)
+    flat = make_store(temp_dir + "_f32", dim=8, shards=1)
+    flat.store("a", rng.standard_normal(8).astype(np.float32))
+    assert "fetch_factor" not in flat.tune()
