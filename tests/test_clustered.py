@@ -1013,6 +1013,39 @@ class TestHoleRecycling:
         idx = create_index("ivf_clustered", 16, WDBXConfig({}))
         assert idx.recycle_holes is True
 
+    def test_quar_counter_tracks_dict(self, rng, tmp_path):
+        """_quar_len() is a plain counter read by the LOCK-FREE
+        _needs_build() pre-check in the search paths; it must track the
+        bucket->holes dict exactly through every mutation, rebuild, and
+        restore path (iterating the dict there raced concurrent
+        mutators: 'dictionary changed size during iteration')."""
+        d = 32
+        idx = _make(d, nlist=8, nprobe=8)
+        db = _normed(rng, 1024, d)
+
+        def consistent(i):
+            assert i._quar_n == sum(len(v) for v in i._quar.values())
+
+        slots = idx.add_batch(db)
+        idx.build()
+        consistent(idx)
+        idx.remove_slots(slots[:100])
+        consistent(idx)
+        assert idx._quar_len() == 100
+        idx.add_batch(self._near(rng, db[:100]))  # recycles most holes
+        consistent(idx)
+        idx.update_slots(slots[200:250], self._near(rng, db[200:250]))
+        consistent(idx)
+        path = str(tmp_path / "ck")
+        idx.save(path)
+        idx2 = _make(d, nlist=8, nprobe=8)
+        assert idx2.load(path)
+        consistent(idx2)
+        assert idx2._quar_len() == idx._quar_len()
+        idx2.build()  # rebuild clears the quarantine
+        consistent(idx2)
+        assert idx2._quar_len() == 0
+
 
 class TestBackgroundRebuild:
     """build_background(): searches serve from the old layout during

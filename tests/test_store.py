@@ -483,3 +483,26 @@ def test_store_tune_learns_fetch_factor(temp_dir, rng):
     flat = make_store(temp_dir + "_f32", dim=8, shards=1)
     flat.store("a", rng.standard_normal(8).astype(np.float32))
     assert "fetch_factor" not in flat.tune()
+
+
+def test_tuned_fetch_factor_survives_restart(temp_dir, rng):
+    """The factor tune() learned must come back after save + reload —
+    the nprobe learned by the same tune() call rides the index
+    checkpoint, and a restart reverting only the over-fetch silently
+    changes recall/latency."""
+    store = make_store(
+        temp_dir, dim=16, shards=1, INDEX_TYPE="flat", INDEX_DTYPE="int4",
+    )
+    vecs = {}
+    for i in range(200):
+        v = rng.standard_normal(16).astype(np.float32)
+        vecs[f"v{i}"] = v / np.linalg.norm(v)
+    store.batch_store(vecs)
+    report = store.tune(target_recall=0.9)
+    factor = report["fetch_factor"]["factor"]
+    store.save()
+    store2 = make_store(
+        temp_dir, dim=16, shards=1, INDEX_TYPE="flat", INDEX_DTYPE="int4",
+    )
+    assert store2._tuned_fetch_factor == factor
+    assert store2._rerank_fetch_factor() == factor

@@ -539,7 +539,11 @@ class ClusteredSlotMixin:
         return self._quar_flat()
 
     def _quar_len(self) -> int:
-        return sum(len(v) for v in self._quar.values())
+        # a plain int kept in sync under the write lock: the search
+        # paths read it through the deliberately lock-free
+        # _needs_build() pre-check, where iterating the dict would race
+        # concurrent mutators (RuntimeError: dict changed size)
+        return self._quar_n
 
     def _quar_flat(self) -> list[int]:
         return [p for holes in self._quar.values() for p in holes]
@@ -550,6 +554,7 @@ class ClusteredSlotMixin:
             return
         for p, b in zip(pos.tolist(), self._bucket_of_pos(pos).tolist()):
             self._quar.setdefault(int(b), []).append(int(p))
+        self._quar_n += len(pos)
 
     def _place_batch(self, vectors, n: int):
         """Choose physical positions for ``n`` prepped rows. When holes
@@ -579,6 +584,7 @@ class ClusteredSlotMixin:
             holes = self._quar.get(b)
             if holes:
                 pos[i] = holes.pop()
+                self._quar_n -= 1
                 if not holes:
                     del self._quar[b]
         fresh = pos < 0
@@ -990,6 +996,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
         #: see kernels/clustered_scan.py). Freed RESIDUAL-region
         #: positions (>= _fresh_base) recycle immediately via _free.
         self._quar: dict[int, list[int]] = {}
+        self._quar_n = 0
         self._fresh_base = 0
 
     def _bucket_of_pos(self, pos: np.ndarray) -> np.ndarray:
@@ -1188,6 +1195,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
         # the residual buffer stay disjoint (kernel-path invariant)
         self._free = []
         self._quar = {}
+        self._quar_n = 0
         self._next_slot = min(self._cap, -(-n_live // self._c) * self._c)
         self._fresh_base = self._next_slot
         self._residual = []
@@ -1496,6 +1504,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
             self._free = []
             self._free_slots = []
             self._quar = {}
+            self._quar_n = 0
             # slots == positions for a fresh bulk load
             self._slot_of[:total] = np.arange(total, dtype=np.int32)
             self._pos_of[:total] = np.arange(total, dtype=np.int32)

@@ -383,6 +383,7 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
         # bucket -> quarantined positions in that bucket's extent (-1 =
         # bucket unknown; see ClusteredSlotMixin)
         self._quar: dict[int, list[int]] = {}
+        self._quar_n = 0
         self._fresh_base = 0  # positions >= this are residual-region
         self._slot_of = np.full(self._cap, -1, np.int32)
         self._pos_of = np.full(self._cap, -1, np.int32)
@@ -550,6 +551,7 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
         self._install_layout(np.asarray(centroids), local_counts)
         self._free = []
         self._quar = {}
+        self._quar_n = 0
         # uniform local boundary: max aligned local clustered end
         max_local = int(local_starts[:, -1].max()) if n_live else 0
         boundary = -(-max_local // self._c) * self._c

@@ -73,6 +73,10 @@ class VectorStore:
         #: the recall target; RERANK_FETCH_FACTOR config overrides
         self._tuned_fetch_factor: int | None = None
         self._fetch_factor_force: int | None = None
+        # serializes concurrent tune() probes: the force pin above is
+        # store-wide shared state, and one probe's finally-reset must
+        # not unpin another's in-flight measurement
+        self._tune_ff_mu = threading.Lock()
 
         self.metadata: dict[str, dict[str, Any]] = {}
         self.raw_vectors: dict[str, np.ndarray] = {}
@@ -681,17 +685,25 @@ class VectorStore:
                 self._fetch_factor_force = None
             return [set(h[0] for h in hits) for hits in res]
 
-        deep = ids_at(64)
-        chosen, achieved = 64, 1.0
-        for factor in (2, 4, 8, 16, 32):
-            got = ids_at(factor)
-            rec = float(np.mean([
-                len(g & d) / max(1, len(d)) for g, d in zip(got, deep)
-            ]))
-            if rec >= target:
-                chosen, achieved = factor, rec
-                break
-        self._tuned_fetch_factor = chosen
+        with self._tune_ff_mu:
+            try:
+                deep = ids_at(64)
+                chosen, achieved = 64, 1.0
+                for factor in (2, 4, 8, 16, 32):
+                    got = ids_at(factor)
+                    rec = float(np.mean([
+                        len(g & d) / max(1, len(d))
+                        for g, d in zip(got, deep)
+                    ]))
+                    if rec >= target:
+                        chosen, achieved = factor, rec
+                        break
+            except (ValueError, IndexError) as e:
+                # the sample can go stale under concurrent deletes — keep
+                # the nprobe results already in the report (same contract
+                # as the per-shard sweep) instead of failing tune()
+                return {"error": str(e)}
+            self._tuned_fetch_factor = chosen
         return {"factor": chosen, "recall_vs_deep": round(achieved, 4)}
 
     def get_stats(self) -> dict[str, Any]:
@@ -801,6 +813,17 @@ class VectorStore:
                 os.path.join(self.data_dir, "metadata", "metadata.json"), "w"
             ) as f:
                 json.dump(self.metadata, f)
+            if self._tuned_fetch_factor:
+                # persist alongside the nprobe the same tune() learned
+                # (that one rides the index checkpoint) — a restart must
+                # not silently revert to the static over-fetch default
+                with open(
+                    os.path.join(self.data_dir, "metadata", "tuned.json"),
+                    "w",
+                ) as f:
+                    json.dump(
+                        {"fetch_factor": self._tuned_fetch_factor}, f
+                    )
             for shard, index in enumerate(self.indices):
                 index.save(self._index_path(shard))
                 maps = dict(self.registries[shard].items())
@@ -833,6 +856,15 @@ class VectorStore:
                     self.metadata = json.load(f)
             except (ValueError, OSError) as e:
                 logger.warning("failed to load metadata: %s", e)
+        tuned_path = os.path.join(self.data_dir, "metadata", "tuned.json")
+        if os.path.exists(tuned_path):
+            try:
+                with open(tuned_path) as f:
+                    ff = json.load(f).get("fetch_factor")
+                if ff:
+                    self._tuned_fetch_factor = max(1, int(ff))
+            except (ValueError, OSError) as e:
+                logger.warning("failed to load tuned state: %s", e)
         for shard, index in enumerate(self.indices):
             try:
                 if index.load(self._index_path(shard)):
