@@ -430,7 +430,7 @@ def _clustered_search_kernelpath(
             slab, valid_i8, sc_arg,
             uniq.astype(jnp.int32), uniq_ok.astype(jnp.int32),
             q if quant else q.astype(slab.dtype),
-            k=k, c=c, interpret=interpret, int4=int4,
+            k=k, c=c, interpret=interpret, int4=int4, qprec=qprec,
         )
     elif kern == "v2" or int4:
         kv, kp = clustered_block_topk_v2(

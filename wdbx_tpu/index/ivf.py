@@ -792,9 +792,13 @@ class IVFIndex(FlatIndex):
         bucket_slot_np = self._bucket_slot_np
         residual = list(self._residual)
         size = self._size
-        # pallas bucket kernel speaks bf16 tables; int8 code tables take
-        # the lax dedup scan
-        use_pallas = self.ivf_kernel == "pallas" and not self._is_int8
+        # pallas bucket kernel speaks bf16 tables and k <= 128 result
+        # lanes; int8 code tables and deeper fetches take the lax dedup
+        # scan (kernels/ivf_scan.py contract)
+        use_pallas = (
+            self.ivf_kernel == "pallas" and not self._is_int8
+            and k * min(self.assignments, 2) <= 128
+        )
         v8_cached = self._valid8() if use_pallas else None
 
         queries = self._prep(queries)

@@ -44,6 +44,7 @@ from wdbx_tpu.kernels.fused_topk import (
     _group_reduce,
     _pair_reduce,
 )
+from wdbx_tpu.kernels.quant import prep_query_block
 
 
 def _kernel(uniq_ref, ok_ref, q_ref, *rest, k: int, c: int, group: int,
@@ -242,37 +243,16 @@ def clustered_block_topk_v2(
     ``int4=True`` marks ``slab`` as nibble-packed (uint8, half width);
     blocks unpack on the VPU before the matmul — half the DMA per row."""
     qprec = str(qprec).lower()
-    if qprec not in ("bf16", "int8"):
-        raise ValueError(f"qprec must be 'bf16' or 'int8', got {qprec!r}")
     cap, d = slab.shape
-    b = q.shape[0]
     u = uniq.shape[0]
     while n_ways > 1 and u % n_ways:
         n_ways //= 2
     if group is None:
         steps = u // max(1, n_ways)
-        group = 256 if steps >= 16 and k <= 32 else 0
+        group = 256 if steps >= 16 and k <= 32 and c % 256 == 0 else 0
     int8 = scales is not None
-    if int8 and qprec == "int8":
-        qf = q.astype(jnp.float32)
-        qmax = jnp.maximum(
-            jnp.max(jnp.abs(qf), axis=1, keepdims=True), 1e-20
-        )
-        qs = (qmax / 127.0).astype(jnp.float32)  # (B, 1)
-        qq = jnp.clip(jnp.round(qf / qs), -127, 127).astype(jnp.int8)
-    elif int8:
-        qq = q.astype(jnp.bfloat16)
-        qs = jnp.zeros((b, 1), jnp.float32)  # unused (no query dequant)
-    else:
-        qq = q.astype(slab.dtype)
-        qs = jnp.zeros((b, 1), jnp.float32)  # unused
-    b_out = b
-    if int8 and b < 32:
-        # int8 sublane tile is (32, 128): pad the quantized query block
-        # up to 32 rows (the latency path serves B=1) and slice outputs
-        qq = jnp.pad(qq, ((0, 32 - b), (0, 0)))
-        qs = jnp.pad(qs, ((0, 32 - b), (0, 0)), constant_values=1.0)
-        b = 32
+    qq, qs, b_out = prep_query_block(q, slab.dtype, int8, qprec)
+    b = qq.shape[0]
     # dedup's popularity priority sorts live entries first, so padding
     # is a suffix and steps past it skip all compute. Use the LAST live
     # index (not the live count) so interior ok=0 holes — shouldn't
@@ -353,7 +333,9 @@ def clustered_block_topk_v2(
             jax.ShapeDtypeStruct((b, k), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * u * c * d,
+            # d is the STORAGE width: int4 packs two dims per
+            # byte, so real flops are doubled (matches v3)
+            flops=2 * b * u * c * (d * (2 if int4 else 1)),
             bytes_accessed=u * blk_bytes + b * d * 4,
             transcendentals=0,
         ),
@@ -368,7 +350,7 @@ def clustered_block_topk_v2(
 
 def _kernel_v3(uniq_ref, ok_ref, meta_ref, q_ref, qs_ref, *rest, k: int,
                c: int, group: int, depth: int, int8: bool,
-               int4: bool = False):
+               int4: bool = False, qprec: str = "bf16"):
     """v3 step body: MANUAL multi-buffered DMA for the block rows. The
     r3 A/B showed v1≈v2 at the flagship geometry — the per-step
     fold/concat cost was NOT the wall; the data-dependent block fetches
@@ -429,7 +411,15 @@ def _kernel_v3(uniq_ref, ok_ref, meta_ref, q_ref, qs_ref, *rest, k: int,
 
             rows = unpack_int4_kernel(rows)
         q = q_ref[:]
-        if int8:
+        if int8 and qprec != "int8":
+            # bf16 queries × int8 rows — the recall-safe default; must
+            # mirror _kernel_v2's arm exactly (shared prep_query_block)
+            s = jax.lax.dot_general(
+                q, rows.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scales_ref[:]
+        elif int8:
             s = jax.lax.dot_general(
                 q, rows,
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -449,7 +439,7 @@ def _kernel_v3(uniq_ref, ok_ref, meta_ref, q_ref, qs_ref, *rest, k: int,
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _emit():
-        if int8:
+        if int8 and qprec == "int8":  # bf16 arm wrote true scores to tv
             # masked entries are exactly NEG: keep them below the
             # caller's `v <= NEG` -inf rewrite (see _kernel_v2 emit)
             out_v_ref[:] = jnp.where(
@@ -462,7 +452,7 @@ def _kernel_v3(uniq_ref, ok_ref, meta_ref, q_ref, qs_ref, *rest, k: int,
 
 @functools.partial(
     jax.jit, static_argnames=("k", "c", "interpret", "group", "depth",
-                              "int4")
+                              "int4", "qprec")
 )
 def clustered_block_topk_v3(
     slab: jax.Array,      # (cap, dw), cap % c == 0 (dw = d/2 for int4)
@@ -477,33 +467,23 @@ def clustered_block_topk_v3(
     group: int | None = None,
     depth: int = 4,
     int4: bool = False,
+    qprec: str = "bf16",
 ) -> tuple[jax.Array, jax.Array]:
-    """v3 of ``clustered_block_topk``: same contract, manual
+    """v3 of ``clustered_block_topk``: same contract (including
+    ``qprec`` — bf16 queries by default, int8 for compute-dense
+    geometries, see ``clustered_block_topk_v2``), manual
     ``depth``-buffered DMA pipeline for the block rows (see
     ``_kernel_v3``). ``depth`` must be a power of two; ``depth-1``
     block fetches ride ahead of compute."""
     assert depth >= 2 and (depth & (depth - 1)) == 0, depth
+    qprec = str(qprec).lower()
     cap, dw = slab.shape
-    b = q.shape[0]
     u = uniq.shape[0]
     if group is None:
-        group = 256 if u >= 16 and k <= 32 else 0
+        group = 256 if u >= 16 and k <= 32 and c % 256 == 0 else 0
     int8 = scales is not None
-    if int8:
-        qf = q.astype(jnp.float32)
-        qmax = jnp.maximum(
-            jnp.max(jnp.abs(qf), axis=1, keepdims=True), 1e-20
-        )
-        qs = (qmax / 127.0).astype(jnp.float32)  # (B, 1)
-        qq = jnp.clip(jnp.round(qf / qs), -127, 127).astype(jnp.int8)
-    else:
-        qq = q.astype(slab.dtype)
-        qs = jnp.zeros((b, 1), jnp.float32)  # unused
-    b_out = b
-    if int8 and b < 32:
-        qq = jnp.pad(qq, ((0, 32 - b), (0, 0)))
-        qs = jnp.pad(qs, ((0, 32 - b), (0, 0)), constant_values=1.0)
-        b = 32
+    qq, qs, b_out = prep_query_block(q, slab.dtype, int8, qprec)
+    b = qq.shape[0]
     # loop bound = LAST live index + 1 (not the live count), so interior
     # ok=0 holes can never cut off a live entry — matches _kernel_v2
     u_idx = jnp.arange(u, dtype=jnp.int32)
@@ -539,7 +519,7 @@ def clustered_block_topk_v3(
     ]
     kern = functools.partial(
         _kernel_v3, k=k, c=c, group=group, depth=depth, int8=int8,
-        int4=int4,
+        int4=int4, qprec=qprec,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # uniq, ok, meta drive maps + DMA loop
@@ -605,7 +585,7 @@ def clustered_block_topk(
         # SAME throughput, exact fold -> 1.000 at +40% time). 256 is the
         # free point; few-tile scans (latency path) fold exactly.
         steps = u // max(1, n_ways)
-        group = 256 if steps >= 16 and k <= 32 else 0
+        group = 256 if steps >= 16 and k <= 32 and c % 256 == 0 else 0
     int8 = scales is not None
 
     way_specs = [

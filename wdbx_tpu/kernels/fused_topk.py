@@ -55,6 +55,12 @@ def _group_reduce(scores, base_idx, group: int, col_pos=None):
     index math — used when tile columns map to non-contiguous global
     positions (multi-block kernel steps)."""
     b, c = scores.shape
+    if c % group:
+        # a partial tail step would silently never be compared — e.g.
+        # block_n=320 with group=128 drops columns 256..319
+        raise ValueError(
+            f"tile width {c} must be a multiple of group {group}"
+        )
     steps = c // group
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (b, group), 1)
     m = scores[:, :group]
@@ -82,6 +88,10 @@ def _pair_reduce(m, mi, group: int):
     Unlike ``_group_reduce`` the indices are a (B, C) array (they may
     differ per query row — the output of an earlier reduction)."""
     b, c = m.shape
+    if c % group:
+        raise ValueError(
+            f"tile width {c} must be a multiple of group {group}"
+        )
     steps = c // group
     vm, vi = m[:, :group], mi[:, :group]
     for s in range(1, steps):
@@ -205,7 +215,8 @@ def _default_group(n: int, block_n: int, k: int) -> int:
     most one candidate survives per group per tile, so k approaching
     128 would starve the fold); small slabs and big k keep the exact
     fold."""
-    if (n // block_n) >= 64 and block_n >= 256 and k <= 32:
+    if (n // block_n) >= 64 and block_n >= 256 and k <= 32 \
+            and block_n % 128 == 0:
         return 128
     return 0
 

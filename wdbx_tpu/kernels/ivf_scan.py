@@ -76,10 +76,28 @@ def ivf_bucket_scan(
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns per-probe ``(values, bucket-local positions)``, each
-    ``(S, k)``."""
+    ``(S, k)``.
+
+    Contract: ``k <= 128`` (the selection loop masks one result lane per
+    iteration and the lane-aligned result width is 128 — more would
+    silently truncate), and ``bucket_rows`` must be a float table
+    (f32/bf16): the query is cast to the table dtype for the MXU dot, so
+    an int8 table would truncate unit-norm query values to 0 and return
+    garbage scores. int8 code tables take the lax dedup scan
+    (index/ivf.py ``use_pallas`` gate)."""
     nlist, c, d = bucket_rows.shape
     s_len = probes.shape[0]
     k_pad = 128  # lane-aligned result width; sliced to k on return
+    if k > k_pad:
+        raise ValueError(
+            f"ivf_bucket_scan supports k <= {k_pad}, got {k} "
+            "(route deeper fetches to the lax scan)"
+        )
+    if not jnp.issubdtype(bucket_rows.dtype, jnp.floating):
+        raise TypeError(
+            f"ivf_bucket_scan requires a float bucket table, got "
+            f"{bucket_rows.dtype} (int8 tables must use the lax path)"
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # probes, qidx drive the index maps

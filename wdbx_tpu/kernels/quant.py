@@ -103,3 +103,48 @@ def unpack_int4_kernel(rows: jax.Array) -> jax.Array:
 @jax.jit
 def dequantize_rows_int4(packed: jax.Array, scale: jax.Array) -> jax.Array:
     return unpack_int4(packed).astype(jnp.float32) * scale[:, None]
+
+
+def prep_query_block(
+    q: jax.Array, slab_dtype, int8: bool, qprec: str,
+) -> tuple[jax.Array, jax.Array, int]:
+    """Shared query-side prep for the clustered scan kernels (v2/v3):
+    validates ``qprec``, picks the query representation for the MXU
+    against an int8/int4 slab, and pads sub-32-row batches up to the
+    int8 sublane tile. Returns ``(qq, qs, b_out)`` where ``b_out`` is
+    the caller's true batch (outputs slice back to it).
+
+    One implementation so the two kernel generations can never diverge
+    numerically — the kernel A/B benchmarks compare them directly, and
+    a quantization-floor tweak applied to one side only would corrupt
+    the comparison silently.
+
+    - ``qprec="bf16"`` (default): bf16 queries; ``qs`` is a zeros
+      placeholder (no query dequant at emit).
+    - ``qprec="int8"``: symmetric per-query-row quantization
+      (scale = max|q|/127, 1e-20 floor), int8 codes + per-row scale.
+    """
+    qprec = str(qprec).lower()
+    if qprec not in ("bf16", "int8"):
+        raise ValueError(f"qprec must be 'bf16' or 'int8', got {qprec!r}")
+    b = q.shape[0]
+    if int8 and qprec == "int8":
+        qf = q.astype(jnp.float32)
+        qmax = jnp.maximum(
+            jnp.max(jnp.abs(qf), axis=1, keepdims=True), 1e-20
+        )
+        qs = (qmax / 127.0).astype(jnp.float32)  # (B, 1)
+        qq = jnp.clip(jnp.round(qf / qs), -127, 127).astype(jnp.int8)
+    elif int8:
+        qq = q.astype(jnp.bfloat16)
+        qs = jnp.zeros((b, 1), jnp.float32)  # unused (no query dequant)
+    else:
+        qq = q.astype(slab_dtype)
+        qs = jnp.zeros((b, 1), jnp.float32)  # unused
+    b_out = b
+    if int8 and b < 32:
+        # int8 sublane tile is (32, 128): pad the query block up to 32
+        # rows (the latency path serves B=1) and slice outputs after
+        qq = jnp.pad(qq, ((0, 32 - b), (0, 0)))
+        qs = jnp.pad(qs, ((0, 32 - b), (0, 0)), constant_values=1.0)
+    return qq, qs, b_out

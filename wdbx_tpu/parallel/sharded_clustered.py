@@ -174,6 +174,7 @@ def _build_clustered_search(
                     uniq.astype(jnp.int32), ok.astype(jnp.int32),
                     q if int8 else q.astype(slab2.dtype),
                     k=min(k, rpd), c=c, interpret=interpret, int4=int4,
+                    qprec=qprec,
                 )
             elif kern == "v2":
                 kv, kp = clustered_block_topk_v2(
