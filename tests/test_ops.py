@@ -217,3 +217,118 @@ class TestClusteredKernelV2Matrix:
             k=5, c=c, interpret=True, n_ways=4,
         )
         assert (np.asarray(v) <= -3.0e38).all()
+
+
+class TestKernelContracts:
+    """Regressions for the r3 kernel-layer review: silent-wrongness
+    modes must raise (or route to a correct path) instead."""
+
+    def _slab(self, rng, nblocks=8, c=256, d=64, dtype=None):
+        import jax.numpy as jnp
+
+        cap = nblocks * c
+        slab = rng.standard_normal((cap, d)).astype(np.float32)
+        slab /= np.linalg.norm(slab, axis=1, keepdims=True)
+        return jnp.asarray(slab, dtype or jnp.bfloat16)
+
+    def test_ivf_bucket_scan_rejects_deep_k(self, rng):
+        import jax.numpy as jnp
+
+        from wdbx_tpu.kernels.ivf_scan import ivf_bucket_scan
+
+        rows = jnp.zeros((4, 256, 64), jnp.bfloat16)
+        v8 = jnp.ones((4, 8, 256), jnp.int8)
+        probes = jnp.zeros(4, jnp.int32)
+        qidx = jnp.zeros(4, jnp.int32)
+        q = jnp.zeros((2, 64), jnp.float32)
+        with pytest.raises(ValueError, match="k <= 128"):
+            ivf_bucket_scan(rows, v8, probes, qidx, q, k=200,
+                            interpret=True)
+
+    def test_ivf_bucket_scan_rejects_int8_table(self, rng):
+        import jax.numpy as jnp
+
+        from wdbx_tpu.kernels.ivf_scan import ivf_bucket_scan
+
+        rows = jnp.zeros((4, 256, 64), jnp.int8)
+        v8 = jnp.ones((4, 8, 256), jnp.int8)
+        probes = jnp.zeros(4, jnp.int32)
+        qidx = jnp.zeros(4, jnp.int32)
+        q = jnp.zeros((2, 64), jnp.float32)
+        with pytest.raises(TypeError, match="float bucket table"):
+            ivf_bucket_scan(rows, v8, probes, qidx, q, k=10,
+                            interpret=True)
+
+    def test_ivf_index_routes_deep_fetch_to_lax(self, rng):
+        """k*assignments > 128 must fall back to the (exact) lax scan,
+        not truncate candidates inside the pallas kernel."""
+        from wdbx_tpu.index.ivf import IVFIndex
+
+        d, n, k = 32, 3000, 80
+        idx = IVFIndex(d, nlist=8, nprobe=8, train_threshold=256)
+        idx.ivf_kernel = "pallas"
+        idx.batch_flat_fallback = False
+        db = rng.standard_normal((n, d)).astype(np.float32)
+        db /= np.linalg.norm(db, axis=1, keepdims=True)
+        slots = idx.add_batch(db)
+        idx.build()
+        q = rng.standard_normal((4, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        _, got = idx.search(q, k)
+        exp = slots[np.argsort(-(q @ db.T), axis=-1)[:, :k]]
+        recall = np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / k
+            for a, b in zip(got, exp)
+        ])
+        assert recall >= 0.95, recall
+
+    def test_group_reduce_rejects_partial_tail(self):
+        import jax.numpy as jnp
+
+        from wdbx_tpu.kernels.fused_topk import _group_reduce, _pair_reduce
+
+        s = jnp.zeros((2, 384), jnp.float32)
+        with pytest.raises(ValueError, match="multiple of group"):
+            _group_reduce(s, 0, 256)
+        with pytest.raises(ValueError, match="multiple of group"):
+            _pair_reduce(s, jnp.zeros((2, 384), jnp.int32), 256)
+
+    @pytest.mark.parametrize("qprec", ["bf16", "int8"])
+    def test_v3_qprec_matches_v2(self, rng, qprec):
+        """v3 must honor qprec identically to v2 (shared
+        prep_query_block): same int8 slab, same args -> same scores."""
+        import jax.numpy as jnp
+
+        from wdbx_tpu.kernels.clustered_scan import (
+            clustered_block_topk_v2,
+            clustered_block_topk_v3,
+        )
+
+        d, c, k, nblocks = 64, 256, 8, 8
+        cap = nblocks * c
+        slab = rng.standard_normal((cap, d)).astype(np.float32)
+        slab /= np.linalg.norm(slab, axis=1, keepdims=True)
+        s_row = (np.abs(slab).max(axis=1) / 127.0).astype(np.float32)
+        codes = np.clip(
+            np.round(slab / s_row[:, None]), -127, 127
+        ).astype(np.int8)
+        sl = jnp.asarray(codes)
+        sc = jnp.asarray(s_row.reshape(1, -1))
+        valid = jnp.ones((1, cap), jnp.int8)
+        uniq = jnp.asarray(np.arange(nblocks, dtype=np.int32))
+        ok = jnp.asarray(np.ones(nblocks, np.int32))
+        q = rng.standard_normal((8, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        q = jnp.asarray(q)
+        v2, p2 = clustered_block_topk_v2(
+            sl, valid, sc, uniq, ok, q, k=k, c=c, interpret=True,
+            n_ways=4, qprec=qprec,
+        )
+        v3, p3 = clustered_block_topk_v3(
+            sl, valid, sc, uniq, ok, q, k=k, c=c, interpret=True,
+            qprec=qprec,
+        )
+        np.testing.assert_allclose(
+            np.asarray(v2), np.asarray(v3), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(p2), np.asarray(p3))
