@@ -1506,3 +1506,177 @@ class TestReviewRound3Regressions:
         # 1/40 = 2.5% > 2% — use a single live bit over 60 live rows
         live = [int(g) for g in got.ravel() if g >= 0]
         assert all(g == int(slots[2]) for g in live)
+
+
+class TestBackgroundRebuildWindow:
+    """Deterministic ops-during-COW-window coverage: phase 2 of
+    ``build_background`` is held open on an Event while the main thread
+    runs a scripted mutation sequence, so every journal/replay path is
+    exercised on every run (the randomized fuzz only reaches them when
+    thread timing happens to leave the window open across ops)."""
+
+    def _held_window(self, idx):
+        """Patch ``_cluster_plan`` so the NEXT background build blocks
+        mid-phase-2 until ``release`` is set. Returns (entered,
+        release, restore)."""
+        import threading
+
+        entered = threading.Event()
+        release = threading.Event()
+        orig = idx._cluster_plan
+
+        def held(*a, **kw):
+            out = orig(*a, **kw)
+            entered.set()
+            assert release.wait(60), "window release never fired"
+            return out
+
+        idx._cluster_plan = held
+        return entered, release, (lambda: setattr(
+            idx, "_cluster_plan", orig))
+
+    def _check_exact(self, idx, mirror, rng, nq=8):
+        slots = np.array(sorted(mirror), dtype=np.int64)
+        mat = np.stack([mirror[s] for s in slots])
+        q = rng.standard_normal((nq, mat.shape[1])).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        _, got = idx.search(q, 1)
+        sims_exact = np.max(q @ mat.T, axis=1)
+        for qi, g, se in zip(q, got[:, 0], sims_exact):
+            assert int(g) in mirror, f"unknown slot {g}"
+            np.testing.assert_allclose(
+                float(qi @ mirror[int(g)]), se, rtol=1e-3, atol=1e-3
+            )
+        assert idx.count() == len(mirror)
+
+    def test_scripted_mutations_inside_open_window(self, rng):
+        """Adds, updates, removes, slot recycling, hole recycling, a
+        no-op blocking build() and a save() — all INSIDE one held-open
+        COW window — must replay exactly through the atomic swap."""
+        import os
+        import tempfile
+        import threading
+
+        d = 16
+        idx = _make(d, nlist=4, nprobe=4, train_threshold=64)
+        idx.batch_flat_fallback = False
+        idx.topk_method = "exact"
+        mirror = {}
+
+        def vecs(n):
+            v = rng.standard_normal((n, d)).astype(np.float32)
+            return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+        v0 = vecs(120)
+        for s, v in zip(idx.add_batch(v0), v0):
+            mirror[int(s)] = v
+        idx.build()
+        # pre-seed a quarantined hole in the clustered region so an
+        # in-window add can recycle it
+        pre_hole = sorted(mirror)[3]
+        idx.remove_slots(np.array([pre_hole], np.int64))
+        del mirror[pre_hole]
+
+        entered, release, restore = self._held_window(idx)
+        try:
+            t = threading.Thread(target=idx.build_background)
+            t.start()
+            assert entered.wait(60), "background build never reached phase 2"
+            # --- scripted ops inside the open window ---
+            # 1. plain adds (some may recycle the pre-seeded hole)
+            va = vecs(10)
+            for s, v in zip(idx.add_batch(va), va):
+                mirror[int(s)] = v
+            # 2. update pre-snapshot slots
+            upd = np.array(sorted(mirror)[:5], np.int64)
+            vu = vecs(len(upd))
+            idx.update_slots(upd, vu)
+            for s, v in zip(upd, vu):
+                mirror[int(s)] = v
+            # 3. remove pre-snapshot slots (incl. one just updated)
+            rem = np.array([sorted(mirror)[1], sorted(mirror)[10]], np.int64)
+            idx.remove_slots(rem)
+            for s in rem:
+                del mirror[int(s)]
+            # 4. remove-then-readd: the freed ext slot id recycles while
+            #    the window is still open (journal flips removed->dirty)
+            target = sorted(mirror)[7]
+            idx.remove_slots(np.array([target], np.int64))
+            del mirror[target]
+            vr = vecs(1)
+            s_new = idx.add_batch(vr)
+            for s, v in zip(s_new, vr):
+                mirror[int(s)] = v
+            # 5. update-then-remove: journal flips dirty->removed
+            t2 = sorted(mirror)[12]
+            idx.update_slots(np.array([t2], np.int64), vecs(1))
+            idx.remove_slots(np.array([t2], np.int64))
+            del mirror[t2]
+            # 6. blocking build() must be a no-op (not clobber the
+            #    in-flight snapshot)
+            idx.build()
+            # 7. save() under the open window must produce a loadable,
+            #    consistent checkpoint (read lock vs phase 2 off-lock)
+            with tempfile.TemporaryDirectory() as tmp:
+                p = os.path.join(tmp, "w")
+                idx.save(p)
+                idx2 = _make(d, nlist=4, nprobe=4, train_threshold=64)
+                idx2.batch_flat_fallback = False
+                idx2.topk_method = "exact"
+                assert idx2.load(p)
+                self._check_exact(idx2, mirror, rng)
+            # searches against the pre-swap state see every mutation
+            self._check_exact(idx, mirror, rng)
+        finally:
+            release.set()
+            t.join(120)
+            restore()
+        assert not t.is_alive(), "background build hung"
+        # post-swap: the journal replay must have preserved every slot
+        self._check_exact(idx, mirror, rng)
+        # and the index must still take mutations + another build cleanly
+        vb = vecs(5)
+        for s, v in zip(idx.add_batch(vb), vb):
+            mirror[int(s)] = v
+        idx.build()
+        self._check_exact(idx, mirror, rng)
+
+    def test_capacity_growth_inside_window_falls_back(self, rng):
+        """An over-capacity ingest during the window invalidates the
+        permuted arrays; the swap must detect the capacity change and
+        redo a blocking build rather than install stale geometry."""
+        import threading
+
+        d = 16
+        idx = _make(d, nlist=4, nprobe=4, train_threshold=64)
+        idx.batch_flat_fallback = False
+        idx.topk_method = "exact"
+        mirror = {}
+
+        def vecs(n):
+            v = rng.standard_normal((n, d)).astype(np.float32)
+            return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+        v0 = vecs(100)
+        for s, v in zip(idx.add_batch(v0), v0):
+            mirror[int(s)] = v
+        idx.build()
+        cap0 = idx._cap
+
+        entered, release, restore = self._held_window(idx)
+        try:
+            t = threading.Thread(target=idx.build_background)
+            t.start()
+            assert entered.wait(60)
+            # ingest enough rows to force _grow during the window
+            n_big = int(cap0)  # guarantees _next_slot + n > cap
+            vb = vecs(n_big)
+            for s, v in zip(idx.add_batch(vb), vb):
+                mirror[int(s)] = v
+            assert idx._cap > cap0, "test did not force growth"
+        finally:
+            release.set()
+            t.join(120)
+            restore()
+        assert not t.is_alive()
+        self._check_exact(idx, mirror, rng)
