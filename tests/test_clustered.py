@@ -1459,7 +1459,7 @@ class TestReviewRound3Regressions:
             jnp.asarray(s8), jnp.asarray(valid),
             jnp.asarray(scales_row.reshape(1, -1)),
             jnp.asarray(uniq), jnp.asarray(ok), jnp.asarray(q),
-            depth=8, **kw
+            depth=8, qprec="int8", **kw
         )
         np.testing.assert_array_equal(np.asarray(p2), np.asarray(p3q))
         np.testing.assert_allclose(
