@@ -719,10 +719,47 @@ class TestClusteredIVF:
                 sims_got.append(float(qi @ mirror[int(g)]))
             sims_exact = np.max(q @ mat.T, axis=1)
             # top-1 similarity must match the mirror's best (slot ties
-            # are fine as long as the similarity is equal)
-            np.testing.assert_allclose(
-                sims_got, sims_exact, rtol=1e-3, atol=1e-3
-            )
+            # are fine as long as the similarity is equal). On mismatch,
+            # self-diagnose: storage is f32, so any gap is structural —
+            # report where the expected slot's row lives (and whether a
+            # settled re-query recovers) before failing, so a rare
+            # timing-dependent repro is actionable from the CI log.
+            if not np.allclose(sims_got, sims_exact, rtol=1e-3, atol=1e-3):
+                diag = []
+                for i, (qi, g) in enumerate(zip(q, got[:, 0])):
+                    se = float(sims_exact[i])
+                    sg = float(sims_got[i])
+                    if np.isclose(sg, se, rtol=1e-3, atol=1e-3):
+                        continue
+                    want = int(exact[i])
+                    pos = int(idx._pos_of[want]) if hasattr(
+                        idx, "_pos_of") else -99
+                    d_i = {
+                        "query": i, "got": int(g), "want": want,
+                        "sim_got": sg, "sim_want": se, "pos": pos,
+                    }
+                    if pos >= 0:
+                        d_i["valid"] = bool(np.asarray(idx._valid[pos]))
+                        d_i["fresh_base"] = getattr(idx, "_fresh_base", None)
+                        d_i["in_residual"] = pos in set(
+                            getattr(idx, "_residual", ()))
+                        stored = idx.get_vectors(np.array([pos]))[0]
+                        d_i["stored_vs_mirror_maxabs"] = float(
+                            np.max(np.abs(stored - mirror[want])))
+                    if background:
+                        bg_join()
+                        _, got2 = idx.search(q[i:i + 1], 1)
+                        sg2 = float(qi @ mirror[int(got2[0, 0])]) \
+                            if int(got2[0, 0]) in mirror else float("nan")
+                        d_i["requery_after_join"] = {
+                            "slot": int(got2[0, 0]), "sim": sg2,
+                            "recovered": bool(np.isclose(
+                                sg2, se, rtol=1e-3, atol=1e-3)),
+                        }
+                    diag.append(d_i)
+                raise AssertionError(
+                    f"top-1 mismatch; structural diagnosis: {diag}"
+                )
             if masked and len(mirror) >= 8:
                 keep = r.random(len(slots)) < 0.5
                 if not keep.any():
