@@ -519,6 +519,22 @@ class TestClusteredIVF:
         self._run_differential(seed, make, steps=40)
 
     @pytest.mark.parametrize("seed", [0, 1])
+    def test_differential_background_rebuild_sharded(self, seed):
+        """Background-rebuild fuzz against the mesh-striped class: the
+        COW window, journal replay and atomic swap run on the sharded
+        engine (r3: non-donating sharded writes during the window)."""
+        from wdbx_tpu.parallel import ShardedClusteredIndex
+
+        def make():
+            idx = ShardedClusteredIndex(16, nlist=4, nprobe=4,
+                                        train_threshold=64)
+            idx.batch_flat_fallback = False
+            idx.topk_method = "exact"
+            return idx
+
+        self._run_differential(seed, make, steps=40, background=True)
+
+    @pytest.mark.parametrize("seed", [0, 1])
     def test_differential_sharded_masked_remesh(self, seed):
         """Sharded clustered fuzz with random slot-mask filters at
         every check and live remesh() thrown into the op mix (VERDICT
@@ -1552,15 +1568,38 @@ class TestBackgroundRebuildWindow:
     exercised on every run (the randomized fuzz only reaches them when
     thread timing happens to leave the window open across ops)."""
 
+    @staticmethod
+    def _makers():
+        from wdbx_tpu.parallel import ShardedClusteredIndex
+
+        def single(d):
+            idx = _make(d, nlist=4, nprobe=4, train_threshold=64)
+            idx.batch_flat_fallback = False
+            idx.topk_method = "exact"
+            return idx
+
+        def sharded(d):
+            idx = ShardedClusteredIndex(d, nlist=4, nprobe=4,
+                                        train_threshold=64)
+            idx.batch_flat_fallback = False
+            idx.topk_method = "exact"
+            return idx
+
+        return {"single": single, "sharded": sharded}
+
     def _held_window(self, idx):
-        """Patch ``_cluster_plan`` so the NEXT background build blocks
-        mid-phase-2 until ``release`` is set. Returns (entered,
+        """Patch the cluster-planning step so the NEXT background build
+        blocks mid-phase-2 until ``release`` is set. Returns (entered,
         release, restore)."""
         import threading
 
+        attr = (
+            "_plan_clusters" if hasattr(type(idx), "_plan_clusters")
+            else "_cluster_plan"
+        )
         entered = threading.Event()
         release = threading.Event()
-        orig = idx._cluster_plan
+        orig = getattr(idx, attr)
 
         def held(*a, **kw):
             out = orig(*a, **kw)
@@ -1568,9 +1607,8 @@ class TestBackgroundRebuildWindow:
             assert release.wait(60), "window release never fired"
             return out
 
-        idx._cluster_plan = held
-        return entered, release, (lambda: setattr(
-            idx, "_cluster_plan", orig))
+        setattr(idx, attr, held)
+        return entered, release, (lambda: delattr(idx, attr))
 
     def _check_exact(self, idx, mirror, rng, nq=8):
         slots = np.array(sorted(mirror), dtype=np.int64)
@@ -1586,18 +1624,19 @@ class TestBackgroundRebuildWindow:
             )
         assert idx.count() == len(mirror)
 
-    def test_scripted_mutations_inside_open_window(self, rng):
+    @pytest.mark.parametrize("engine", ["single", "sharded"])
+    def test_scripted_mutations_inside_open_window(self, rng, engine):
         """Adds, updates, removes, slot recycling, hole recycling, a
         no-op blocking build() and a save() — all INSIDE one held-open
-        COW window — must replay exactly through the atomic swap."""
+        COW window — must replay exactly through the atomic swap (both
+        the single-device and the mesh-striped engines)."""
         import os
         import tempfile
         import threading
 
         d = 16
-        idx = _make(d, nlist=4, nprobe=4, train_threshold=64)
-        idx.batch_flat_fallback = False
-        idx.topk_method = "exact"
+        maker = self._makers()[engine]
+        idx = maker(d)
         mirror = {}
 
         def vecs(n):
@@ -1657,9 +1696,7 @@ class TestBackgroundRebuildWindow:
             with tempfile.TemporaryDirectory() as tmp:
                 p = os.path.join(tmp, "w")
                 idx.save(p)
-                idx2 = _make(d, nlist=4, nprobe=4, train_threshold=64)
-                idx2.batch_flat_fallback = False
-                idx2.topk_method = "exact"
+                idx2 = maker(d)
                 assert idx2.load(p)
                 self._check_exact(idx2, mirror, rng)
             # searches against the pre-swap state see every mutation
@@ -1678,16 +1715,15 @@ class TestBackgroundRebuildWindow:
         idx.build()
         self._check_exact(idx, mirror, rng)
 
-    def test_capacity_growth_inside_window_falls_back(self, rng):
+    @pytest.mark.parametrize("engine", ["single", "sharded"])
+    def test_capacity_growth_inside_window_falls_back(self, rng, engine):
         """An over-capacity ingest during the window invalidates the
         permuted arrays; the swap must detect the capacity change and
         redo a blocking build rather than install stale geometry."""
         import threading
 
         d = 16
-        idx = _make(d, nlist=4, nprobe=4, train_threshold=64)
-        idx.batch_flat_fallback = False
-        idx.topk_method = "exact"
+        idx = self._makers()[engine](d)
         mirror = {}
 
         def vecs(n):

@@ -242,6 +242,9 @@ def create_index(kind: str, dim: int, config: Any = None) -> "VectorIndex":
             )
         idx = ShardedClusteredIndex(dim, **kwargs)
         if config is not None:
+            idx.background_rebuild = bool(
+                config.get("IVF_BACKGROUND_REBUILD", False)
+            )
             _apply_kernel_knobs(idx, config)
         return idx
     if kind == "sharded_ivf":

@@ -360,6 +360,10 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
         #: program (see ClusteredIVFIndex.latency_path)
         self.small_batch_threshold = 4
         self.latency_path = "auto"
+        #: when True, optimize() uses build_background() (serving keeps
+        #: the old layout during the rebuild); config key
+        #: IVF_BACKGROUND_REBUILD. Needs 2x-slab HBM headroom.
+        self.background_rebuild = False
         self._cluster_cache: dict[tuple, object] = {}
         self._reset_overlay()
 
@@ -408,10 +412,20 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
         with self._mu.write():
             ShardedFlatIndex.clear(self)
             self._reset_overlay()
+            # storage replaced wholesale: abandon any in-flight
+            # background build's snapshot at swap time
+            self._layout_gen = getattr(self, "_layout_gen", 0) + 1
 
-    def optimize(self) -> None:
+    def optimize(self, background: bool | None = None) -> None:
+        """Rebuild the striped cluster layout. ``background`` forces
+        the serve-through COW path on/off for THIS call only; ``None``
+        defers to the configured ``background_rebuild``."""
         if self._size > 0:
-            self.build()
+            bg = self.background_rebuild if background is None else background
+            if bg:
+                self.build_background()
+            else:
+                self.build()
 
     def compact(self):
         with self._mu.write():
@@ -426,6 +440,10 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
             self._build_locked()
 
     def _build_locked(self) -> None:
+        if getattr(self, "_cow_writes", False):
+            # a background rebuild is in flight; it swaps in shortly —
+            # a second (blocking) build here would clobber its snapshot
+            return
         hwm = self._next_slot
         if self._size == 0 or hwm == 0:
             self._reset_overlay()
@@ -435,6 +453,35 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
         live_pos = np.nonzero(valid_h)[0].astype(np.int64)
         n_live = len(live_pos)
 
+        centroids, assign = self._plan_clusters(
+            self._slab, self._scales, live_pos, n_dev
+        )
+        order, dest, local_counts, local_starts = self._striped_layout(
+            assign, len(centroids), n_dev
+        )
+
+        # Round-robin striping hands low-numbered devices up to one
+        # extra row per bucket, so the max per-device row count can
+        # exceed rows_per_device at high occupancy — grow first (striped
+        # global positions survive a grow: s % n_dev is unchanged).
+        need_local = int(local_starts[:, -1].max()) if n_live else 0
+        if need_local > self.rows_per_device:
+            self._grow(need_local * n_dev)
+
+        src_global = live_pos[order]
+        slab_n, valid_n, scales_n = self._permute_striped(
+            self._slab, self._scales, src_global, dest, self._cap, n_dev
+        )
+        self._install_striped(
+            src_global, dest, local_counts, local_starts, centroids,
+            slab_n, valid_n, scales_n,
+        )
+
+    def _plan_clusters(self, slab, scales, live_pos, n_dev):
+        """Train centroids + assign every live row, reading ONLY the
+        explicit array operands (so the background build can run it
+        off-lock against an immutable snapshot)."""
+        n_live = len(live_pos)
         repl = self._sharding(P())
 
         @jax.jit
@@ -463,7 +510,7 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
                 n_live, self.train_sample, replace=False
             )
             sample = live_pos[np.sort(sel)]
-        train = gather_rows(self._slab, self._scales, jnp.asarray(sample))
+        train = gather_rows(slab, scales, jnp.asarray(sample))
         centroids, _ = kmeans(
             train, num_clusters=nlist, iters=self.kmeans_iters
         )
@@ -476,15 +523,18 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
         for i in range(0, n_live, chunk):
             end = min(i + chunk, n_live)
             rows_chunk = gather_rows(
-                self._slab, self._scales, jnp.asarray(live_pos[i:end])
+                slab, scales, jnp.asarray(live_pos[i:end])
             )
             assign[i:end] = np.asarray(_assign_blocked(rows_chunk, centroids))
             del rows_chunk
+        return np.asarray(centroids), assign
 
-        # --- striped cluster layout ---
-        # rows of bucket b, in stable order, go to device (rank % n_dev)
-        # at local rank (rank // n_dev); device-local layout is bucket-
-        # contiguous over that device's subset.
+    def _striped_layout(self, assign, nlist, n_dev):
+        """Pure-numpy striped cluster layout: rows of bucket b, in
+        stable order, go to device (rank % n_dev) at local rank
+        (rank // n_dev); device-local layout is bucket-contiguous over
+        that device's subset."""
+        n_live = len(assign)
         order = np.argsort(assign, kind="stable")
         sorted_assign = assign[order]
         counts = np.bincount(assign, minlength=nlist)
@@ -500,30 +550,27 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
         np.cumsum(local_counts, axis=1, out=local_starts[:, 1:])
         local_row = local_starts[dev, sorted_assign] + local_rank
         dest = (local_row * n_dev + dev).astype(np.int64)  # global striped
+        return order, dest, local_counts, local_starts
 
-        # Round-robin striping hands low-numbered devices up to one
-        # extra row per bucket, so the max per-device row count can
-        # exceed rows_per_device at high occupancy — grow first (striped
-        # global positions survive a grow: s % n_dev is unchanged).
-        need_local = int(local_starts[:, -1].max()) if n_live else 0
-        if need_local > self.rows_per_device:
-            self._grow(need_local * n_dev)
-
-        # rebuild the slab: gather rows from old positions, scatter to
-        # dest (both striped) — chunked device passes with fresh arrays
-        old_slab, old_valid, old_scales = (
-            self._slab, self._valid, self._scales,
+    def _permute_striped(self, slab, scales, src_global, dest, cap, n_dev):
+        """Move live rows of the explicit (snapshot-safe) source arrays
+        into FRESH arrays at ``cap`` in cluster-striped order. Peak HBM
+        = old slab + new slab (2x corpus transient)."""
+        repl = self._sharding(P())
+        slab_s = self._sharding(P(self.axis, None, None))
+        v_s = self._sharding(P(self.axis, None))
+        rpd = cap // n_dev
+        slab_n = jax.device_put(
+            jnp.zeros((n_dev, rpd, self._row_width), self._dtype), slab_s
         )
-        self._alloc(self._cap)
-        src_global = live_pos[order]
+        valid_n = jax.device_put(jnp.zeros((n_dev, rpd), jnp.bool_), v_s)
+        scales_n = jax.device_put(jnp.ones((n_dev, rpd), jnp.float32), v_s)
 
         @partial(jax.jit, donate_argnums=(0, 1, 2))
         def move(slab_new, valid_new, scales_new, slab_old, scales_old,
                  src, dst):
             sdev, srow = src % n_dev, src // n_dev
             ddev, drow = dst % n_dev, dst // n_dev
-            slab_s = self._sharding(P(self.axis, None, None))
-            v_s = self._sharding(P(self.axis, None))
             rows = slab_old.at[sdev, srow].get(out_sharding=repl)
             sc = scales_old.at[sdev, srow].get(out_sharding=repl)
             slab_new = slab_new.at[ddev, drow].set(rows, out_sharding=slab_s)
@@ -531,18 +578,31 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
             valid_new = valid_new.at[ddev, drow].set(True, out_sharding=v_s)
             return slab_new, valid_new, scales_new
 
-        slab_n, valid_n, scales_n = self._slab, self._valid, self._scales
-        for i in range(0, n_live, chunk):
-            end = min(i + chunk, n_live)
+        chunk = 131_072
+        for i in range(0, len(src_global), chunk):
+            end = min(i + chunk, len(src_global))
             slab_n, valid_n, scales_n = move(
-                slab_n, valid_n, scales_n, old_slab, old_scales,
+                slab_n, valid_n, scales_n, slab, scales,
                 jnp.asarray(src_global[i:end]), jnp.asarray(dest[i:end]),
             )
+        return slab_n, valid_n, scales_n
+
+    def _install_striped(
+        self, src_global, dest, local_counts, local_starts, centroids,
+        slab_n, valid_n, scales_n, slot_src=None,
+    ) -> None:
+        """Swap the permuted arrays in and rebuild mappings + overlay
+        (write lock held by the caller). ``slot_src`` overrides the
+        slot-of-position map labeling dest rows — the background build
+        passes its snapshot (the live ``_slot_of`` has drifted for rows
+        it replays separately)."""
+        n_dev = self.n_devices
         self._slab, self._valid, self._scales = slab_n, valid_n, scales_n
-        del old_slab, old_valid, old_scales
 
         # host slot mapping follows the permutation
-        slot_at_dest = self._slot_of[src_global]
+        slot_at_dest = (
+            self._slot_of if slot_src is None else slot_src
+        )[src_global]
         self._slot_of[:] = -1
         self._slot_of[dest] = slot_at_dest
         self._pos_of[:] = -1
@@ -554,13 +614,147 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
         self._quar = {}
         self._quar_n = 0
         # uniform local boundary: max aligned local clustered end
-        max_local = int(local_starts[:, -1].max()) if n_live else 0
+        max_local = int(local_starts[:, -1].max()) if len(src_global) else 0
         boundary = -(-max_local // self._c) * self._c
         self._next_slot = min(self._cap, boundary * n_dev)
         self._fresh_base = self._next_slot
         self._residual = []
         self._residual_base = 0
         self._built_size = self._size
+
+    def build_background(self) -> None:
+        """Rebuild the striped cluster layout WITHOUT blocking searches
+        — the sharded analog of ``ClusteredIVFIndex.build_background``
+        (the reference's ``optimize`` is stop-the-world, reference
+        wdbx/core/indexing.py:1124-1149; at multi-chip corpus scale a
+        blocking rebuild stalls serving for minutes).
+
+        Three phases: (1) brief write lock — snapshot array handles and
+        flip mutators to copy-on-write (sharded writes switch to their
+        non-donating variants so the snapshot buffers survive);
+        (2) OFF-lock — train/assign/permute against the snapshot into
+        fresh sharded arrays while searches and mutations proceed;
+        (3) brief write lock — drop journaled rows from the new layout,
+        swap it in, and replay mutated slots into the fresh region.
+
+        Falls back to the blocking build at swap time when capacity
+        changed mid-window (a grow donated nothing — the snapshot is
+        intact — but the permuted arrays no longer fit) or when the
+        striping would overflow rows_per_device (growth cannot happen
+        off-lock). A ``remesh``/``clear``/``load`` during the window
+        bumps ``_layout_gen`` and the stale snapshot is abandoned.
+
+        Peak HBM: 2x slab (+1x transiently per COW mutation batch)."""
+        with self._mu.write():
+            if getattr(self, "_cow_writes", False):
+                return  # already rebuilding
+            hwm = self._next_slot
+            if self._size == 0 or hwm == 0:
+                self._reset_overlay()
+                return
+            self._cow_writes = True
+            self._bg_journal: dict[int, str] = {}
+            n_dev = self.n_devices
+            snap_slab, snap_scales = self._slab, self._scales
+            snap_valid_h = (
+                self._host_replicated(self._valid).T.reshape(-1)[:hwm]
+            )
+            snap_slot_of = self._slot_of.copy()
+            snap_cap = self._cap
+            snap_gen = getattr(self, "_layout_gen", 0)
+        done = False
+        overflow = False
+        slab_n = valid_n = scales_n = None
+        try:
+            live_pos = np.nonzero(snap_valid_h)[0].astype(np.int64)
+            centroids, assign = self._plan_clusters(
+                snap_slab, snap_scales, live_pos, n_dev
+            )
+            order, dest, local_counts, local_starts = self._striped_layout(
+                assign, len(centroids), n_dev
+            )
+            src_global = live_pos[order]
+            need_local = (
+                int(local_starts[:, -1].max()) if len(live_pos) else 0
+            )
+            if need_local > snap_cap // n_dev:
+                overflow = True  # growth can't happen off-lock
+            else:
+                slab_n, valid_n, scales_n = self._permute_striped(
+                    snap_slab, snap_scales, src_global, dest, snap_cap,
+                    n_dev,
+                )
+            done = True
+        finally:
+            if not done:
+                with self._mu.write():
+                    self._cow_writes = False
+        with self._mu.write():
+            try:
+                if getattr(self, "_layout_gen", 0) != snap_gen:
+                    # clear()/load()/remesh replaced storage mid-build:
+                    # the snapshot is from a dead generation — abandon
+                    return
+                if (self._cap != snap_cap or overflow
+                        or self.n_devices != n_dev):
+                    self._cow_writes = False
+                    self._build_locked()
+                    return
+                journal = self._bg_journal
+                self._bg_journal = {}
+                dirty = np.asarray(
+                    sorted(s for s, v in journal.items() if v == "dirty"),
+                    np.int64,
+                )
+                rows = None
+                if len(dirty):
+                    cur_pos = self._positions_of(dirty)
+                    known = cur_pos >= 0
+                    dirty = dirty[known]
+                    if len(dirty):
+                        rows = np.asarray(
+                            ShardedFlatIndex.get_vectors(
+                                self, cur_pos[known]
+                            ),
+                            np.float32,
+                        )
+                if journal:
+                    # every journaled slot's snapshot row is stale: drop
+                    # it from the new layout (dirty ones replay below)
+                    # and null its snapshot map entry so a removed slot
+                    # cannot be resurrected as "known"
+                    drop = np.fromiter(journal, np.int64, len(journal))
+                    dead = np.isin(snap_slot_of[src_global], drop)
+                    dead_dest = dest[dead]
+                    snap_slot_of[np.isin(snap_slot_of, drop)] = -1
+                    if len(dead_dest):
+                        from wdbx_tpu.index.flat import _next_pow2 as _np2
+
+                        pad_n = _np2(len(dead_dest))
+                        pd = jnp.asarray(np.pad(
+                            dead_dest, (0, pad_n - len(dead_dest)),
+                            constant_values=snap_cap,  # OOB pad drops
+                        ))
+                        v_s = self._sharding(P(self.axis, None))
+                        valid_n = jax.jit(
+                            lambda v, s: v.at[s % n_dev, s // n_dev].set(
+                                False, out_sharding=v_s
+                            )
+                        )(valid_n, pd)
+                self._cow_writes = False
+                self._install_striped(
+                    src_global, dest, local_counts, local_starts,
+                    centroids, slab_n, valid_n, scales_n,
+                    slot_src=snap_slot_of,
+                )
+                if rows is not None and len(dirty):
+                    pos = self._take_slots(len(dirty))
+                    self._scatter(pos, rows, True)
+                    self._slot_of[pos] = dirty.astype(np.int32)
+                    self._pos_of[dirty] = pos.astype(np.int32)
+                    self._residual.extend(int(p) for p in pos)
+            finally:
+                self._cow_writes = False
 
     def _install_layout(
         self, centroids: np.ndarray, local_counts: np.ndarray,
@@ -846,6 +1040,7 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
         ShardedFlatIndex.adopt_mesh(self, mesh)
         with self._mu.write():
             self._reset_overlay()
+            self._layout_gen = getattr(self, "_layout_gen", 0) + 1
 
     def remesh(self, mesh) -> None:
         """Re-stripe onto a new mesh and rebuild the cluster layout
@@ -853,6 +1048,9 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
         was_trained = self.is_trained
         ShardedFlatIndex.remesh(self, mesh)
         with self._mu.write():
+            # re-striping invalidates an in-flight background build's
+            # position math: abandon its snapshot at swap time
+            self._layout_gen = getattr(self, "_layout_gen", 0) + 1
             # remesh preserved global positions; only the overlay and
             # the oversized mapping arrays need refitting
             slot_of, pos_of = self._slot_of, self._pos_of
@@ -914,6 +1112,7 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
         with self._mu.write():
             if not ShardedFlatIndex._load_locked(self, path):
                 return False
+            self._layout_gen = getattr(self, "_layout_gen", 0) + 1
             self._reset_overlay()
             self._slot_of = np.full(self._cap, -1, np.int32)
             self._pos_of = np.full(self._cap, -1, np.int32)

@@ -288,6 +288,8 @@ class ShardedFlatIndex(FlatIndex):
         self._search_cache: dict[tuple[int, int], object] = {}
         self._write_fn = None
         self._tombstone_fn = None
+        self._write_fn_cow = None
+        self._tombstone_fn_cow = None
         super().__init__(dim, metric=metric, dtype=dtype, capacity=capacity)
 
     # -- sharded storage ---------------------------------------------------
@@ -359,14 +361,18 @@ class ShardedFlatIndex(FlatIndex):
     def _write_arrays(self, vecs, pslots, flags):
         # Scatter into the sharded slab needs an explicit out_sharding;
         # XLA routes each update row to its owning device. Memoized per
-        # instance (jit caches on function identity).
-        if self._write_fn is None:
+        # instance (jit caches on function identity). During a
+        # background rebuild's COW window (``_cow_writes``) the
+        # non-donating variant runs instead: donation would invalidate
+        # the snapshot buffers the off-lock build phase is reading.
+        cow = getattr(self, "_cow_writes", False)
+        attr = "_write_fn_cow" if cow else "_write_fn"
+        if getattr(self, attr, None) is None:
             slab_s = self._sharding(P(self.axis, None, None))
             valid_s = self._sharding(P(self.axis, None))
             int8 = self._is_int8
             int4 = self._is_int4
 
-            @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnums=(6,))
             def write(slab, valid, scales, v, s, f, n_dev):
                 dev, row = s % n_dev, s // n_dev
                 if int8 or int4:
@@ -386,25 +392,32 @@ class ShardedFlatIndex(FlatIndex):
                 valid = valid.at[dev, row].set(f, out_sharding=valid_s)
                 return slab, valid, scales
 
-            self._write_fn = write
-        slab, valid, self._scales = self._write_fn(
+            donate = () if cow else (0, 1, 2)
+            setattr(self, attr, partial(
+                jax.jit, donate_argnums=donate, static_argnums=(6,)
+            )(write))
+        slab, valid, self._scales = getattr(self, attr)(
             self._slab, self._valid, self._scales, vecs, pslots, flags,
             self.n_devices,
         )
         return slab, valid
 
     def _tombstone_arrays(self, pslots):
-        if self._tombstone_fn is None:
+        cow = getattr(self, "_cow_writes", False)
+        attr = "_tombstone_fn_cow" if cow else "_tombstone_fn"
+        if getattr(self, attr, None) is None:
             valid_s = self._sharding(P(self.axis, None))
 
-            @partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
             def tomb(valid, s, n_dev):
                 return valid.at[s % n_dev, s // n_dev].set(
                     False, out_sharding=valid_s
                 )
 
-            self._tombstone_fn = tomb
-        return self._tombstone_fn(self._valid, pslots, self.n_devices)
+            donate = () if cow else (0,)
+            setattr(self, attr, partial(
+                jax.jit, donate_argnums=donate, static_argnums=(2,)
+            )(tomb))
+        return getattr(self, attr)(self._valid, pslots, self.n_devices)
 
     def _place(
         self,
@@ -603,6 +616,8 @@ class ShardedFlatIndex(FlatIndex):
             self._search_cache.clear()
             self._write_fn = None
             self._tombstone_fn = None
+            self._write_fn_cow = None
+            self._tombstone_fn_cow = None
             self._cap = self._round_cap(max(self._next_slot, 1024))
             self._alloc(self._cap)
             self._size = 0
@@ -646,6 +661,8 @@ class ShardedFlatIndex(FlatIndex):
             self._search_cache.clear()
             self._write_fn = None
             self._tombstone_fn = None
+            self._write_fn_cow = None
+            self._tombstone_fn_cow = None
             new_cap = self._round_cap(max(hwm, 1024))
 
             def fit(x, fill, dtype):
