@@ -755,11 +755,19 @@ class TestClusteredIVF:
                         "sim_got": sg, "sim_want": se, "pos": pos,
                     }
                     if pos >= 0:
-                        d_i["valid"] = bool(np.asarray(idx._valid[pos]))
+                        va = np.asarray(idx._valid)
+                        if va.ndim == 2:
+                            # sharded: striped (device, row) layout,
+                            # global pos p lives at [p % nd, p // nd]
+                            nd = va.shape[0]
+                            d_i["valid"] = bool(va[pos % nd, pos // nd])
+                        else:
+                            d_i["valid"] = bool(va[pos])
                         d_i["fresh_base"] = getattr(idx, "_fresh_base", None)
                         d_i["in_residual"] = pos in set(
                             getattr(idx, "_residual", ()))
-                        stored = idx.get_vectors(np.array([pos]))[0]
+                        # get_vectors takes external SLOT ids
+                        stored = idx.get_vectors(np.array([want]))[0]
                         d_i["stored_vs_mirror_maxabs"] = float(
                             np.max(np.abs(stored - mirror[want])))
                     if background:
@@ -1603,12 +1611,17 @@ class TestBackgroundRebuildWindow:
 
         def held(*a, **kw):
             out = orig(*a, **kw)
-            entered.set()
-            assert release.wait(60), "window release never fired"
+            # one-shot: only the FIRST call (the background build we
+            # started) pauses — a later blocking build issued by the
+            # main thread (e.g. via clear()/remesh()) must pass through
+            # or the main thread deadlocks against its own release
+            if not entered.is_set():
+                entered.set()
+                assert release.wait(60), "window release never fired"
             return out
 
         setattr(idx, attr, held)
-        return entered, release, (lambda: delattr(idx, attr))
+        return entered, release, (lambda: idx.__dict__.pop(attr, None))
 
     def _check_exact(self, idx, mirror, rng, nq=8):
         slots = np.array(sorted(mirror), dtype=np.int64)
@@ -1752,4 +1765,98 @@ class TestBackgroundRebuildWindow:
             t.join(120)
             restore()
         assert not t.is_alive()
+        self._check_exact(idx, mirror, rng)
+
+    def test_remesh_inside_open_window_still_rebuilds(self, rng):
+        """remesh() during an open COW window must kill the in-flight
+        build AND release the window so its own follow-up build()
+        actually runs — before the fix the build() hit _build_locked's
+        in-flight early-return, the background build abandoned at swap
+        time, and the index was left untrained with bucket -1 holes."""
+        import threading
+
+        from wdbx_tpu.parallel import make_mesh
+
+        d = 16
+        idx = self._makers()["sharded"](d)
+        mirror = {}
+
+        def vecs(n):
+            v = rng.standard_normal((n, d)).astype(np.float32)
+            return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+        v0 = vecs(120)
+        for s, v in zip(idx.add_batch(v0), v0):
+            mirror[int(s)] = v
+        idx.build()
+        # churn so the post-remesh rebuild has holes to clear
+        rm = np.array(sorted(mirror)[:5], np.int64)
+        idx.remove_slots(rm)
+        for s in rm:
+            del mirror[int(s)]
+
+        entered, release, restore = self._held_window(idx)
+        try:
+            t = threading.Thread(target=idx.build_background)
+            t.start()
+            assert entered.wait(60)
+            idx.remesh(make_mesh(4))
+            # the remesh's promised rebuild must have actually run
+            assert idx.is_trained, "remesh left the index untrained"
+            assert not idx._cow_writes, "remesh left the COW window open"
+            self._check_exact(idx, mirror, rng)
+        finally:
+            release.set()
+            t.join(120)
+            restore()
+        assert not t.is_alive()
+        # the abandoned builder must not have clobbered the new state
+        assert idx.is_trained
+        assert not idx._cow_writes
+        self._check_exact(idx, mirror, rng)
+        # and a fresh background rebuild cycle still works end-to-end
+        va = vecs(6)
+        for s, v in zip(idx.add_batch(va), va):
+            mirror[int(s)] = v
+        idx.build_background()
+        self._check_exact(idx, mirror, rng)
+
+    @pytest.mark.parametrize("engine", ["single", "sharded"])
+    def test_clear_inside_open_window_allows_blocking_build(
+            self, rng, engine):
+        """clear() during an open COW window releases the window, so a
+        re-ingest + build() right after actually trains instead of
+        being silently skipped by the in-flight guard."""
+        import threading
+
+        d = 16
+        idx = self._makers()[engine](d)
+
+        def vecs(n):
+            v = rng.standard_normal((n, d)).astype(np.float32)
+            return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+        idx.add_batch(vecs(120))
+        idx.build()
+
+        entered, release, restore = self._held_window(idx)
+        try:
+            t = threading.Thread(target=idx.build_background)
+            t.start()
+            assert entered.wait(60)
+            idx.clear()
+            mirror = {}
+            v1 = vecs(100)
+            for s, v in zip(idx.add_batch(v1), v1):
+                mirror[int(s)] = v
+            idx.build()
+            assert idx.is_trained, "build() after clear() was skipped"
+            self._check_exact(idx, mirror, rng)
+        finally:
+            release.set()
+            t.join(120)
+            restore()
+        assert not t.is_alive()
+        assert idx.is_trained
+        assert not idx._cow_writes
         self._check_exact(idx, mirror, rng)

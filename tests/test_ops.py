@@ -264,7 +264,10 @@ class TestKernelContracts:
         not truncate candidates inside the pallas kernel."""
         from wdbx_tpu.index.ivf import IVFIndex
 
-        d, n, k = 32, 3000, 80
+        # k=150 > 128: crosses the kernel's result-lane budget, so the
+        # router MUST take the lax scan (k=80 would legally stay on the
+        # pallas kernel and never exercise the fallback)
+        d, n, k = 32, 3000, 150
         idx = IVFIndex(d, nlist=8, nprobe=8, train_threshold=256)
         idx.ivf_kernel = "pallas"
         idx.batch_flat_fallback = False

@@ -888,6 +888,51 @@ class ClusteredSlotMixin:
             return pm, nprobe, True
         return pm, min(nlist, nprobe * _filter_boost(sel)), False
 
+    # -- background-rebuild journal: shared swap-time drain ------------------
+    def _drain_bg_journal(self, journal, snap_slot_of, src, dest,
+                          fetch_rows):
+        """Swap-time drain of the COW-window mutation journal, shared
+        by the single-device and mesh-striped engines (the subtlest
+        logic in the serve-through rebuild lives in ONE place).
+
+        Every journaled slot's snapshot row is stale: its ``dest``
+        position in the new layout is returned for invalidation, and
+        its entry in ``snap_slot_of`` is nulled IN PLACE so a removed
+        slot cannot be resurrected as "known" (``_pos_of >= 0`` at a
+        dead row means a double-decrement on re-remove and updates
+        scattering into the dead row). Slots still live ("dirty") have
+        their CURRENT rows fetched via ``fetch_rows(positions)`` before
+        the swap so the caller can replay them into the fresh region.
+
+        Returns ``(dirty, rows, dead_dest)``."""
+        dirty = np.asarray(
+            sorted(s for s, v in journal.items() if v == "dirty"),
+            np.int64,
+        )
+        rows = None
+        if len(dirty):
+            cur_pos = self._positions_of(dirty)
+            known = cur_pos >= 0
+            dirty = dirty[known]
+            if len(dirty):
+                rows = np.asarray(fetch_rows(cur_pos[known]), np.float32)
+        dead_dest = np.empty(0, np.int64)
+        if journal:
+            drop = np.fromiter(journal, np.int64, len(journal))
+            dead_dest = dest[np.isin(snap_slot_of[src], drop)]
+            snap_slot_of[np.isin(snap_slot_of, drop)] = -1
+        return dirty, rows, dead_dest
+
+    def _replay_bg_dirty(self, dirty, rows):
+        """Re-insert the journal's surviving mutated rows into the
+        fresh region of the just-swapped layout, keeping their external
+        slot ids (write lock held by the caller)."""
+        pos = self._take_slots(len(dirty))
+        self._scatter(pos, rows, True)
+        self._slot_of[pos] = dirty.astype(np.int32)
+        self._pos_of[dirty] = pos.astype(np.int32)
+        self._residual.extend(int(p) for p in pos)
+
 
 class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
 
@@ -955,10 +1000,14 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
         self._pos_of = np.full(cap, -1, np.int32)  # slot -> pos
         self._free_slots: list[int] = []
         self._next_ext_slot = 0
-        # bumped whenever storage is replaced wholesale (clear/load):
-        # an in-flight background rebuild checks it before swapping and
-        # abandons its now-stale snapshot instead of resurrecting it
+        # Storage replaced wholesale (clear/load): make any in-flight
+        # background rebuild abandon its now-stale snapshot at swap
+        # time, and release its COW window HERE — otherwise a build()
+        # issued right after clear/load hits _build_locked's in-flight
+        # early-return and silently skips the rebuild.
         self._layout_gen = getattr(self, "_layout_gen", 0) + 1
+        self._cow_writes = False
+        self._bg_journal = {}
 
     def _grow(self, need: int) -> None:
         old_cap = self._cap
@@ -1249,12 +1298,18 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
         finally:
             if not done:
                 with self._mu.write():
-                    self._cow_writes = False
+                    # release only OUR window — a clear()/load() that
+                    # invalidated this build already closed it, and a
+                    # new build may own the flag by now
+                    if getattr(self, "_layout_gen", 0) == snap_gen:
+                        self._cow_writes = False
         with self._mu.write():
             try:
                 if getattr(self, "_layout_gen", 0) != snap_gen:
                     # clear()/load() replaced storage mid-build: the
                     # snapshot is from a dead generation — abandon it
+                    # (the invalidation site already released the
+                    # window; a new build may even own it by now)
                     return
                 if self._cap != snap_cap:
                     # capacity grew mid-build: the permuted arrays no
@@ -1265,51 +1320,29 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
                     return
                 journal = self._bg_journal
                 self._bg_journal = {}
-                dirty = np.asarray(
-                    sorted(s for s, v in journal.items() if v == "dirty"),
-                    np.int64,
+                # the permute placed src[i] at new position i
+                dirty, rows, dead_dest = self._drain_bg_journal(
+                    journal, snap_slot_of, src,
+                    np.arange(len(src), dtype=np.int64),
+                    lambda p: FlatIndex.get_vectors(self, p),
                 )
-                rows = None
-                if len(dirty):
-                    cur_pos = self._positions_of(dirty)
-                    known = cur_pos >= 0
-                    dirty = dirty[known]
-                    if len(dirty):
-                        rows = np.asarray(
-                            FlatIndex.get_vectors(self, cur_pos[known]),
-                            np.float32,
-                        )
-                if journal:
-                    # every journaled slot's snapshot row is stale: drop
-                    # it from the new layout (dirty ones replay below).
-                    # ALSO null its snapshot map entry — installing it
-                    # would resurrect removed slots as "known" (_pos_of
-                    # >= 0 at a dead row: double-decrement on re-remove,
-                    # update_slots scattering into the dead row).
-                    drop = np.fromiter(journal, np.int64, len(journal))
-                    dead = np.isin(snap_slot_of[src], drop)
-                    dead_dest = np.nonzero(dead)[0]
-                    snap_slot_of[np.isin(snap_slot_of, drop)] = -1
-                    if len(dead_dest):
-                        pad_n = _next_pow2(len(dead_dest))
-                        pd = jnp.asarray(np.pad(
-                            dead_dest, (0, pad_n - len(dead_dest)),
-                            constant_values=snap_cap,  # OOB pad drops
-                        ))
-                        new_valid = new_valid.at[pd].set(False)
+                if len(dead_dest):
+                    pad_n = _next_pow2(len(dead_dest))
+                    pd = jnp.asarray(np.pad(
+                        dead_dest, (0, pad_n - len(dead_dest)),
+                        constant_values=snap_cap,  # OOB pad drops
+                    ))
+                    new_valid = new_valid.at[pd].set(False)
                 self._cow_writes = False
                 self._install_built(
                     src, counts, centroids, new_slab, new_valid,
                     new_scales, slot_src=snap_slot_of,
                 )
                 if rows is not None and len(dirty):
-                    pos = self._take_slots(len(dirty))
-                    self._scatter(pos, rows, True)
-                    self._slot_of[pos] = dirty.astype(np.int32)
-                    self._pos_of[dirty] = pos.astype(np.int32)
-                    self._residual.extend(int(p) for p in pos)
+                    self._replay_bg_dirty(dirty, rows)
             finally:
-                self._cow_writes = False
+                if getattr(self, "_layout_gen", 0) == snap_gen:
+                    self._cow_writes = False
 
     def _install_layout(
         self, centroids: np.ndarray, counts: np.ndarray,

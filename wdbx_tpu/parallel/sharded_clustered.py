@@ -414,7 +414,19 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
             self._reset_overlay()
             # storage replaced wholesale: abandon any in-flight
             # background build's snapshot at swap time
-            self._layout_gen = getattr(self, "_layout_gen", 0) + 1
+            self._invalidate_bg_window()
+
+    def _invalidate_bg_window(self) -> None:
+        """Kill any in-flight background rebuild (caller holds the
+        write lock). Bumping the generation makes the builder abandon
+        its snapshot at swap time; releasing the COW window HERE (not
+        at the builder's eventual swap) matters because callers like
+        ``remesh`` immediately issue a blocking ``build()`` that would
+        otherwise hit ``_build_locked``'s in-flight early-return and
+        silently skip the rebuild they promised."""
+        self._layout_gen = getattr(self, "_layout_gen", 0) + 1
+        self._cow_writes = False
+        self._bg_journal = {}
 
     def optimize(self, background: bool | None = None) -> None:
         """Rebuild the striped cluster layout. ``background`` forces
@@ -662,7 +674,6 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
             snap_slot_of = self._slot_of.copy()
             snap_cap = self._cap
             snap_gen = getattr(self, "_layout_gen", 0)
-        done = False
         overflow = False
         slab_n = valid_n = scales_n = None
         try:
@@ -684,16 +695,28 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
                     snap_slab, snap_scales, src_global, dest, snap_cap,
                     n_dev,
                 )
-            done = True
-        finally:
-            if not done:
-                with self._mu.write():
+        except BaseException:
+            # Phase 2 reads live mesh handles (self._sharding/axis) off
+            # the lock, so a concurrent remesh/clear/load can make the
+            # jitted gather/permute fail mid-flight (donated or
+            # re-striped operands). That failure belongs to a dead
+            # generation: abandon quietly. A same-generation failure is
+            # real — release OUR window (only ours: the invalidation
+            # site may have opened a new one) and surface it.
+            with self._mu.write():
+                stale = getattr(self, "_layout_gen", 0) != snap_gen
+                if not stale:
                     self._cow_writes = False
+            if stale:
+                return
+            raise
         with self._mu.write():
             try:
                 if getattr(self, "_layout_gen", 0) != snap_gen:
                     # clear()/load()/remesh replaced storage mid-build:
                     # the snapshot is from a dead generation — abandon
+                    # (the invalidation site already released the COW
+                    # window; a new build may even own it by now)
                     return
                 if (self._cap != snap_cap or overflow
                         or self.n_devices != n_dev):
@@ -702,45 +725,22 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
                     return
                 journal = self._bg_journal
                 self._bg_journal = {}
-                dirty = np.asarray(
-                    sorted(s for s, v in journal.items() if v == "dirty"),
-                    np.int64,
+                dirty, rows, dead_dest = self._drain_bg_journal(
+                    journal, snap_slot_of, src_global, dest,
+                    lambda p: ShardedFlatIndex.get_vectors(self, p),
                 )
-                rows = None
-                if len(dirty):
-                    cur_pos = self._positions_of(dirty)
-                    known = cur_pos >= 0
-                    dirty = dirty[known]
-                    if len(dirty):
-                        rows = np.asarray(
-                            ShardedFlatIndex.get_vectors(
-                                self, cur_pos[known]
-                            ),
-                            np.float32,
+                if len(dead_dest):
+                    pad_n = _next_pow2(len(dead_dest))
+                    pd = jnp.asarray(np.pad(
+                        dead_dest, (0, pad_n - len(dead_dest)),
+                        constant_values=snap_cap,  # OOB pad drops
+                    ))
+                    v_s = self._sharding(P(self.axis, None))
+                    valid_n = jax.jit(
+                        lambda v, s: v.at[s % n_dev, s // n_dev].set(
+                            False, out_sharding=v_s
                         )
-                if journal:
-                    # every journaled slot's snapshot row is stale: drop
-                    # it from the new layout (dirty ones replay below)
-                    # and null its snapshot map entry so a removed slot
-                    # cannot be resurrected as "known"
-                    drop = np.fromiter(journal, np.int64, len(journal))
-                    dead = np.isin(snap_slot_of[src_global], drop)
-                    dead_dest = dest[dead]
-                    snap_slot_of[np.isin(snap_slot_of, drop)] = -1
-                    if len(dead_dest):
-                        from wdbx_tpu.index.flat import _next_pow2 as _np2
-
-                        pad_n = _np2(len(dead_dest))
-                        pd = jnp.asarray(np.pad(
-                            dead_dest, (0, pad_n - len(dead_dest)),
-                            constant_values=snap_cap,  # OOB pad drops
-                        ))
-                        v_s = self._sharding(P(self.axis, None))
-                        valid_n = jax.jit(
-                            lambda v, s: v.at[s % n_dev, s // n_dev].set(
-                                False, out_sharding=v_s
-                            )
-                        )(valid_n, pd)
+                    )(valid_n, pd)
                 self._cow_writes = False
                 self._install_striped(
                     src_global, dest, local_counts, local_starts,
@@ -748,13 +748,13 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
                     slot_src=snap_slot_of,
                 )
                 if rows is not None and len(dirty):
-                    pos = self._take_slots(len(dirty))
-                    self._scatter(pos, rows, True)
-                    self._slot_of[pos] = dirty.astype(np.int32)
-                    self._pos_of[dirty] = pos.astype(np.int32)
-                    self._residual.extend(int(p) for p in pos)
+                    self._replay_bg_dirty(dirty, rows)
             finally:
-                self._cow_writes = False
+                # release only OUR window: on the stale-generation
+                # abandon path the invalidation site already closed it,
+                # and a new build may own the flag by now
+                if getattr(self, "_layout_gen", 0) == snap_gen:
+                    self._cow_writes = False
 
     def _install_layout(
         self, centroids: np.ndarray, local_counts: np.ndarray,
@@ -1040,7 +1040,7 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
         ShardedFlatIndex.adopt_mesh(self, mesh)
         with self._mu.write():
             self._reset_overlay()
-            self._layout_gen = getattr(self, "_layout_gen", 0) + 1
+            self._invalidate_bg_window()
 
     def remesh(self, mesh) -> None:
         """Re-stripe onto a new mesh and rebuild the cluster layout
@@ -1049,8 +1049,9 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
         ShardedFlatIndex.remesh(self, mesh)
         with self._mu.write():
             # re-striping invalidates an in-flight background build's
-            # position math: abandon its snapshot at swap time
-            self._layout_gen = getattr(self, "_layout_gen", 0) + 1
+            # position math: abandon its snapshot + release the window
+            # so the build() below actually runs
+            self._invalidate_bg_window()
             # remesh preserved global positions; only the overlay and
             # the oversized mapping arrays need refitting
             slot_of, pos_of = self._slot_of, self._pos_of
@@ -1112,7 +1113,7 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
         with self._mu.write():
             if not ShardedFlatIndex._load_locked(self, path):
                 return False
-            self._layout_gen = getattr(self, "_layout_gen", 0) + 1
+            self._invalidate_bg_window()
             self._reset_overlay()
             self._slot_of = np.full(self._cap, -1, np.int32)
             self._pos_of = np.full(self._cap, -1, np.int32)
