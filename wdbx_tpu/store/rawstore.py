@@ -1,0 +1,329 @@
+"""Slot-indexed raw-vector sidecar: one disk-backed memmap per shard.
+
+Replaces the per-id host dict of float32 arrays the store used to keep
+for exact re-ranking and ``get()`` round-trips (reference semantics:
+the raw vector survives quantized indexing, reference
+wdbx/core/vector_store.py:66-67 keeps ``self.vectors`` next to the
+index). The dict could not exist at the capacity tier: 20M x 768 f32
+is ~59 GB of host RAM *plus* a 20M-entry dict, and persisting it
+materialized ``np.stack`` over every row (a 2x RSS spike at save).
+
+This store is three flat files per shard under ``data_dir/vectors/``:
+
+  * ``raw_shard{N}.bin``      — ``(cap, dim)`` rows at ``dtype``
+  * ``raw_shard{N}.scale.bin`` — ``(cap,)`` f32 per-row scales (int8 only)
+  * ``raw_shard{N}.ok.bin``   — ``(cap,)`` u8 written flags
+
+indexed directly by the index's stable external slot ids, so
+
+  * writes are row scatters into the memmap (dirty pages, no host copy);
+  * the re-rank gather is one fancy-index over a contiguous array —
+    page-cache-backed, never materializing the file;
+  * persistence is free: the memmap IS the on-disk format (``save`` is
+    an msync, not an ``np.stack`` of the corpus);
+  * RSS is page cache (evictable), not anonymous heap.
+
+Precision tiers (``RAW_STORE_DTYPE``): ``float32`` (exact — the default,
+byte-identical ``get()`` round trips), ``float16`` (half the bytes,
+~1e-3 relative error), ``int8`` (quarter, per-row absmax scale — ranks
+within ~0.001 recall@10 of f32 for re-rank, the tier that serves the
+20M x 768 int4 flagship from ~15 GB of disk).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+_DTYPES = {
+    "float32": np.float32,
+    "float16": np.float16,
+    "int8": np.int8,
+}
+
+_GROW_MIN = 1024
+
+
+def _round_cap(need: int) -> int:
+    """Power-of-two below 1M slots, 1M multiples above (file growth is
+    cheap — sparse files — but remapping views is not free)."""
+    if need <= (1 << 20):
+        return 1 << max(10, (need - 1).bit_length())
+    return -(-need // (1 << 20)) * (1 << 20)
+
+
+class RawStore:
+    """Slot-indexed raw vectors, one file set per shard.
+
+    ``backend="mmap"`` (default) writes through to disk-backed memmaps —
+    constant RSS, ``save()`` is an msync of dirty pages; writes run at
+    disk speed. ``backend="ram"`` keeps the arrays anonymous (fast
+    first-touch) and serializes them to the same files only at
+    ``flush()`` — the ingest-throughput tier when host RAM covers the
+    raw set (e.g. 20M x 768 int8 = ~15 GB)."""
+
+    def __init__(
+        self,
+        data_dir: str,
+        num_shards: int,
+        dim: int,
+        dtype: str = "float32",
+        backend: str = "mmap",
+    ):
+        if dtype not in _DTYPES:
+            raise ValueError(f"unsupported raw-store dtype: {dtype}")
+        if backend not in ("mmap", "ram"):
+            raise ValueError(f"unsupported raw-store backend: {backend}")
+        self.dir = os.path.join(data_dir, "vectors")
+        os.makedirs(self.dir, exist_ok=True)
+        self.num_shards = num_shards
+        self.dim = dim
+        self.dtype_name = dtype
+        self.backend = backend
+        self._dtype = _DTYPES[dtype]
+        self._rows: list[np.ndarray | None] = [None] * num_shards
+        self._scales: list[np.ndarray | None] = [None] * num_shards
+        self._ok: list[np.ndarray | None] = [None] * num_shards
+        self._caps = [0] * num_shards
+        meta_path = os.path.join(self.dir, "raw_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if meta.get("dim") != dim:
+                # same operator-facing contract as the index loader: a
+                # dimension mismatch is a CONFIG error — refuse to start
+                raise ValueError(
+                    f"data_dir raw store at {self.dir!r} holds a "
+                    f"different-dimension vector set (dim {meta.get('dim')}, "
+                    f"configured {dim}); pass the matching vector_dimension "
+                    "/ --dimension / WDBX_VECTOR_DIMENSION"
+                )
+            # the persisted dtype wins: reopening with a different
+            # configured precision must not reinterpret the bytes
+            self.dtype_name = meta.get("dtype", dtype)
+            self._dtype = _DTYPES[self.dtype_name]
+            for shard in range(num_shards):
+                if os.path.exists(self._path(shard, "bin")):
+                    self._open(shard)
+        else:
+            self._write_meta()
+
+    # -- files ------------------------------------------------------------
+    def _path(self, shard: int, kind: str) -> str:
+        suffix = {"bin": ".bin", "scale": ".scale.bin", "ok": ".ok.bin"}[kind]
+        return os.path.join(self.dir, f"raw_shard{shard}{suffix}")
+
+    def _write_meta(self) -> None:
+        with open(os.path.join(self.dir, "raw_meta.json"), "w") as f:
+            json.dump({"dim": self.dim, "dtype": self.dtype_name}, f)
+
+    def _open(self, shard: int) -> None:
+        """(Re)attach the shard's files at their current on-disk size
+        (memmap views, or full reads for the ram backend)."""
+        itemsize = np.dtype(self._dtype).itemsize
+        nbytes = os.path.getsize(self._path(shard, "bin"))
+        cap = nbytes // (self.dim * itemsize)
+        if cap == 0:
+            return
+        rows = np.memmap(
+            self._path(shard, "bin"), dtype=self._dtype, mode="r+",
+            shape=(cap, self.dim),
+        )
+        ok = np.memmap(
+            self._path(shard, "ok"), dtype=np.uint8, mode="r+", shape=(cap,)
+        )
+        scale = None
+        if self.dtype_name == "int8":
+            scale = np.memmap(
+                self._path(shard, "scale"), dtype=np.float32, mode="r+",
+                shape=(cap,),
+            )
+        if self.backend == "ram":
+            rows = np.array(rows)
+            ok = np.array(ok)
+            scale = np.array(scale) if scale is not None else None
+        self._rows[shard], self._ok[shard] = rows, ok
+        self._scales[shard] = scale
+        self._caps[shard] = cap
+
+    def _ensure(self, shard: int, need_slots: int) -> None:
+        if self._caps[shard] >= need_slots:
+            return
+        cap = _round_cap(max(need_slots, _GROW_MIN,
+                             int(self._caps[shard] * 1.5)))
+        itemsize = np.dtype(self._dtype).itemsize
+        if self.backend == "ram":
+            old = self._caps[shard]
+            rows = np.zeros((cap, self.dim), self._dtype)
+            ok = np.zeros(cap, np.uint8)
+            if old:
+                rows[:old] = self._rows[shard]
+                ok[:old] = self._ok[shard]
+            if self.dtype_name == "int8":
+                scale = np.zeros(cap, np.float32)
+                if old:
+                    scale[:old] = self._scales[shard]
+                self._scales[shard] = scale
+            self._rows[shard], self._ok[shard] = rows, ok
+            self._caps[shard] = cap
+            return
+        # release current views before resizing the files
+        self._rows[shard] = self._ok[shard] = self._scales[shard] = None
+        specs = [("bin", cap * self.dim * itemsize), ("ok", cap)]
+        if self.dtype_name == "int8":
+            specs.append(("scale", cap * 4))
+        for kind, nbytes in specs:
+            path = self._path(shard, kind)
+            mode = "r+b" if os.path.exists(path) else "w+b"
+            with open(path, mode) as f:
+                f.truncate(nbytes)  # sparse extension: zero-filled
+        self._open(shard)
+
+    # -- data plane ---------------------------------------------------------
+    @property
+    def enabled(self) -> bool:
+        return True
+
+    def write(self, shard: int, slots: np.ndarray, rows: np.ndarray) -> None:
+        """Scatter f32 ``rows`` at ``slots`` (quantizing per the store
+        dtype). Vectorized; dirty pages flush lazily (or at save())."""
+        slots = np.asarray(slots, np.int64)
+        if len(slots) == 0:
+            return
+        self._ensure(shard, int(slots.max()) + 1)
+        rows = np.asarray(rows, np.float32)
+        if self.dtype_name == "int8":
+            scale = np.maximum(
+                np.abs(rows).max(axis=1), 1e-12
+            ).astype(np.float32) / 127.0
+            self._rows[shard][slots] = np.clip(
+                np.rint(rows / scale[:, None]), -127, 127
+            ).astype(np.int8)
+            self._scales[shard][slots] = scale
+        else:
+            self._rows[shard][slots] = rows.astype(self._dtype)
+        self._ok[shard][slots] = 1
+
+    def read(
+        self, shard: int, slots: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Gather rows by slot. Returns ``(rows_f32, have)`` — ``have``
+        is False for slots never written (their rows are zeros)."""
+        slots = np.asarray(slots, np.int64)
+        cap = self._caps[shard]
+        if cap == 0 or len(slots) == 0:
+            return (
+                np.zeros((len(slots), self.dim), np.float32),
+                np.zeros(len(slots), bool),
+            )
+        safe = np.clip(slots, 0, cap - 1)
+        in_range = (slots >= 0) & (slots < cap)
+        have = (self._ok[shard][safe] != 0) & in_range
+        rows = self._rows[shard][safe].astype(np.float32)
+        if self.dtype_name == "int8":
+            rows *= self._scales[shard][safe][:, None]
+        rows[~have] = 0.0
+        return rows, have
+
+    def drop(self, shard: int, slots: np.ndarray) -> None:
+        slots = np.asarray(slots, np.int64)
+        cap = self._caps[shard]
+        if cap == 0 or len(slots) == 0:
+            return
+        sel = slots[(slots >= 0) & (slots < cap)]
+        self._ok[shard][sel] = 0
+
+    def remap(self, shard: int, old: np.ndarray, new: np.ndarray) -> None:
+        """Move rows after an index compaction renumbered slots
+        (``old[i] -> new[i]``; compaction packs downward, so a forward
+        gather into a fresh prefix is safe)."""
+        old = np.asarray(old, np.int64)
+        new = np.asarray(new, np.int64)
+        cap = self._caps[shard]
+        if cap == 0 or len(old) == 0:
+            return
+        keep = old < cap
+        old, new = old[keep], new[keep]
+        self._ensure(shard, int(new.max()) + 1 if len(new) else 1)
+        rows = self._rows[shard][old].copy()
+        ok = self._ok[shard][old].copy()
+        self._ok[shard][:] = 0
+        self._rows[shard][new] = rows
+        self._ok[shard][new] = ok
+        if self.dtype_name == "int8":
+            sc = self._scales[shard][old].copy()
+            self._scales[shard][new] = sc
+
+    def clear(self) -> None:
+        for shard in range(self.num_shards):
+            if self._ok[shard] is not None:
+                self._ok[shard][:] = 0
+
+    def flush(self) -> None:
+        if self.backend == "ram":
+            for shard in range(self.num_shards):
+                if self._rows[shard] is None:
+                    continue
+                self._rows[shard].tofile(self._path(shard, "bin"))
+                self._ok[shard].tofile(self._path(shard, "ok"))
+                if self._scales[shard] is not None:
+                    self._scales[shard].tofile(self._path(shard, "scale"))
+        else:
+            for views in (self._rows, self._scales, self._ok):
+                for mm in views:
+                    if mm is not None and isinstance(mm, np.memmap):
+                        mm.flush()
+        self._write_meta()
+
+
+class NullRawStore:
+    """RAW_STORE=none: keeps nothing; every read reports absent."""
+
+    dtype_name = "none"
+    enabled = False
+
+    def __init__(self, dim: int):
+        self.dim = dim
+
+    def write(self, shard, slots, rows) -> None:
+        pass
+
+    def read(self, shard, slots):
+        n = len(np.asarray(slots))
+        return np.zeros((n, self.dim), np.float32), np.zeros(n, bool)
+
+    def drop(self, shard, slots) -> None:
+        pass
+
+    def remap(self, shard, old, new) -> None:
+        pass
+
+    def clear(self) -> None:
+        pass
+
+    def flush(self) -> None:
+        pass
+
+
+def create_raw_store(
+    config, data_dir: str, num_shards: int, dim: int
+):
+    """RAW_STORE: "auto" (memmap when VECTOR_STORE_KEEP_RAW, else none),
+    "memmap" (write-through disk pages, constant RSS), "ram"
+    (anonymous arrays, serialized at save — the ingest-throughput
+    tier), or "none". RAW_STORE_DTYPE picks the precision tier."""
+    mode = str(config.get("RAW_STORE", "auto")).lower()
+    keep = bool(config.get("VECTOR_STORE_KEEP_RAW", True))
+    if mode == "auto":
+        mode = "memmap" if keep else "none"
+    if mode == "none":
+        return NullRawStore(dim)
+    if mode not in ("memmap", "ram"):
+        raise ValueError(f"unsupported RAW_STORE mode: {mode}")
+    dtype = str(config.get("RAW_STORE_DTYPE", "float32")).lower()
+    return RawStore(
+        data_dir, num_shards, dim, dtype=dtype,
+        backend="ram" if mode == "ram" else "mmap",
+    )

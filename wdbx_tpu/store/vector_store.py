@@ -15,10 +15,17 @@ TPU-first differences:
     wdbx/core/indexing.py:378);
   * search accepts query *batches* and merges shard results with a device
     top-k instead of a host sort (reference wdbx/core/vector_store.py:384);
+  * metadata lives in slot-aligned typed numpy columns
+    (store/metastore.py) — filter masks are vectorized numpy, not a
+    per-entry Python walk, and persistence is per-shard npz instead of
+    the reference's one-blob JSON (wdbx/core/vector_store.py:136-176);
+  * raw vectors live in a slot-indexed disk memmap (store/rawstore.py)
+    instead of a host dict — the exact re-rank stays feasible at the
+    20M-row capacity tier and ``save()`` never materializes the corpus;
   * ``_async`` methods wrap the sync path in ``asyncio.to_thread`` — JAX
     dispatch is already asynchronous, so no thread-pool-per-index
     machinery (reference wdbx/core/vector_store.py:71-73) is needed;
-  * persistence is npz/JSON, never pickle.
+  * persistence is npz/JSON/memmap, never pickle.
 """
 
 from __future__ import annotations
@@ -35,7 +42,9 @@ import numpy as np
 
 from wdbx_tpu.index.base import VectorIndex, create_index
 from wdbx_tpu import native as _native
-from wdbx_tpu.store.filters import build_slot_mask, compile_filter
+from wdbx_tpu.store.filters import compile_filter
+from wdbx_tpu.store.metastore import ColumnarMetadata
+from wdbx_tpu.store.rawstore import create_raw_store
 from wdbx_tpu.utils.metrics import LatencyRecorder
 
 logger = logging.getLogger("wdbx_tpu.store")
@@ -57,7 +66,6 @@ class VectorStore:
         self.dim = int(config.get("VECTOR_DIMENSION", 384))
         self.num_shards = int(config.get("NUM_SHARDS", 1))
         self.data_dir = data_dir or config.get("DATA_DIR", "./wdbx_data")
-        self.keep_raw = bool(config.get("VECTOR_STORE_KEEP_RAW", True))
         self.autosave_interval = int(
             config.get("VECTOR_STORE_AUTOSAVE_INTERVAL", 1000)
         )
@@ -65,9 +73,9 @@ class VectorStore:
             config.get("VECTOR_STORE_SAVE_IMMEDIATELY", False)
         )
         self.filter_mode = str(config.get("FILTER_MODE", "auto"))
-        #: f32 re-rank of top candidates (SURVEY §7: protects recall when
-        #: the slab is quantized): "auto" = on for int8 indexes when raw
-        #: vectors are kept; True/False force it.
+        #: exact re-rank of top candidates from the raw store (SURVEY §7:
+        #: protects recall when the slab is quantized): "auto" = on for
+        #: int8/int4 indexes when a raw store exists; True/False force.
         self.rerank = config.get("RERANK", "auto")
         #: tune() learns the smallest re-rank over-fetch factor meeting
         #: the recall target; RERANK_FETCH_FACTOR config overrides
@@ -78,8 +86,6 @@ class VectorStore:
         # not unpin another's in-flight measurement
         self._tune_ff_mu = threading.Lock()
 
-        self.metadata: dict[str, dict[str, Any]] = {}
-        self.raw_vectors: dict[str, np.ndarray] = {}
         self.indices: list[VectorIndex] = []
         # id <-> slot bookkeeping: native C++ registry when built
         # (wdbx_tpu/native), Python fallback otherwise.
@@ -104,6 +110,12 @@ class VectorStore:
 
         self._slot_ids_cache = [None] * len(self.indices)
         self._create_dirs()
+        #: slot-aligned columnar metadata (host, typed numpy columns)
+        self.meta = ColumnarMetadata(self.num_shards)
+        #: slot-indexed raw-vector memmap (or a null store)
+        self.raws = create_raw_store(
+            config, self.data_dir, self.num_shards, self.dim
+        )
         self._load()
 
     # -- lifecycle --------------------------------------------------------
@@ -159,15 +171,15 @@ class VectorStore:
             shard = self._shard_for(vector_id)
             existing = self.registries[shard].lookup(vector_id)
             if existing is not None:
+                slot = int(existing)
                 self.indices[shard].update_slots(
-                    np.asarray([existing]), arr[None, :]
+                    np.asarray([slot]), arr[None, :]
                 )
             else:
                 slot = int(self.indices[shard].add_batch(arr[None, :])[0])
                 self.registries[shard].put([vector_id], [slot])
-            self.metadata[vector_id] = dict(metadata or {})
-            if self.keep_raw:
-                self.raw_vectors[vector_id] = arr
+            self.meta.set(shard, slot, metadata or {})
+            self.raws.write(shard, np.asarray([slot]), arr[None, :])
             self._after_mutation()
         return True
 
@@ -188,6 +200,7 @@ class VectorStore:
             if not vid:
                 raise ValueError("vector ids must be non-empty strings")
         with self.metrics.timed("batch_store"), self._lock:
+            placed: dict[str, tuple[int, int]] = {}  # id -> (shard, slot)
             for vid, vec in vectors.items():
                 arr = self._check_vector(vec)
                 shard = self._shard_for(vid)
@@ -198,18 +211,82 @@ class VectorStore:
                     ids.append(vid)
                     arrs.append(arr)
             for shard, (ids, arrs) in by_shard.items():
-                slots = self.indices[shard].add_batch(np.stack(arrs))
+                rows = np.stack(arrs)
+                slots = self.indices[shard].add_batch(rows)
                 self.registries[shard].put(ids, [int(s) for s in slots])
+                self.raws.write(shard, np.asarray(slots, np.int64), rows)
+                for vid, slot in zip(ids, slots):
+                    placed[vid] = (shard, int(slot))
             for vid, arr in updates:
                 shard = self._shard_for(vid)
-                slot = self.registries[shard].lookup(vid)
-                self.indices[shard].update_slots(np.asarray([slot]), arr[None, :])
+                slot = int(self.registries[shard].lookup(vid))
+                self.indices[shard].update_slots(
+                    np.asarray([slot]), arr[None, :]
+                )
+                self.raws.write(shard, np.asarray([slot]), arr[None, :])
+                placed[vid] = (shard, slot)
             for vid in vectors:
-                self.metadata[vid] = dict(metadata.get(vid, {}))
-                if self.keep_raw:
-                    self.raw_vectors[vid] = self._check_vector(vectors[vid])
+                shard, slot = placed[vid]
+                self.meta.set(shard, slot, metadata.get(vid, {}))
             self._after_mutation(len(vectors))
         return len(vectors)
+
+    def bulk_load(
+        self,
+        ids: list[str],
+        vectors: np.ndarray,
+        metadata_columns: dict[str, Any] | None = None,
+    ) -> int:
+        """Corpus-scale ingest: fresh ids only, vectorized bookkeeping.
+
+        ``metadata_columns`` gives per-key value arrays aligned with
+        ``ids`` (every row shares the key set — the columnar fast path).
+        One index scatter / registry put / metadata column-set / raw
+        write per shard; no per-row Python in the store layer beyond the
+        shard hash. This is the 10M-row path ``batch_store``'s per-id
+        dict walk cannot serve (SURVEY §3.2's hot-loop replacement at
+        store level)."""
+        vectors = np.asarray(vectors, np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self.dim:
+            raise ValueError(
+                f"bulk_load expects (n, {self.dim}) vectors, "
+                f"got {vectors.shape}"
+            )
+        if len(ids) != len(vectors):
+            raise ValueError("ids and vectors length mismatch")
+        with self.metrics.timed("bulk_load"), self._lock:
+            if any(reg.size() for reg in self.registries):
+                for vid in ids:  # fresh-only contract (updates: batch_store)
+                    if self.registries[self._shard_for(vid)].contains(vid):
+                        raise ValueError(
+                            f"bulk_load is insert-only; id {vid!r} exists"
+                        )
+            if self.num_shards == 1:
+                shard_of = np.zeros(len(ids), np.int64)
+            else:
+                shard_of = np.fromiter(
+                    (stable_shard(v, self.num_shards) for v in ids),
+                    np.int64, len(ids),
+                )
+            for shard in range(self.num_shards):
+                sel = np.nonzero(shard_of == shard)[0]
+                if len(sel) == 0:
+                    continue
+                rows = vectors[sel]
+                slots = self.indices[shard].add_batch(rows)
+                slots = np.asarray(slots, np.int64)
+                self.registries[shard].put(
+                    [ids[i] for i in sel], [int(s) for s in slots]
+                )
+                self.raws.write(shard, slots, rows)
+                cols = {
+                    k: v[sel] if isinstance(v, np.ndarray)
+                    else [v[i] for i in sel]
+                    for k, v in (metadata_columns or {}).items()
+                }
+                self.meta.set_columns(shard, slots, cols)
+            self._after_mutation(len(ids))
+        return len(ids)
 
     def delete(self, vector_id: str) -> bool:
         with self._lock:
@@ -218,17 +295,18 @@ class VectorStore:
             if slot is None:
                 return False
             self.indices[shard].remove_slots(np.asarray([slot]))
-            self.metadata.pop(vector_id, None)
-            self.raw_vectors.pop(vector_id, None)
+            self.meta.drop(shard, int(slot))
+            self.raws.drop(shard, np.asarray([slot]))
             self._after_mutation()
         return True
 
     def update_metadata(self, vector_id: str, metadata: dict[str, Any]) -> bool:
         with self._lock:
             shard = self._shard_for(vector_id)
-            if not self.registries[shard].contains(vector_id):
+            slot = self.registries[shard].lookup(vector_id)
+            if slot is None:
                 return False
-            self.metadata[vector_id] = dict(metadata)
+            self.meta.set(shard, int(slot), metadata)
             self._after_mutation()
         return True
 
@@ -241,11 +319,12 @@ class VectorStore:
             slot = self.registries[shard].lookup(vector_id)
             if slot is None:
                 return None
-            if vector_id in self.raw_vectors:
-                vec = self.raw_vectors[vector_id]
+            rows, have = self.raws.read(shard, np.asarray([slot]))
+            if have[0]:
+                vec = rows[0]
             else:
                 vec = self.indices[shard].get_vectors(np.asarray([slot]))[0]
-            return vec.tolist(), self.metadata.get(vector_id, {})
+            return vec.tolist(), self.meta.get(shard, int(slot)) or {}
 
     def count(self) -> int:
         return sum(reg.size() for reg in self.registries)
@@ -385,12 +464,13 @@ class VectorStore:
                 if sel.any():
                     ids[sel] = table[all_slots[sel]]
             if rerank:
-                # Exact f32 re-scoring of the candidate set from the raw
-                # vectors (the quantized slab ranked them; one host
-                # matmul fixes the ranking): SURVEY §7's int8 recall
-                # protection. Vectorized: candidates dedup to unique ids
-                # (one dict lookup each), one (U, d) @ (d, B) matmul, and
-                # fancy-index assignment — no per-candidate Python loop.
+                # Exact re-scoring of the candidate set from the raw
+                # store (the quantized slab ranked them; one host matmul
+                # per shard fixes the ranking): SURVEY §7's int8/int4
+                # recall protection. Vectorized: unique slots gather
+                # once from the memmap, one (U, d) @ (d, B) matmul, and
+                # fancy-index assignment — no per-candidate Python loop
+                # and no per-id dict (the dict could not exist at 20M).
                 metric = getattr(self.indices[0], "metric", "cosine")
                 qn = queries
                 if metric == "cosine":
@@ -398,38 +478,31 @@ class VectorStore:
                         np.linalg.norm(queries, axis=-1, keepdims=True),
                         1e-12,
                     )
-                present = np.frompyfunc(lambda v: v is not None, 1, 1)(
-                    ids
-                ).astype(bool)
-                if present.any():
+                for s in range(n_shards):
+                    sel = (all_shard == s) & (all_slots >= 0)
+                    if not sel.any():
+                        continue
                     uniq, inv = np.unique(
-                        ids[present].astype(str), return_inverse=True
+                        all_slots[sel], return_inverse=True
                     )
-                    rows = [self.raw_vectors.get(u) for u in uniq]
-                    have = np.array([r is not None for r in rows])
-                    if have.any():
-                        mat = np.stack(
-                            [r for r in rows if r is not None]
-                        ).astype(np.float32)
-                        if metric == "cosine":
-                            mat = mat / np.maximum(
-                                np.linalg.norm(
-                                    mat, axis=-1, keepdims=True
-                                ),
-                                1e-12,
-                            )
-                        scores_u = mat @ qn.T  # (U_have, B)
-                        # map unique-id index -> row in scores_u (-1 absent)
-                        row_of = np.full(len(uniq), -1, np.int64)
-                        row_of[have] = np.arange(int(have.sum()))
-                        qi_idx, ci_idx = np.nonzero(present)
-                        src = row_of[inv]
-                        ok = src >= 0
-                        all_scores[qi_idx[ok], ci_idx[ok]] = scores_u[
-                            src[ok], qi_idx[ok]
-                        ]
+                    rows, have = self.raws.read(s, uniq)
+                    if not have.any():
+                        continue
+                    if metric == "cosine":
+                        rows = rows / np.maximum(
+                            np.linalg.norm(rows, axis=-1, keepdims=True),
+                            1e-12,
+                        )
+                    scores_u = rows @ qn.T  # (U, B)
+                    qi_idx, ci_idx = np.nonzero(sel)
+                    ok = have[inv]
+                    all_scores[qi_idx[ok], ci_idx[ok]] = scores_u[
+                        inv[ok], qi_idx[ok]
+                    ]
                 order = np.argsort(-all_scores, axis=1, kind="stable")
                 all_scores = np.take_along_axis(all_scores, order, axis=1)
+                all_slots = np.take_along_axis(all_slots, order, axis=1)
+                all_shard = np.take_along_axis(all_shard, order, axis=1)
                 ids = np.take_along_axis(ids, order, axis=1)
 
             keep = np.isfinite(all_scores)
@@ -450,7 +523,9 @@ class VectorStore:
                     vid = ids[qi, ci]
                     if vid is None or vid in seen:
                         continue
-                    meta = self.metadata.get(vid, {})
+                    meta = self.meta.get(
+                        int(all_shard[qi, ci]), int(all_slots[qi, ci])
+                    ) or {}
                     if post is not None and not post(meta):
                         continue
                     seen.add(vid)
@@ -482,20 +557,16 @@ class VectorStore:
         self, shard: int, flt: dict[str, Any] | None
     ) -> np.ndarray | None:
         """Per-shard pre-filter mask, cached by filter key and
-        invalidated on mutation (SURVEY §7 filter ABI: rebuilding the
-        O(N) mask per query is the selective-filter recall trap)."""
+        invalidated on mutation. The build is vectorized numpy over the
+        metadata columns — O(N) in C per first-seen filter, not the
+        per-slot Python walk (SURVEY §7 filter ABI)."""
         if not flt:
             return None
         key = (json.dumps(flt, sort_keys=True, default=str), shard)
         mask = self._mask_cache.get(key)
         if mask is None:
             index = self.indices[shard]
-            mask = build_slot_mask(
-                index.capacity,
-                ((slot, vid) for vid, slot in self.registries[shard].items()),
-                self.metadata,
-                flt,
-            )
+            mask = self.meta.mask(shard, flt, index.capacity)
             self._mask_cache[key] = mask
         return mask
 
@@ -509,7 +580,7 @@ class VectorStore:
     def _rerank_enabled(self) -> bool:
         if self.rerank in (True, False):
             return bool(self.rerank)
-        if not self.keep_raw:
+        if not self.raws.enabled:
             return False
         return any(
             getattr(index, "dtype_name", "") in ("int8", "int4")
@@ -540,11 +611,12 @@ class VectorStore:
             return True
         if self.filter_mode == "post":
             return False
-        # auto: the mask build walks every entry in host Python, but the
-        # result is cached until the next mutation (_filter_mask), so the
-        # ceiling is about worst-case first-query latency, not steady
-        # state.
-        return self.count() <= 1_000_000
+        # auto: pre-filter always — the columnar mask build is vectorized
+        # numpy (sub-second at 10M) and cached until the next mutation,
+        # and pushdown keeps filtered queries returning a full `limit`
+        # (the reference's host post-filter cannot — reference
+        # wdbx/core/vector_store.py:414-463).
+        return True
 
     # -- maintenance ------------------------------------------------------
     def clear(self) -> int:
@@ -553,8 +625,8 @@ class VectorStore:
             for index in self.indices:
                 index.clear()
             self.registries = [_native.SlotRegistry() for _ in self.indices]
-            self.metadata.clear()
-            self.raw_vectors.clear()
+            self.meta.clear()
+            self.raws.clear()
             self._invalidate_snapshots()
             self.save()
         return n
@@ -587,6 +659,9 @@ class VectorStore:
                         [remap[int(slot)] for _, slot in items],
                     )
                     self.registries[shard] = reg
+                    # slot-aligned sidecars follow the renumbering
+                    self.meta.remap(shard, old, new)
+                    self.raws.remap(shard, old, new)
             # compaction renumbered slots: drop caches before unlocking
             self._invalidate_snapshots()
             targets = list(self.indices)
@@ -598,6 +673,24 @@ class VectorStore:
         with self._lock:
             self._invalidate_snapshots()
         return True
+
+    def _sample_raw_rows(
+        self, shard: int, n: int
+    ) -> tuple[np.ndarray, list[int]]:
+        """Up to ``n`` stored rows of one shard for tuning probes
+        (raw-store rows when kept, else dequantized slab reads)."""
+        items = self.registries[shard].items()
+        slots = [int(slot) for _, slot in items][:n]
+        if not slots:
+            return np.zeros((0, self.dim), np.float32), []
+        rows, have = self.raws.read(shard, np.asarray(slots, np.int64))
+        if not have.all():
+            missing = np.nonzero(~have)[0]
+            fetched = self.indices[shard].get_vectors(
+                np.asarray([slots[i] for i in missing], np.int64)
+            )
+            rows[missing] = fetched
+        return rows.astype(np.float32), slots
 
     def tune(self, target_recall: float = 0.95, sample: int = 64,
              k: int = 10) -> dict[str, Any]:
@@ -616,31 +709,18 @@ class VectorStore:
         # locks guard its internal state.
         with self._lock:
             shards = list(enumerate(self.indices))
-            samples = []
-            for shard, index in shards:
-                items = self.registries[shard].items()
-                ids = [vid for vid, _ in items][:sample]
-                rows = [
-                    self.raw_vectors[v] for v in ids
-                    if v in self.raw_vectors
-                ]
-                slots = [slot for _, slot in items][:sample]
-                samples.append((rows, slots))
+            samples = [
+                self._sample_raw_rows(shard, sample) for shard, _ in shards
+            ]
         for (shard, index), (rows, slots) in zip(shards, samples):
             entry: dict[str, Any] = {"shard": shard, "type": index.kind}
             tune = getattr(index, "tune", None)
-            if tune is None or index.count() == 0:
+            if tune is None or index.count() == 0 or not len(rows):
                 entry["recall"] = 1.0
             else:
                 try:
-                    if rows:
-                        queries = np.stack(rows)
-                    else:  # no raws for this shard's sample: read the slab
-                        queries = index.get_vectors(
-                            np.asarray(slots, np.int64)
-                        )
                     entry["recall"] = float(
-                        tune(queries, k=k, target_recall=target_recall)
+                        tune(rows, k=k, target_recall=target_recall)
                     )
                     entry["nprobe"] = getattr(index, "nprobe", None)
                 except (ValueError, IndexError) as e:
@@ -661,21 +741,19 @@ class VectorStore:
     def _tune_fetch_factor(self, target: float, sample: int, k: int):
         """Pick the smallest re-rank over-fetch factor whose re-ranked
         top-k converges to the deep-pool (64x) re-ranked top-k — the
-        exact quantity over-fetch controls: whether the true-f32 top-k
-        made it into the candidate pool (VERDICT r2 ask #2's
-        binary-search; the re-rank itself is already exact on whatever
-        candidates arrive). Convergence-vs-deep needs no external f32
-        oracle and stays correct for int8 and int4 alike. The probe pins
-        the factor store-wide; concurrent searches transiently see the
+        exact quantity over-fetch controls: whether the true top-k made
+        it into the candidate pool (VERDICT r2 ask #2's binary-search;
+        the re-rank itself is already exact on whatever candidates
+        arrive). Convergence-vs-deep needs no external f32 oracle and
+        stays correct for int8 and int4 alike. The probe pins the
+        factor store-wide; concurrent searches transiently see the
         probed factor (results stay correct, only recall varies — same
         contract as the nprobe sweep above)."""
         with self._lock:
-            rows = [
-                v for _, v in zip(range(sample), self.raw_vectors.values())
-            ]
-        if not rows:
+            rows, _ = self._sample_raw_rows(0, sample)
+        if not len(rows):
             return None
-        queries = np.stack(rows).astype(np.float32)
+        queries = rows.astype(np.float32)
 
         def ids_at(factor: int) -> list[set]:
             self._fetch_factor_force = factor
@@ -712,7 +790,8 @@ class VectorStore:
             "vector_count": self.count(),
             "vector_dimension": self.dim,
             "num_shards": self.num_shards,
-            "metadata_count": len(self.metadata),
+            "metadata_count": self.meta.count(),
+            "raw_store": self.raws.dtype_name,
             "data_dir": self.data_dir,
             "indices": [index.get_stats() for index in self.indices],
         }
@@ -726,6 +805,7 @@ class VectorStore:
         """Cross-check host bookkeeping against device validity masks.
         Returns a report; 'consistent' is False if any shard diverges."""
         report: dict[str, Any] = {"shards": [], "consistent": True}
+        orphans = 0
         with self._lock:
             for shard, index in enumerate(self.indices):
                 reg = self.registries[shard]
@@ -740,10 +820,16 @@ class VectorStore:
                 if not entry["ok"]:
                     report["consistent"] = False
                 report["shards"].append(entry)
-            meta_only = set(self.metadata) - {
-                vid for reg in self.registries for vid, _ in reg.items()
-            }
-            report["orphan_metadata"] = len(meta_only)
+                # metadata present at slots the registry does not own
+                present = np.asarray(self.meta.iter_present(shard), np.int64)
+                if len(present):
+                    reg_slots = np.asarray(
+                        [int(s) for _, s in reg.items()], np.int64
+                    )
+                    orphans += int(
+                        (~np.isin(present, reg_slots)).sum()
+                    )
+            report["orphan_metadata"] = orphans
         return report
 
     def recover(self, shard: int, clear_on_failure: bool = False) -> bool:
@@ -809,18 +895,18 @@ class VectorStore:
 
     def save(self) -> None:
         with self._lock:
-            with open(
-                os.path.join(self.data_dir, "metadata", "metadata.json"), "w"
-            ) as f:
-                json.dump(self.metadata, f)
+            meta_dir = os.path.join(self.data_dir, "metadata")
+            self.meta.save(meta_dir)
+            # a columnar save supersedes any legacy one-blob metadata.json
+            # (leaving it would resurrect stale entries on the next load)
+            legacy = os.path.join(meta_dir, "metadata.json")
+            if os.path.exists(legacy):
+                os.remove(legacy)
             if self._tuned_fetch_factor:
                 # persist alongside the nprobe the same tune() learned
                 # (that one rides the index checkpoint) — a restart must
                 # not silently revert to the static over-fetch default
-                with open(
-                    os.path.join(self.data_dir, "metadata", "tuned.json"),
-                    "w",
-                ) as f:
+                with open(os.path.join(meta_dir, "tuned.json"), "w") as f:
                     json.dump(
                         {"fetch_factor": self._tuned_fetch_factor}, f
                     )
@@ -829,42 +915,18 @@ class VectorStore:
                 maps = dict(self.registries[shard].items())
                 with open(self._index_path(shard) + ".ids.json", "w") as f:
                     json.dump(maps, f)
-            raw_path = os.path.join(self.data_dir, "vectors", "raw.npz")
-            if self.keep_raw and self.raw_vectors:
-                ids = list(self.raw_vectors)
-                np.savez(
-                    raw_path,
-                    # unicode array, NOT dtype=object: object arrays force
-                    # allow_pickle on load (arbitrary code execution from
-                    # a tampered checkpoint)
-                    ids=np.asarray(ids, dtype=np.str_),
-                    vectors=np.stack([self.raw_vectors[i] for i in ids]),
-                )
-            elif self.keep_raw and os.path.exists(raw_path):
-                # a cleared/emptied store must not resurrect stale raws
-                # on the next restart. When keep_raw is OFF we leave any
-                # existing raw.npz alone — toggling the flag (even
-                # temporarily) must not destroy the only f32 copies.
-                os.remove(raw_path)
+            # the raw memmap IS the on-disk format — flush dirty pages
+            self.raws.flush()
+            legacy_raw = os.path.join(self.data_dir, "vectors", "raw.npz")
+            if os.path.exists(legacy_raw):
+                # already ingested into the memmap at load; a stale blob
+                # would re-ingest over fresher rows next restart
+                os.remove(legacy_raw)
             self._mutations_since_save = 0
 
     def _load(self) -> None:
-        meta_path = os.path.join(self.data_dir, "metadata", "metadata.json")
-        if os.path.exists(meta_path):
-            try:
-                with open(meta_path) as f:
-                    self.metadata = json.load(f)
-            except (ValueError, OSError) as e:
-                logger.warning("failed to load metadata: %s", e)
-        tuned_path = os.path.join(self.data_dir, "metadata", "tuned.json")
-        if os.path.exists(tuned_path):
-            try:
-                with open(tuned_path) as f:
-                    ff = json.load(f).get("fetch_factor")
-                if ff:
-                    self._tuned_fetch_factor = max(1, int(ff))
-            except (ValueError, OSError) as e:
-                logger.warning("failed to load tuned state: %s", e)
+        # indices + registries FIRST: legacy metadata/raw ingestion keys
+        # on id -> (shard, slot), which the registries supply
         for shard, index in enumerate(self.indices):
             try:
                 if index.load(self._index_path(shard)):
@@ -894,18 +956,55 @@ class VectorStore:
                 logger.warning("failed to load shard %d: %s", shard, e)
                 index.clear()
                 self.registries[shard] = _native.SlotRegistry()
+
+        def resolve(vid: str):
+            shard = self._shard_for(vid)
+            slot = self.registries[shard].lookup(vid)
+            return None if slot is None else (shard, int(slot))
+
+        meta_dir = os.path.join(self.data_dir, "metadata")
+        try:
+            if not self.meta.load(meta_dir):
+                # reference-format one-blob fallback (restart-resume from
+                # an older data_dir keeps working)
+                self.meta.load_legacy(
+                    os.path.join(meta_dir, "metadata.json"), resolve
+                )
+        except (ValueError, OSError, KeyError) as e:
+            logger.warning("failed to load metadata: %s", e)
+
+        tuned_path = os.path.join(meta_dir, "tuned.json")
+        if os.path.exists(tuned_path):
+            try:
+                with open(tuned_path) as f:
+                    ff = json.load(f).get("fetch_factor")
+                if ff:
+                    self._tuned_fetch_factor = max(1, int(ff))
+            except (ValueError, OSError) as e:
+                logger.warning("failed to load tuned state: %s", e)
+
+        # legacy dict-format raw vectors -> memmap ingestion
         raw_path = os.path.join(self.data_dir, "vectors", "raw.npz")
-        if self.keep_raw and os.path.exists(raw_path):
+        if self.raws.enabled and os.path.exists(raw_path):
             try:
                 # allow_pickle stays False (default): object arrays in a
                 # tampered file would execute code on load
                 data = np.load(raw_path)
-                for vid, vec in zip(data["ids"], data["vectors"]):
-                    self.raw_vectors[str(vid)] = np.asarray(vec, np.float32)
+                by_shard: dict[int, tuple[list[int], list[int]]] = {}
+                rows = np.asarray(data["vectors"], np.float32)
+                for i, vid in enumerate(data["ids"]):
+                    loc = resolve(str(vid))
+                    if loc is not None:
+                        slots, srcs = by_shard.setdefault(loc[0], ([], []))
+                        slots.append(loc[1])
+                        srcs.append(i)
+                for shard, (slots, srcs) in by_shard.items():
+                    self.raws.write(
+                        shard, np.asarray(slots, np.int64), rows[srcs]
+                    )
             except (ValueError, OSError) as e:
                 # Unreadable (e.g. a legacy object-id checkpoint): move it
-                # aside rather than leaving it where the next save()'s
-                # empty-store cleanup would DELETE the only f32 copy.
+                # aside rather than deleting the only f32 copy.
                 logger.warning(
                     "failed to load raw vectors (%s); preserving the file "
                     "as raw.npz.unreadable", e,
