@@ -184,11 +184,20 @@ def main() -> None:
         }), flush=True)
 
     # ---- stage 2: flagship capacity run ----
+    # VERDICT r3 ask #1: the >=0.95 recall story must hold AT the
+    # capacity tier. The int4 slab serves; an int8 slot-indexed raw
+    # store (store/rawstore.py — the store's RERANK=auto mechanism,
+    # ~0.77 GB/1M rows, memmap or ram) re-ranks the over-fetched
+    # candidates exactly. Here the corpus is device-synthesized, so the
+    # raw-store fill pays a D2H of the int8 rows through the sandbox
+    # tunnel (~18 MB/s); in production ingest rows arrive FROM the host,
+    # so the fill is a free write-through on the ingest path.
     big_n = int(os.environ.get("INT4_N", 0))
     if big_n:
         del twins
+        big_nprobe = int(os.environ.get("INT4_NPROBE", nprobe))
         idx = ClusteredIVFIndex(
-            dim, dtype="int4", nlist=4096, nprobe=nprobe,
+            dim, dtype="int4", nlist=4096, nprobe=big_nprobe,
             train_threshold=1 << 62,
         )
 
@@ -198,39 +207,167 @@ def main() -> None:
                            min(chunk, big_n - i))
 
         t0 = time.perf_counter()
-        idx.build_from(big_chunks, train_chunks=1)
+        slots_all = np.asarray(idx.build_from(big_chunks, train_chunks=1))
         build_s = time.perf_counter() - t0
         stats = idx.get_stats()
         hbm_gb = (stats["hbm_bytes"] + idx.capacity * (4 + 1 + 4)) / 1e9
         idx.batch_flat_fallback = False
-        # serving protocol matched to clustered_10m.py: NB=16 stacks,
-        # device-resident queries, in-flight dispatches (the serial
-        # f32-upload protocol measured 4-6x low — RESULTS.md r3-late)
+        print(json.dumps({
+            "stage": "flagship_build", "n": big_n, "dim": dim,
+            "build_s": round(build_s, 1), "hbm_gb": round(hbm_gb, 2),
+        }), flush=True)
+
         import jax as _jax
         import jax.numpy as _jnp
 
-        qstack = _jax.device_put(_jnp.asarray(np.asarray(
+        q = np.asarray(_gen(centers, 9999, 64), np.float32)
+        qd = _jax.device_put(_jnp.asarray(q))
+
+        # -- third pass: exact f32 oracle + int8 raw-store fill --
+        import shutil
+        import tempfile
+
+        from wdbx_tpu.store.rawstore import RawStore
+
+        raw_dir = tempfile.mkdtemp(prefix="int4raw_")
+        raw = RawStore(raw_dir, 1, dim, dtype="int8", backend="ram")
+
+        from functools import partial as _partial
+
+        @_partial(_jax.jit, static_argnames=("kk",))
+        def _chunk_topk(rows, qq, kk):
+            return _jax.lax.top_k(qq @ rows.T, kk)  # (64, kk)
+
+        @_jax.jit
+        def _quant8(rows):
+            scale = _jnp.maximum(
+                _jnp.abs(rows).max(axis=1), 1e-12
+            ) / 127.0
+            qr = _jnp.clip(
+                _jnp.rint(rows / scale[:, None]), -127, 127
+            ).astype(_jnp.int8)
+            # row norms of the QUANTIZED rows: for cosine the per-row
+            # scale cancels, so the host re-rank can score int8 rows
+            # directly as (row_i8 . q) / ||row_i8|| — one astype pass,
+            # no dequantize/normalize passes on the host's single core
+            nrm = _jnp.linalg.norm(
+                qr.astype(_jnp.float32), axis=1
+            ).astype(_jnp.float32)
+            return qr, scale.astype(_jnp.float32), nrm
+
+        norms = np.empty(int(slots_all.max()) + 1, np.float32)
+        best_s = np.full((64, k), -np.inf)
+        best_i = np.full((64, k), -1, np.int64)
+        base = 0
+        t0 = time.perf_counter()
+        for rows in big_chunks():
+            m = int(rows.shape[0])
+            ts, ti = _chunk_topk(rows, qd, k)
+            q8, sc, nr = _quant8(rows)
+            sl = slots_all[base:base + m]
+            raw.write_quantized(0, sl, np.asarray(q8), np.asarray(sc))
+            norms[sl] = np.asarray(nr)
+            ts = np.asarray(ts)
+            ti = np.asarray(ti, np.int64) + base
+            cs = np.concatenate([best_s, ts], axis=1)
+            ci = np.concatenate([best_i, ti], axis=1)
+            sel = np.argsort(-cs, axis=1)[:, :k]
+            best_s = np.take_along_axis(cs, sel, axis=1)
+            best_i = np.take_along_axis(ci, sel, axis=1)
+            base += m
+        fill_s = time.perf_counter() - t0
+        exact_big = best_i  # row-id space, true f32 oracle at big_n
+        print(json.dumps({
+            "stage": "flagship_rawfill", "fill_s": round(fill_s, 1),
+            "raw_gb": round(big_n * (dim + 8) / 1e9, 2),
+            "note": "D2H-bound in sandbox; free on real ingest paths",
+        }), flush=True)
+
+        inv = np.full(int(slots_all.max()) + 1, -1, np.int64)
+        inv[slots_all] = np.arange(big_n)
+
+        def to_rows_big(slot_hits):
+            out = np.full_like(np.asarray(slot_hits, np.int64), -1)
+            ok = np.asarray(slot_hits) >= 0
+            out[ok] = inv[np.asarray(slot_hits, np.int64)[ok]]
+            return out
+
+        def rerank(cand_slots, qn):
+            """Store-style exact re-rank (vector_store.py rerank math)
+            against the int8 raw store. Per-(candidate, query) einsum —
+            at corpus scale candidate sets are disjoint across queries,
+            so the (U, d) @ (d, B) unique-matmul wastes ~B x the FLOPs
+            (measured 3x slower at kf=100 on this host)."""
+            cand = np.asarray(cand_slots, np.int64)
+            safe = np.clip(cand, 0, None)
+            rows = raw._rows[0][safe]  # (B, kf, d) int8 gather
+            s = np.einsum("bkd,bd->bk", rows.astype(np.float32), qn)
+            s /= np.maximum(norms[safe], 1e-12)
+            s[cand < 0] = -np.inf
+            order = np.argsort(-s, axis=1)[:, :k]
+            return np.take_along_axis(cand_slots, order, axis=1)
+
+        # raw + re-ranked recall vs the true f32 oracle, at big_n
+        _, got_raw = idx.search(q, k)
+        print(json.dumps({
+            "stage": "flagship_recall_raw", "nprobe": big_nprobe,
+            "recall_at_10": round(
+                recall_at(to_rows_big(got_raw), exact_big, k), 4
+            ),
+        }), flush=True)
+        qn = q / np.maximum(
+            np.linalg.norm(q, axis=-1, keepdims=True), 1e-12
+        )
+        for factor in (5, 10, 20, 50):
+            _, cand = idx.search(q, k * factor)
+            got = rerank(np.asarray(cand), qn)
+            print(json.dumps({
+                "stage": "flagship_recall_rerank", "fetch_factor": factor,
+                "nprobe": big_nprobe,
+                "recall_at_10": round(
+                    recall_at(to_rows_big(got), exact_big, k), 4
+                ),
+            }), flush=True)
+
+        # serving protocol matched to clustered_10m.py: NB=16 stacks,
+        # device-resident queries, in-flight dispatches (the serial
+        # f32-upload protocol measured 4-6x low — RESULTS.md r3-late)
+        # fetch factor 5 keeps k' = 50 <= KERNEL_K_MAX: the over-fetch
+        # stays on the Pallas kernel (deeper fetches fall to the lax
+        # scan, ~4x slower per dispatch) and already saturates the
+        # re-rank's coverage-limited recall (see the sweep above)
+        factor_serve = int(os.environ.get("INT4_SERVE_FACTOR", 5))
+        qhost = np.asarray(
             _gen(centers, 31338, 16 * 64), np.float32
-        ).reshape(16, 64, dim)))
+        ).reshape(16, 64, dim)
+        qstack = _jax.device_put(_jnp.asarray(qhost))
         _jax.block_until_ready(qstack)
-        idx.resolve_pipelined(
-            idx.search_pipelined(qstack, k, materialize=False)
+        qhost_n = qhost / np.maximum(
+            np.linalg.norm(qhost, axis=-1, keepdims=True), 1e-12
         )
         flights = 8
-        t0 = time.perf_counter()
-        hs = [
-            idx.search_pipelined(qstack, k, materialize=False)
-            for _ in range(flights)
-        ]
-        for h in hs:
-            idx.resolve_pipelined(h)
-        qps = 16 * 64 * flights / (time.perf_counter() - t0)
-        print(json.dumps({
-            "stage": "flagship_int4", "n": big_n, "dim": dim,
-            "build_s": round(build_s, 1), "hbm_gb": round(hbm_gb, 2),
-            "batch64_qps": round(qps), "in_flight": flights,
-            "device_qs": True,
-        }), flush=True)
+        for mode, kk in (("raw", k), ("rerank", k * factor_serve)):
+            idx.resolve_pipelined(
+                idx.search_pipelined(qstack, kk, materialize=False)
+            )
+            # contention probe: a do-nothing dispatch floor
+            t0 = time.perf_counter()
+            hs = [
+                idx.search_pipelined(qstack, kk, materialize=False)
+                for _ in range(flights)
+            ]
+            done = [idx.resolve_pipelined(h) for h in hs]
+            if mode == "rerank":
+                for _, slots3 in done:
+                    for nb in range(slots3.shape[0]):
+                        rerank(np.asarray(slots3[nb]), qhost_n[nb])
+            qps = 16 * 64 * flights / (time.perf_counter() - t0)
+            print(json.dumps({
+                "stage": "flagship_serving", "mode": mode,
+                "fetch_k": kk, "batch64_qps": round(qps),
+                "in_flight": flights, "device_qs": True,
+            }), flush=True)
+        shutil.rmtree(raw_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -1860,3 +1860,75 @@ class TestBackgroundRebuildWindow:
         assert idx.is_trained
         assert not idx._cow_writes
         self._check_exact(idx, mirror, rng)
+
+
+class TestFilteredTuning:
+    """tune_filtered: the recall-closed loop on the filtered probe boost
+    (VERDICT r3 ask #4 — the fixed ~2/selectivity heuristic measured
+    0.947 recall@10 at 10% selectivity, under the 0.95 bar)."""
+
+    def _corpus(self, idx, rng, n=16384, d=32):
+        db = _normed(rng, n, d)
+        slots = np.asarray(idx.add_batch(db))
+        idx.build()
+        return db, slots
+
+    def _pct_mask(self, rng, slots, frac):
+        mask = np.zeros(int(slots.max()) + 1, bool)
+        mask[slots[rng.random(len(slots)) < frac]] = True
+        return mask
+
+    @pytest.mark.parametrize("frac", [0.10, 0.30])
+    def test_tune_filtered_meets_bar_clustered(self, rng, frac):
+        idx = _make(32, nlist=64, nprobe=2, train_threshold=64)
+        idx.topk_method = "exact"
+        idx.batch_flat_fallback = False
+        db, slots = self._corpus(idx, rng)
+        mask = self._pct_mask(rng, slots, frac)
+        q = _normed(rng, 16, 32)
+        achieved = idx.tune_filtered(q, mask, k=10, target_recall=0.95)
+        assert achieved >= 0.95, achieved
+        assert idx._filter_boosts, "calibration did not stick"
+        # the calibrated boost serves future searches in the same bin:
+        # fresh queries still meet the bar against the exact masked scan
+        q2 = _normed(rng, 16, 32)
+        _, exact = idx._oracle_search_masked(q2, 10, mask)
+        _, got = idx.search(q2, 10, slot_mask=mask)
+        hits = np.mean([
+            len(set(map(int, g[g >= 0])) & set(map(int, e[e >= 0]))) / 10
+            for g, e in zip(got, exact)
+        ])
+        assert hits >= 0.9, hits
+        assert all(mask[int(g)] for g in got.ravel() if g >= 0)
+
+    def test_tune_filtered_dense_ivf(self, rng):
+        from wdbx_tpu.index.ivf import IVFIndex
+
+        idx = IVFIndex(32, nlist=64, nprobe=2, train_threshold=64)
+        idx.topk_method = "exact"
+        idx.batch_flat_fallback = False
+        db, slots = self._corpus(idx, rng)
+        mask = self._pct_mask(rng, slots, 0.10)
+        achieved = idx.tune_filtered(
+            _normed(rng, 16, 32), mask, k=10, target_recall=0.95
+        )
+        assert achieved >= 0.95, achieved
+
+    def test_tune_filtered_sparse_mask_routes_exact(self, rng):
+        """Below FILTER_EXACT_THRESHOLD the filtered path is already the
+        exact masked scan; tuning is a no-op reporting recall 1.0."""
+        idx = _make(32, nlist=16, nprobe=4, train_threshold=64)
+        db, slots = self._corpus(idx, rng, n=4096)
+        mask = np.zeros(int(slots.max()) + 1, bool)
+        mask[slots[:40]] = True  # ~1% < 2% threshold
+        r = idx.tune_filtered(_normed(rng, 4, 32), mask)
+        assert r == 1.0
+        assert not idx._filter_boosts
+
+    def test_calibrated_boost_overrides_default(self):
+        from wdbx_tpu.index.ivf import _DEFAULT_BOOSTS, _filter_boost
+
+        assert _filter_boost(0.10) == _DEFAULT_BOOSTS[3] == 16
+        assert _filter_boost(0.10, {3: 32}) == 32
+        assert _filter_boost(0.30, {3: 32}) == _DEFAULT_BOOSTS[1]
+        assert _filter_boost(0.60, {}) == 2

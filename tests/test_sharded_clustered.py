@@ -468,3 +468,39 @@ class TestFilterPushdown:
              for a, b in zip(got_sh, got_si)]
         )
         assert agree >= 0.95, agree
+
+
+class TestShardedFilteredTuning:
+    """tune_filtered on the mesh-striped engine: the recall-closed loop
+    must work where the filtered scan runs as a shard_map program."""
+
+    def test_tune_filtered_meets_bar(self, rng):
+        d = 32
+        idx = _make(d, nlist=64, nprobe=2)
+        db = _normed(rng, 16384, d)
+        slots = np.asarray(idx.add_batch(db))
+        idx.build()
+        mask = np.zeros(int(slots.max()) + 1, bool)
+        mask[slots[rng.random(len(slots)) < 0.10]] = True
+        q = _normed(rng, 16, d)
+        achieved = idx.tune_filtered(q, mask, k=10, target_recall=0.95)
+        assert achieved >= 0.95, achieved
+        # calibrated boosts serve future searches: results stay in-mask
+        _, got = idx.search(_normed(rng, 8, d), 10, slot_mask=mask)
+        assert all(mask[int(g)] for g in got.ravel() if g >= 0)
+
+    def test_sharded_ivf_tune_filtered(self, rng):
+        from wdbx_tpu.parallel import ShardedIVFIndex
+
+        d = 32
+        idx = ShardedIVFIndex(d, nlist=64, nprobe=2, train_threshold=256)
+        idx.batch_flat_fallback = False
+        db = _normed(rng, 16384, d)
+        slots = np.asarray(idx.add_batch(db))
+        idx.build()
+        mask = np.zeros(int(slots.max()) + 1, bool)
+        mask[slots[rng.random(len(slots)) < 0.10]] = True
+        achieved = idx.tune_filtered(
+            _normed(rng, 16, d), mask, k=10, target_recall=0.95
+        )
+        assert achieved >= 0.95, achieved

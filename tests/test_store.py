@@ -411,6 +411,36 @@ def test_int8_store_reranks_with_f32(temp_dir, rng):
     assert hits2[0][0] == "v7"
 
 
+def test_rerank_pair_path_matches_matmul_path(temp_dir, rng):
+    """The adaptive re-rank (per-pair einsum when candidate sets are
+    disjoint across a batch, BLAS unique-matmul when they overlap) must
+    be invisible: batched search results equal the single-query results
+    that take the matmul branch."""
+    from wdbx_tpu.core.config import WDBXConfig
+    from wdbx_tpu.store.vector_store import VectorStore
+
+    store = VectorStore(WDBXConfig({
+        "VECTOR_DIMENSION": 32, "DATA_DIR": temp_dir,
+        "INDEX_DTYPE": "int8", "VECTOR_STORE_AUTOSAVE_INTERVAL": 0,
+    }))
+    assert store._rerank_enabled()
+    vecs = rng.standard_normal((600, 32)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=-1, keepdims=True)
+    store.batch_store({f"v{i}": v for i, v in enumerate(vecs)})
+    # 16 well-separated queries: candidate sets are mostly disjoint, so
+    # uniq > 4 * kf and the batch takes the per-pair branch; the b == 1
+    # calls take the matmul branch. Results must agree exactly.
+    queries = vecs[::40][:16]
+    batched = store.search_batch(queries, limit=5)
+    for qi, q in enumerate(queries):
+        single = store.search(q, limit=5)
+        assert [h[0] for h in single] == [h[0] for h in batched[qi]]
+        for hs, hb in zip(single, batched[qi]):
+            assert abs(hs[1] - hb[1]) < 1e-5
+        assert batched[qi][0][0] == f"v{qi * 40}"
+        assert abs(batched[qi][0][1] - 1.0) < 1e-5
+
+
 def test_local_embeddings_plugin(temp_dir, rng):
     """Demo-mode local embedder: deterministic, unit-norm, chain-ready."""
     import asyncio

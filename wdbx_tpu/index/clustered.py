@@ -867,6 +867,25 @@ class ClusteredSlotMixin:
         mask[pos[pos >= 0]] = True
         return mask
 
+    def _mask_selectivity(self, slot_mask) -> float:
+        """Fraction of live rows the mask passes, measured in POSITION
+        space (external slot ids recycle independently of positions, so
+        the flat-layout popcount over ``_next_slot`` misreads here)."""
+        pm = self._pos_mask(slot_mask)
+        return float(pm.sum()) / max(1, self._size)
+
+    def _oracle_search_masked(self, queries, k, slot_mask):
+        pm = self._pos_mask(slot_mask)
+        scores, pos = self._exact_masked_base(queries, k, pm)
+        return self._map_pos_to_slots(scores, pos)
+
+    def _exact_masked_base(self, queries, k, pos_mask):
+        """Exact masked scan over the position slab (the sharded mixin
+        user swaps in the mesh flat scan)."""
+        from wdbx_tpu.index.flat import FlatIndex
+
+        return FlatIndex.search(self, queries, k, pos_mask)
+
     def _filter_plan(
         self, slot_mask, nprobe: int, nlist: int
     ) -> tuple[np.ndarray | None, int, bool]:
@@ -886,7 +905,8 @@ class ClusteredSlotMixin:
         sel = float(pm.sum()) / max(1, self._size)
         if sel < FILTER_EXACT_THRESHOLD:
             return pm, nprobe, True
-        return pm, min(nlist, nprobe * _filter_boost(sel)), False
+        boost = _filter_boost(sel, getattr(self, "_filter_boosts", None))
+        return pm, min(nlist, nprobe * boost), False
 
     # -- background-rebuild journal: shared swap-time drain ------------------
     def _drain_bg_journal(self, journal, snap_slot_of, src, dest,

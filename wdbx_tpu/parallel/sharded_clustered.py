@@ -364,6 +364,7 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
         #: the old layout during the rebuild); config key
         #: IVF_BACKGROUND_REBUILD. Needs 2x-slab HBM headroom.
         self.background_rebuild = False
+        self._filter_boosts: dict[int, int] = {}
         self._cluster_cache: dict[tuple, object] = {}
         self._reset_overlay()
 
@@ -1030,6 +1031,9 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
     def _oracle_search(self, queries, k):
         scores, pos = ShardedFlatIndex.search(self, queries, k)
         return self._map_pos_to_slots(scores, pos)
+
+    def _exact_masked_base(self, queries, k, pos_mask):
+        return ShardedFlatIndex.search(self, queries, k, pos_mask)
 
     def get_vectors(self, slots: np.ndarray) -> np.ndarray:
         return ShardedFlatIndex.get_vectors(self, self._positions_of(slots))

@@ -238,6 +238,7 @@ class ShardedIVFIndex(IVFIndex, ShardedFlatIndex):
         self.batch_flat_fallback = True
         self.topk_method = "auto"
         self.ivf_kernel = "lax"
+        self._filter_boosts: dict[int, int] = {}
         self._ivf_search_cache: dict[tuple, object] = {}
         self._reset_overlay()
 
@@ -461,7 +462,9 @@ class ShardedIVFIndex(IVFIndex, ShardedFlatIndex):
             sel = self._mask_selectivity(slot_mask)
             if sel < FILTER_EXACT_THRESHOLD:
                 return ShardedFlatIndex.search(self, queries, k, slot_mask)
-            nprobe = min(nlist, nprobe * _filter_boost(sel))
+            nprobe = min(
+                nlist, nprobe * _filter_boost(sel, self._filter_boosts)
+            )
             mask = np.zeros(self._cap, bool)
             mask[: len(slot_mask)] = slot_mask[: self._cap]
             with jax.sharding.set_mesh(self.mesh):
@@ -592,6 +595,9 @@ class ShardedIVFIndex(IVFIndex, ShardedFlatIndex):
 
     def _oracle_search(self, queries, k):
         return ShardedFlatIndex.search(self, queries, k)
+
+    def _oracle_search_masked(self, queries, k, slot_mask):
+        return ShardedFlatIndex.search(self, queries, k, slot_mask)
 
     # -- persistence ----------------------------------------------------------
     # Inherits IVFIndex.save/load; the bucket tables round-trip through

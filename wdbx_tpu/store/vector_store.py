@@ -485,20 +485,49 @@ class VectorStore:
                     uniq, inv = np.unique(
                         all_slots[sel], return_inverse=True
                     )
-                    rows, have = self.raws.read(s, uniq)
-                    if not have.any():
-                        continue
-                    if metric == "cosine":
-                        rows = rows / np.maximum(
-                            np.linalg.norm(rows, axis=-1, keepdims=True),
-                            1e-12,
-                        )
-                    scores_u = rows @ qn.T  # (U, B)
                     qi_idx, ci_idx = np.nonzero(sel)
-                    ok = have[inv]
-                    all_scores[qi_idx[ok], ci_idx[ok]] = scores_u[
-                        inv[ok], qi_idx[ok]
-                    ]
+                    # The (U, d) @ (d, B) matmul scores EVERY unique
+                    # candidate against EVERY query — U·d·B FLOPs. When
+                    # candidate sets are mostly disjoint across queries
+                    # (large corpora), that wastes ~B x; the per-pair
+                    # gather scores exactly the (candidate, query) pairs
+                    # present: |sel|·d FLOPs. Keep the matmul (BLAS) only
+                    # while the overlap is high enough to pay for it.
+                    if len(uniq) <= 4 * (sel.sum() // max(1, b)) or b == 1:
+                        rows, have = self.raws.read(s, uniq)
+                        if not have.any():
+                            continue
+                        if metric == "cosine":
+                            rows = rows / np.maximum(
+                                np.linalg.norm(
+                                    rows, axis=-1, keepdims=True
+                                ),
+                                1e-12,
+                            )
+                        scores_u = rows @ qn.T  # (U, B)
+                        ok = have[inv]
+                        all_scores[qi_idx[ok], ci_idx[ok]] = scores_u[
+                            inv[ok], qi_idx[ok]
+                        ]
+                    else:
+                        rows, have = self.raws.read(
+                            s, all_slots[sel]
+                        )  # (P, d) pairs
+                        if not have.any():
+                            continue
+                        if metric == "cosine":
+                            rows = rows / np.maximum(
+                                np.linalg.norm(
+                                    rows, axis=-1, keepdims=True
+                                ),
+                                1e-12,
+                            )
+                        pair_scores = np.einsum(
+                            "pd,pd->p", rows, qn[qi_idx]
+                        )
+                        all_scores[qi_idx[have], ci_idx[have]] = (
+                            pair_scores[have]
+                        )
                 order = np.argsort(-all_scores, axis=1, kind="stable")
                 all_scores = np.take_along_axis(all_scores, order, axis=1)
                 all_slots = np.take_along_axis(all_slots, order, axis=1)
