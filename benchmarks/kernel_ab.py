@@ -115,7 +115,6 @@ def main():
     from wdbx_tpu.kernels.clustered_scan import (
         clustered_block_topk,
         clustered_block_topk_v2,
-        clustered_block_topk_v3,
     )
 
     cap, d, c = args.rows, args.dim, args.c
@@ -165,20 +164,10 @@ def main():
                  args.b, jnp.float32),
         "v2w8b128": ("v2 w8 B128", clustered_block_topk_v2,
                      {"n_ways": 8}, 2 * args.b, jnp.float32),
-        "v3d4": ("v3 d4 B64", clustered_block_topk_v3, {"depth": 4},
-                 args.b, jnp.float32),
-        "v3d8": ("v3 d8 B64", clustered_block_topk_v3, {"depth": 8},
-                 args.b, jnp.float32),
-        "v3d8b128": ("v3 d8 B128", clustered_block_topk_v3,
-                     {"depth": 8}, 2 * args.b, jnp.float32),
-        "v3d16": ("v3 d16 B64", clustered_block_topk_v3, {"depth": 16},
-                  args.b, jnp.float32),
         # B-sweep diagnostics: per-step DMA is constant, compute scales
         # with B — flat time/step => fetch-bound, linear => compute-bound
-        "v3d8b32": ("v3 d8 B32", clustered_block_topk_v3, {"depth": 8},
-                    32, jnp.float32),
-        "v3d8b256": ("v3 d8 B256", clustered_block_topk_v3,
-                     {"depth": 8}, 4 * args.b, jnp.float32),
+        # (the v3 manual-DMA variants this sweep A/B'd were removed in
+        # r4 after measuring never-better; numbers live in RESULTS.md)
         "v2w8b32": ("v2 w8 B32", clustered_block_topk_v2, {"n_ways": 8},
                     32, jnp.float32),
     }

@@ -290,8 +290,45 @@ class TestFactory:
     def test_create_flat(self):
         assert create_index("flat", 8).kind == "flat"
 
-    def test_create_ivf(self):
-        assert create_index("ivf", 8).kind == "ivf"
+    def test_create_ivf_aliases_to_clustered(self):
+        """r4 matrix pruning: user-facing "ivf" serves via the clustered
+        engine (dominates the dense table in every measured regime);
+        the dense table stays reachable as "ivf_dense" and for SOAR
+        spilled assignment."""
+        assert create_index("ivf", 8).kind == "ivf_clustered"
+        assert create_index("ivf_dense", 8).kind == "ivf"
+        from wdbx_tpu.core.config import WDBXConfig
+
+        cfg = WDBXConfig({"IVF_ASSIGNMENTS": 2})
+        idx = create_index("ivf", 8, cfg)
+        assert idx.kind == "ivf" and idx.assignments == 2
+
+    def test_faiss_ivf_factory_string_routes_clustered(self):
+        from wdbx_tpu.core.config import WDBXConfig
+
+        cfg = WDBXConfig({"FAISS_INDEX_TYPE": "IVF64,Flat"})
+        idx = create_index("faiss", 8, cfg)
+        assert idx.kind == "ivf_clustered"
+        assert idx.nlist == 64  # factory-string nlist wins over IVF_NLIST
+
+    def test_dense_checkpoint_adopts_into_clustered(self, rng, tmp_path):
+        """A store saved under the old dense-table "ivf" kind must come
+        back up when "ivf" now serves via the clustered engine (identity
+        slot adoption; untrained until the next build)."""
+        from wdbx_tpu.index.clustered import ClusteredIVFIndex
+        from wdbx_tpu.index.ivf import IVFIndex
+
+        dense = IVFIndex(16, nlist=4, nprobe=4, train_threshold=64)
+        db = _normed(rng, 200, 16)
+        slots = dense.add_batch(db)
+        dense.build()
+        path = str(tmp_path / "dense_ckpt")
+        dense.save(path)
+        clu = ClusteredIVFIndex(16, nlist=4, nprobe=4, train_threshold=64)
+        assert clu.load(path)
+        assert clu.count() == 200
+        _, got = clu.search(db[:4], 1)
+        assert (got.ravel() == slots[:4]).all()
 
     def test_unknown_raises(self):
         with pytest.raises(ValueError):
@@ -304,17 +341,20 @@ class TestFactory:
         from wdbx_tpu.core.config import WDBXConfig
 
         cfg = WDBXConfig()
-        cfg.set("IVF_KERNEL_VERSION", "v3")
+        cfg.set("IVF_KERNEL_VERSION", "v1")
         cfg.set("IVF_KERNEL_QPREC", "int8")
         idx = create_index("ivf_clustered", 8, cfg)
-        assert idx.kernel_version == "v3"
+        assert idx.kernel_version == "v1"
         assert idx.kernel_qprec == "int8"
-        # invalid spellings fall back to the defaults, not crashes
-        cfg.set("IVF_KERNEL_VERSION", "v9")
-        cfg.set("IVF_KERNEL_QPREC", "fp8")
-        idx2 = create_index("ivf_clustered", 8, cfg)
-        assert getattr(idx2, "kernel_version", "auto") == "auto"
-        assert getattr(idx2, "kernel_qprec", "bf16") == "bf16"
+        # invalid spellings fall back to the defaults, not crashes —
+        # including the retired "v3" (removed r4), which old configs
+        # may still carry
+        for stale in ("v9", "v3"):
+            cfg.set("IVF_KERNEL_VERSION", stale)
+            cfg.set("IVF_KERNEL_QPREC", "fp8")
+            idx2 = create_index("ivf_clustered", 8, cfg)
+            assert getattr(idx2, "kernel_version", "auto") == "auto"
+            assert getattr(idx2, "kernel_qprec", "bf16") == "bf16"
 
 
 class TestInt8:

@@ -296,42 +296,3 @@ class TestKernelContracts:
         with pytest.raises(ValueError, match="multiple of group"):
             _pair_reduce(s, jnp.zeros((2, 384), jnp.int32), 256)
 
-    @pytest.mark.parametrize("qprec", ["bf16", "int8"])
-    def test_v3_qprec_matches_v2(self, rng, qprec):
-        """v3 must honor qprec identically to v2 (shared
-        prep_query_block): same int8 slab, same args -> same scores."""
-        import jax.numpy as jnp
-
-        from wdbx_tpu.kernels.clustered_scan import (
-            clustered_block_topk_v2,
-            clustered_block_topk_v3,
-        )
-
-        d, c, k, nblocks = 64, 256, 8, 8
-        cap = nblocks * c
-        slab = rng.standard_normal((cap, d)).astype(np.float32)
-        slab /= np.linalg.norm(slab, axis=1, keepdims=True)
-        s_row = (np.abs(slab).max(axis=1) / 127.0).astype(np.float32)
-        codes = np.clip(
-            np.round(slab / s_row[:, None]), -127, 127
-        ).astype(np.int8)
-        sl = jnp.asarray(codes)
-        sc = jnp.asarray(s_row.reshape(1, -1))
-        valid = jnp.ones((1, cap), jnp.int8)
-        uniq = jnp.asarray(np.arange(nblocks, dtype=np.int32))
-        ok = jnp.asarray(np.ones(nblocks, np.int32))
-        q = rng.standard_normal((8, d)).astype(np.float32)
-        q /= np.linalg.norm(q, axis=1, keepdims=True)
-        q = jnp.asarray(q)
-        v2, p2 = clustered_block_topk_v2(
-            sl, valid, sc, uniq, ok, q, k=k, c=c, interpret=True,
-            n_ways=4, qprec=qprec,
-        )
-        v3, p3 = clustered_block_topk_v3(
-            sl, valid, sc, uniq, ok, q, k=k, c=c, interpret=True,
-            qprec=qprec,
-        )
-        np.testing.assert_allclose(
-            np.asarray(v2), np.asarray(v3), rtol=1e-5, atol=1e-5
-        )
-        np.testing.assert_array_equal(np.asarray(p2), np.asarray(p3))

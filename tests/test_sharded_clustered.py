@@ -328,11 +328,11 @@ class TestShardedClustered:
         idx._cluster_cache.clear()
         _, g_k = idx.search(db[:4], 5)
         assert (g_lax == g_k).all()
-        # v3 (manual-DMA pipeline) inside shard_map
-        idx.kernel_version = "v3"
+        # v1 (scalar-prefetch grid generation) inside shard_map
+        idx.kernel_version = "v1"
         idx._cluster_cache.clear()
-        _, g_v3 = idx.search(db[:4], 5)
-        assert (g_lax == g_v3).all()
+        _, g_v1 = idx.search(db[:4], 5)
+        assert (g_lax == g_v1).all()
 
 
 class TestShardedHoleRecycling:

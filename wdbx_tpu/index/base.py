@@ -108,11 +108,12 @@ class VectorIndex(abc.ABC):
 def _apply_kernel_knobs(idx: Any, config: Any) -> None:
     """Operator control of the clustered scan's kernel generation and
     query precision (benchmarks/RESULTS.md r3-late): IVF_KERNEL_VERSION
-    auto|v1|v2|v3 and IVF_KERNEL_QPREC bf16|int8 ("int8" is the turbo
+    auto|v1|v2 and IVF_KERNEL_QPREC bf16|int8 ("int8" is the turbo
     mode — ~2 points of raw recall@10 at 10M, recall-neutral through
-    the store's exact re-rank)."""
+    the store's exact re-rank). The retired "v3" (removed r4, measured
+    never-better) coerces to auto so old configs keep loading."""
     kv = str(config.get("IVF_KERNEL_VERSION", "auto")).lower()
-    if kv in ("v1", "v2", "v3"):
+    if kv in ("v1", "v2"):
         idx.kernel_version = kv
     qp = str(config.get("IVF_KERNEL_QPREC", "bf16")).lower()
     if qp in ("bf16", "int8"):
@@ -171,31 +172,31 @@ def create_index(kind: str, dim: int, config: Any = None) -> "VectorIndex":
             else "Flat"
         )
         if ftype.lower().startswith("ivf"):
-            from wdbx_tpu.index.ivf import IVFIndex
-
             head = ftype.split(",")[0][3:]
             nlist = int(head) if head.isdigit() else int(
                 config.get("FAISS_NLIST", config.get("IVF_NLIST", 100))
                 if config is not None else 100
             )
-            kwargs["nlist"] = nlist
-            if config is not None:
-                kwargs["nprobe"] = int(
-                    config.get("FAISS_NPROBE", config.get("IVF_NPROBE", 8))
-                )
+            nprobe = int(
+                config.get("FAISS_NPROBE", config.get("IVF_NPROBE", 8))
+            ) if config is not None else 8
             logger.info(
-                "INDEX_TYPE=faiss (%s): serving via ivf (nlist=%d)",
-                ftype, nlist,
+                "INDEX_TYPE=faiss (%s): serving via ivf_clustered "
+                "(nlist=%d)", ftype, nlist,
             )
-            return IVFIndex(dim, **kwargs)
-        logger.info("INDEX_TYPE=faiss (%s): serving via flat exact scan",
-                    ftype)
-        kind = "flat"
+            kwargs.update(nlist=nlist, nprobe=nprobe)
+            kind = "ivf_clustered"
+        else:
+            logger.info(
+                "INDEX_TYPE=faiss (%s): serving via flat exact scan",
+                ftype,
+            )
+            kind = "flat"
     if kind == "flat":
         if config is not None:
             kwargs["topk_method"] = config.get("INDEX_TOPK", "auto")
         return FlatIndex(dim, **kwargs)
-    if kind == "ivf":
+    if kind in ("ivf", "ivf_dense"):
         if config is not None:
             kwargs["nlist"] = int(config.get("IVF_NLIST", 100))
             kwargs["nprobe"] = int(config.get("IVF_NPROBE", 8))
@@ -204,14 +205,37 @@ def create_index(kind: str, dim: int, config: Any = None) -> "VectorIndex":
                 config.get("IVF_REBUILD_FRACTION", 0.2)
             )
             kwargs["assignments"] = int(config.get("IVF_ASSIGNMENTS", 1))
-        return IVFIndex(dim, **kwargs)
+        if kind == "ivf" and kwargs.get("assignments", 1) <= 1:
+            # r4 matrix pruning: the dense-table IVF is dominated by the
+            # clustered engine in every measured regime (B=1 parity,
+            # batch loss, 2.3x memory — docs/choosing_an_index.md), so
+            # the user-facing "ivf" now serves via ivf_clustered. The
+            # dense table remains for SOAR spilled assignment
+            # (IVF_ASSIGNMENTS=2, which clustered has no analogue for)
+            # and as INDEX_TYPE=ivf_dense, the benchmark reference
+            # point. Dense checkpoints load into the clustered engine
+            # through the identity-slot adoption path.
+            logger.info(
+                "INDEX_TYPE=ivf: serving via ivf_clustered "
+                "(set INDEX_TYPE=ivf_dense for the dense-table engine)"
+            )
+            kwargs.pop("assignments", None)
+            kind = "ivf_clustered"
+        else:
+            return IVFIndex(dim, **kwargs)
     if kind == "ivf_clustered":
         from wdbx_tpu.index.clustered import ClusteredIVFIndex
 
         if config is not None:
-            kwargs["nlist"] = int(config.get("IVF_NLIST", 100))
-            kwargs["nprobe"] = int(config.get("IVF_NPROBE", 8))
-            kwargs["train_threshold"] = int(config.get("IVF_TRAIN_THRESHOLD", 4096))
+            # setdefault: the faiss/ivf alias branches above may carry
+            # factory-string or dense-config values that must win over
+            # the generic IVF_* keys
+            kwargs.setdefault("nlist", int(config.get("IVF_NLIST", 100)))
+            kwargs.setdefault("nprobe", int(config.get("IVF_NPROBE", 8)))
+            kwargs.setdefault(
+                "train_threshold",
+                int(config.get("IVF_TRAIN_THRESHOLD", 4096)),
+            )
             kwargs["rebuild_fraction"] = float(
                 config.get("IVF_REBUILD_FRACTION", 0.2)
             )

@@ -398,14 +398,15 @@ def _clustered_search_kernelpath(
     compiled program. Candidate positions come back as global slab
     rows, so the residual merge is shared with the lax path.
     ``kern`` selects the kernel generation: "v1" (scalar-prefetch grid),
-    "v2" (restructured step body — int8×int8 MXU, padding-step skip),
-    "v3" (manual depth-buffered DMA pipeline); int4 slabs require
-    v2/v3 (v1 has no unpack)."""
+    "v2" (restructured step body — int8×int8 MXU, padding-step skip);
+    int4 slabs require v2 (v1 has no unpack). A v3 (manual
+    depth-buffered DMA) existed through r3 and measured never-better
+    than v2's grid pipeline (RESULTS.md r3-late A/B) — removed in r4 to
+    halve the matrix every new feature must be wired through."""
     from wdbx_tpu.index.ivf import _residual_merge
     from wdbx_tpu.kernels.clustered_scan import (
         clustered_block_topk,
         clustered_block_topk_v2,
-        clustered_block_topk_v3,
     )
 
     if normalize:
@@ -425,14 +426,7 @@ def _clustered_search_kernelpath(
     sc_arg = (
         scales.astype(jnp.float32).reshape(1, -1) if quant else None
     )
-    if kern == "v3":
-        kv, kp = clustered_block_topk_v3(
-            slab, valid_i8, sc_arg,
-            uniq.astype(jnp.int32), uniq_ok.astype(jnp.int32),
-            q if quant else q.astype(slab.dtype),
-            k=k, c=c, interpret=interpret, int4=int4, qprec=qprec,
-        )
-    elif kern == "v2" or int4:
+    if kern == "v2" or int4:
         kv, kp = clustered_block_topk_v2(
             slab, valid_i8, sc_arg,
             uniq.astype(jnp.int32), uniq_ok.astype(jnp.int32),
@@ -815,17 +809,17 @@ class ClusteredSlotMixin:
         )
 
     def _kernel_gen(self) -> str:
-        """Kernel generation for the Pallas path ("v1"/"v2"/"v3").
-        int4 requires v2/v3 (v1 has no unpack). "auto" picks v2: the
+        """Kernel generation for the Pallas path ("v1"/"v2").
+        int4 requires v2 (v1 has no unpack). "auto" picks v2: the
         r3 on-chip A/Bs settled it — with dispatch overhead amortized
         (NB=64 stacks / in-flight serving) v2 measures 1.50 ms/batch-64
-        vs v1 1.77 and v3 1.75 kernel-isolated at the 10M x 768
-        flagship geometry (~85% of the deduped-block DMA roofline), and
-        wins the in-flight e2e at B=128 (13.7k vs 9.8k QPS same
-        window). v3 (manual depth-buffered DMA) stays available via
-        ``kernel_version`` but never beat the grid's own pipeline."""
+        vs v1 1.77 kernel-isolated at the 10M x 768 flagship geometry
+        (~85% of the deduped-block DMA roofline), and wins the
+        in-flight e2e at B=128 (13.7k vs 9.8k QPS same window). A v3
+        (manual depth-buffered DMA, 1.75 ms same A/B) never beat the
+        grid's own pipeline and was removed in r4."""
         kv = getattr(self, "kernel_version", "auto")
-        if kv in ("v1", "v2", "v3"):
+        if kv in ("v1", "v2"):
             if kv == "v1" and self._is_int4:
                 return "v2"
             return kv

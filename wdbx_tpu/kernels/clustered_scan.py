@@ -334,215 +334,9 @@ def clustered_block_topk_v2(
         ],
         cost_estimate=pl.CostEstimate(
             # d is the STORAGE width: int4 packs two dims per
-            # byte, so real flops are doubled (matches v3)
+            # byte, so real flops are doubled
             flops=2 * b * u * c * (d * (2 if int4 else 1)),
             bytes_accessed=u * blk_bytes + b * d * 4,
-            transcendentals=0,
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=96 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(uniq, ok, meta, *operands)
-    return out_v[:b_out], out_i[:b_out]
-
-
-def _kernel_v3(uniq_ref, ok_ref, meta_ref, q_ref, qs_ref, *rest, k: int,
-               c: int, group: int, depth: int, int8: bool,
-               int4: bool = False, qprec: str = "bf16"):
-    """v3 step body: MANUAL multi-buffered DMA for the block rows. The
-    r3 A/B showed v1≈v2 at the flagship geometry — the per-step
-    fold/concat cost was NOT the wall; the data-dependent block fetches
-    issued by the grid machinery underrun the HBM stream ~4-5x. Here
-    the slab stays in HBM (`pl.ANY`) and each grid step issues the row
-    DMA for step ``i+depth-1`` before waiting on step ``i`` — VMEM
-    scratch and semaphores persist across TPU grid steps, so
-    ``depth-1`` block fetches stay in flight behind compute
-    (pallas_guide.md 'Patterns: Double Buffering', generalized to a
-    ``depth``-deep rotation). The small (1, c) valid/scale tiles keep
-    riding the grid's automatic pipeline (HBM-tiled aux layouts reject
-    manual sub-sublane slices: "slice shape along dimension 0 must be
-    aligned to tiling"). Dedup-padding steps skip both the fetch and
-    the compute; compute per block matches v2 (int8×int8 MXU, group
-    reduce, k-pass fold)."""
-    if int8:
-        valid_ref, scales_ref, slab_ref = rest[0], rest[1], rest[2]
-        out_v_ref, out_i_ref, tv, ti, blk_buf, sems = rest[3:]
-    else:
-        valid_ref, slab_ref = rest[0], rest[1]
-        out_v_ref, out_i_ref, tv, ti, blk_buf, sems = rest[2:]
-        scales_ref = None
-
-    nlive = meta_ref[0]
-    slot_mask = depth - 1  # depth is a power of two
-
-    def dma(j):
-        slot = j & slot_mask
-        base = pl.multiple_of(uniq_ref[j] * c, c)
-        return pltpu.make_async_copy(
-            slab_ref.at[pl.ds(base, c), :], blk_buf.at[slot],
-            sems.at[slot],
-        )
-
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _init():
-        tv[:] = jnp.full_like(tv, NEG)
-        ti[:] = jnp.full_like(ti, -1)
-
-        def warm(j, carry):
-            dma(j).start()
-            return carry
-
-        jax.lax.fori_loop(0, jnp.minimum(depth - 1, nlive), warm, 0)
-
-    @pl.when(i < nlive)
-    def _work():
-        @pl.when(i + depth - 1 < nlive)
-        def _prefetch():
-            dma(i + depth - 1).start()
-
-        dma(i).wait()
-        rows = blk_buf[i & slot_mask]
-        if int4:
-            from wdbx_tpu.kernels.quant import unpack_int4_kernel
-
-            rows = unpack_int4_kernel(rows)
-        q = q_ref[:]
-        if int8 and qprec != "int8":
-            # bf16 queries × int8 rows — the recall-safe default; must
-            # mirror _kernel_v2's arm exactly (shared prep_query_block)
-            s = jax.lax.dot_general(
-                q, rows.astype(jnp.bfloat16),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scales_ref[:]
-        elif int8:
-            s = jax.lax.dot_general(
-                q, rows,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.float32) * scales_ref[:]
-        else:
-            s = jax.lax.dot_general(
-                q, rows,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        msk = (valid_ref[:] != 0) & (ok_ref[i] != 0)  # (1, c)
-        s = jnp.where(msk, s, NEG)
-        col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
-        pos = col_iota + uniq_ref[i] * c
-        _fold_topk(s, 0, tv, ti, k, group=group, col_pos=pos)
-
-    @pl.when(i == pl.num_programs(0) - 1)
-    def _emit():
-        if int8 and qprec == "int8":  # bf16 arm wrote true scores to tv
-            # masked entries are exactly NEG: keep them below the
-            # caller's `v <= NEG` -inf rewrite (see _kernel_v2 emit)
-            out_v_ref[:] = jnp.where(
-                tv[:] <= NEG, tv[:], tv[:] * qs_ref[:]
-            )
-        else:
-            out_v_ref[:] = tv[:]
-        out_i_ref[:] = ti[:]
-
-
-@functools.partial(
-    jax.jit, static_argnames=("k", "c", "interpret", "group", "depth",
-                              "int4", "qprec")
-)
-def clustered_block_topk_v3(
-    slab: jax.Array,      # (cap, dw), cap % c == 0 (dw = d/2 for int4)
-    valid_i8: jax.Array,  # (1, cap) int8
-    scales: jax.Array | None,  # (1, cap) f32 for int8/int4, else None
-    uniq: jax.Array,      # (u,) int32 block ids (deduped; dups ok=0)
-    ok: jax.Array,        # (u,) int32 1=live block, 0=masked (suffix)
-    q: jax.Array,         # (B, d) float — quantized here for int8/int4
-    k: int,
-    c: int,
-    interpret: bool = False,
-    group: int | None = None,
-    depth: int = 4,
-    int4: bool = False,
-    qprec: str = "bf16",
-) -> tuple[jax.Array, jax.Array]:
-    """v3 of ``clustered_block_topk``: same contract (including
-    ``qprec`` — bf16 queries by default, int8 for compute-dense
-    geometries, see ``clustered_block_topk_v2``), manual
-    ``depth``-buffered DMA pipeline for the block rows (see
-    ``_kernel_v3``). ``depth`` must be a power of two; ``depth-1``
-    block fetches ride ahead of compute."""
-    assert depth >= 2 and (depth & (depth - 1)) == 0, depth
-    qprec = str(qprec).lower()
-    cap, dw = slab.shape
-    u = uniq.shape[0]
-    if group is None:
-        group = 256 if u >= 16 and k <= 32 and c % 256 == 0 else 0
-    int8 = scales is not None
-    qq, qs, b_out = prep_query_block(q, slab.dtype, int8, qprec)
-    b = qq.shape[0]
-    # loop bound = LAST live index + 1 (not the live count), so interior
-    # ok=0 holes can never cut off a live entry — matches _kernel_v2
-    u_idx = jnp.arange(u, dtype=jnp.int32)
-    nlive = jnp.max(jnp.where(ok > 0, u_idx + 1, 0))
-    meta = nlive.reshape(1).astype(jnp.int32)
-
-    in_specs = [
-        pl.BlockSpec((b, qq.shape[1]), lambda i, uniq, ok, meta: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((b, 1), lambda i, uniq, ok, meta: (0, 0),
-                     memory_space=pltpu.VMEM),
-        # (1, c) valid/scale tiles ride the grid's automatic pipeline
-        pl.BlockSpec((1, c), lambda i, uniq, ok, meta: (0, uniq[i]),
-                     memory_space=pltpu.VMEM),
-    ]
-    operands = [qq, qs, valid_i8]
-    if int8:
-        in_specs.append(
-            pl.BlockSpec((1, c), lambda i, uniq, ok, meta: (0, uniq[i]),
-                         memory_space=pltpu.VMEM)
-        )
-        operands.append(scales)
-        blk_bytes = c * dw
-    else:
-        blk_bytes = c * dw * slab.dtype.itemsize
-    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # slab in HBM
-    operands.append(slab)
-    scratch = [
-        pltpu.VMEM((b, k), jnp.float32),
-        pltpu.VMEM((b, k), jnp.int32),
-        pltpu.VMEM((depth, c, dw), slab.dtype),
-        pltpu.SemaphoreType.DMA((depth,)),
-    ]
-    kern = functools.partial(
-        _kernel_v3, k=k, c=c, group=group, depth=depth, int8=int8,
-        int4=int4, qprec=qprec,
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # uniq, ok, meta drive maps + DMA loop
-        grid=(u,),
-        in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((b, k), lambda i, uniq, ok, meta: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, k), lambda i, uniq, ok, meta: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=scratch,
-    )
-    out_v, out_i = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((b, k), jnp.float32),
-            jax.ShapeDtypeStruct((b, k), jnp.int32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * u * c * (dw * (2 if int4 else 1)),
-            bytes_accessed=u * blk_bytes + b * dw * 4,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(

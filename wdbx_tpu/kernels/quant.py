@@ -108,7 +108,7 @@ def dequantize_rows_int4(packed: jax.Array, scale: jax.Array) -> jax.Array:
 def prep_query_block(
     q: jax.Array, slab_dtype, int8: bool, qprec: str,
 ) -> tuple[jax.Array, jax.Array, int]:
-    """Shared query-side prep for the clustered scan kernels (v2/v3):
+    """Shared query-side prep for the v2 clustered scan kernel:
     validates ``qprec``, picks the query representation for the MXU
     against an int8/int4 slab, and pads sub-32-row batches up to the
     int8 sublane tile. Returns ``(qq, qs, b_out)`` where ``b_out`` is

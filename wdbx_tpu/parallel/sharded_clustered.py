@@ -160,23 +160,13 @@ def _build_clustered_search(
             from wdbx_tpu.kernels.clustered_scan import (
                 clustered_block_topk,
                 clustered_block_topk_v2,
-                clustered_block_topk_v3,
             )
 
             sc_arg = (
                 scales1.astype(jnp.float32).reshape(1, -1) if int8
                 else None
             )
-            if kern == "v3":
-                kv, kp = clustered_block_topk_v3(
-                    slab2, valid1.astype(jnp.int8).reshape(1, -1),
-                    sc_arg,
-                    uniq.astype(jnp.int32), ok.astype(jnp.int32),
-                    q if int8 else q.astype(slab2.dtype),
-                    k=min(k, rpd), c=c, interpret=interpret, int4=int4,
-                    qprec=qprec,
-                )
-            elif kern == "v2":
+            if kern == "v2":
                 kv, kp = clustered_block_topk_v2(
                     slab2, valid1.astype(jnp.int8).reshape(1, -1),
                     sc_arg,
@@ -332,7 +322,7 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
     """
 
     kind = "sharded_clustered"
-    #: the per-device v2/v3 scan kernels unpack int4 nibbles per block
+    #: the per-device v2 scan kernel unpacks int4 nibbles per block
     #: in VMEM — the capacity tier scales across the mesh here
     _INT4_OK = True
 
