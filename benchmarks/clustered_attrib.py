@@ -1,0 +1,212 @@
+"""Attribute the clustered flagship's serving gap to its kernel ceiling.
+
+VERDICT r3 ask #2: best e2e was 26-30k QPS (10M x 768 int8, one chip)
+against a kernel-isolated ceiling of ~61k (1.04 ms/device-batch-64 at
+85% of the deduped-block DMA roofline). The flat path closed the same
+shape of gap to 1.12x roofline with a dispatch-depth sweep + NB=64
+stacks; this harness applies that discipline to the clustered engine:
+
+  (a) same-window kernel device time (the ceiling, re-calibrated),
+  (b) dispatch-depth sweep (flights 1..12) at the r3 NB=16 point,
+  (c) NB sweep 16/32/64 (amortize fixed per-dispatch host turnaround),
+  (d) B=64 vs B=128 at the best NB,
+  (e) result-D2H share: handles-resolved vs device-side-only timing,
+  (f) best operating point with recall@10 vs the exact f32 oracle,
+  (g) a do-nothing dispatch floor (window-contention probe).
+
+Each phase prints one JSON line as it lands. Run on the real chip.
+
+Usage: python benchmarks/clustered_attrib.py [n] [dim] [nprobe]
+Env:   ATTRIB_NLIST=4096
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_wdbx")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import jax
+import jax.numpy as jnp
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 768
+    nprobe = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    nlist = int(os.environ.get("ATTRIB_NLIST", 4096))
+    k = 10
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ["JAX_COMPILATION_CACHE_DIR"],
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    emit(stage="env", device=str(jax.devices()[0]), n=n, dim=dim,
+         nlist=nlist, nprobe=nprobe)
+
+    from functools import partial
+
+    from wdbx_tpu.index.clustered import ClusteredIVFIndex
+
+    n_comp = 4096
+    centers = jax.random.normal(
+        jax.random.PRNGKey(7), (n_comp, dim), jnp.float32
+    )
+    centers = centers / jnp.linalg.norm(centers, axis=-1, keepdims=True)
+    noise = 0.67 / np.sqrt(dim)
+
+    @partial(jax.jit, static_argnames=("m",))
+    def _gen(cents, seed, m):
+        key = jax.random.PRNGKey(seed)
+        k1, k2 = jax.random.split(key)
+        ids = jax.random.randint(k1, (m,), 0, n_comp)
+        rows = cents[ids] + noise * jax.random.normal(
+            k2, (m, dim), jnp.float32
+        )
+        return rows / jnp.linalg.norm(rows, axis=-1, keepdims=True)
+
+    chunk = 262_144
+
+    def chunks():
+        for i in range(0, n, chunk):
+            yield _gen(centers, 1000 + i // chunk, min(chunk, n - i))
+
+    idx = ClusteredIVFIndex(
+        dim, dtype="int8", nlist=nlist, nprobe=nprobe,
+        train_threshold=1 << 62,
+    )
+    t0 = time.perf_counter()
+    slots_all = np.asarray(idx.build_from(chunks, train_chunks=1))
+    build_s = time.perf_counter() - t0
+    idx.batch_flat_fallback = False
+    emit(stage="build", build_s=round(build_s, 1),
+         hbm_gb=round(idx.get_stats()["hbm_bytes"] / 1e9, 2))
+
+    # window-contention floor: a trivial cached dispatch, round-tripped
+    tiny = jax.jit(lambda x: x + 1)
+    z = jax.device_put(jnp.zeros((8,), jnp.float32))
+    tiny(z).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(20):
+        tiny(z).block_until_ready()
+    emit(stage="floor",
+         dispatch_rtt_ms=round((time.perf_counter() - t0) / 20 * 1e3, 2))
+
+    def qstack_of(nb, b, seed=31338):
+        q = jax.device_put(_gen(centers, seed, nb * b).reshape(nb, b, dim))
+        jax.block_until_ready(q)
+        return q
+
+    def serve(qs, flights, fetch=True, reps=1):
+        """QPS with `flights` dispatches in flight. fetch=False keeps
+        results on device (block only) — the D2H-share a/b."""
+        nb, b, _ = qs.shape
+        idx.resolve_pipelined(
+            idx.search_pipelined(qs, k, materialize=False)
+        )  # warm program + transfer path
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            hs = [
+                idx.search_pipelined(qs, k, materialize=False)
+                for _ in range(flights)
+            ]
+            for h in hs:
+                if fetch:
+                    idx.resolve_pipelined(h)
+                else:
+                    jax.block_until_ready(h)
+        dt = time.perf_counter() - t0
+        return nb * b * flights * reps / dt
+
+    # (a) kernel-ish ceiling: device-only time of one big dispatch
+    qs64 = qstack_of(64, 64)
+    h = idx.search_pipelined(qs64, k, materialize=False)
+    jax.block_until_ready(h)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        jax.block_until_ready(
+            idx.search_pipelined(qs64, k, materialize=False)
+        )
+    dev_ms = (time.perf_counter() - t0) / 3 / 64 * 1e3
+    emit(stage="device_ceiling", nb=64, b=64,
+         device_ms_per_batch64=round(dev_ms, 3),
+         ceiling_qps=round(64 / dev_ms * 1e3))
+
+    # (b) depth sweep at the r3 point (NB=16, B=64)
+    qs16 = qstack_of(16, 64)
+    for flights in (1, 2, 4, 6, 8, 12):
+        emit(stage="depth_sweep", nb=16, b=64, flights=flights,
+             qps=round(serve(qs16, flights)))
+
+    # (c) NB sweep (amortize per-dispatch host turnaround)
+    for nb in (16, 32, 64):
+        qs = qstack_of(nb, 64)
+        for flights in (4, 8):
+            emit(stage="nb_sweep", nb=nb, b=64, flights=flights,
+                 qps=round(serve(qs, flights)))
+
+    # (d) B sweep at the best NB so far (64): 64 vs 128
+    qs128 = qstack_of(32, 128)
+    for flights in (4, 8):
+        emit(stage="b_sweep", nb=32, b=128, flights=flights,
+             qps=round(serve(qs128, flights)))
+
+    # (e) result-D2H share at the operating point
+    qs = qstack_of(64, 64)
+    emit(stage="d2h_share", nb=64, b=64, flights=4,
+         qps_fetched=round(serve(qs, 4, fetch=True)),
+         qps_device_only=round(serve(qs, 4, fetch=False)))
+
+    # (f) recall at the operating point vs the exact f32 oracle
+    q = np.asarray(_gen(centers, 9999, 64), np.float32)
+    qd = jax.device_put(jnp.asarray(q))
+
+    @partial(jax.jit, static_argnames=("kk",))
+    def _chunk_topk(rows, qq, kk):
+        return jax.lax.top_k(qq @ rows.T, kk)
+
+    best_s = np.full((64, k), -np.inf)
+    best_i = np.full((64, k), -1, np.int64)
+    base = 0
+    for rows in chunks():
+        m = int(rows.shape[0])
+        ts, ti = _chunk_topk(rows, qd, k)
+        ts = np.asarray(ts)
+        ti = np.asarray(ti, np.int64) + base
+        cs = np.concatenate([best_s, ts], axis=1)
+        ci = np.concatenate([best_i, ti], axis=1)
+        sel = np.argsort(-cs, axis=1)[:, :k]
+        best_s = np.take_along_axis(cs, sel, axis=1)
+        best_i = np.take_along_axis(ci, sel, axis=1)
+        base += m
+    inv = np.full(int(slots_all.max()) + 1, -1, np.int64)
+    inv[slots_all] = np.arange(n)
+    _, got = idx.search(q, k)
+    got = np.asarray(got, np.int64)
+    got_rows = np.full_like(got, -1)
+    ok = got >= 0
+    got_rows[ok] = inv[got[ok]]
+    rec = float(np.mean([
+        len(set(int(x) for x in a if x >= 0) & set(b.tolist())) / k
+        for a, b in zip(got_rows, best_i)
+    ]))
+    emit(stage="recall", nprobe=nprobe, recall_at_10=round(rec, 4))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,193 @@
+"""Host-side store at device-side scale (VERDICT r3 ask #3).
+
+Round 3's 10M+ numbers were all index-layer; the store around them
+(id registry, metadata, raw rows, filter masks, persistence) had never
+been exercised past ~512k. This benchmark drives the FULL VectorStore
+at flagship scale and reports, per stage, wall time and host RSS:
+
+  ingest       bulk_load in chunks (ids + metadata columns + raw rows)
+  save         store.save() — index npz + registry + columnar metadata
+               sidecars + raw memmap flush (no np.stack spike)
+  load         fresh process-equivalent store picking the data dir up
+  first_filter first-seen 10%-selectivity metadata filter (vectorized
+               columnar mask build + masked search) — bar: mask < 1 s
+  update       batch_store over existing ids (move-on-update churn)
+  search       steady filtered + unfiltered QPS after all of the above
+
+Done-bars (VERDICT): save and load in seconds not minutes at 10M; peak
+host RSS < 1.5x the store's host-resident data; first filter < 1 s.
+
+Reference behaviors replaced: one-blob metadata.json + per-id raw dict
+(reference wdbx/core/vector_store.py:136-176) and the per-slot Python
+mask walk (reference wdbx/core/vector_store.py:414-463).
+
+Usage: python benchmarks/store_scale.py [N] [dim]
+  env: STORE_SCALE_DTYPE=int8  RAW_STORE=memmap  RAW_STORE_DTYPE=int8
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_wdbx")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import numpy as np
+
+
+def _rss_gb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return int(line.split()[1]) / 1e6
+    return 0.0
+
+
+def _peak_rss_gb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmHWM"):
+                return int(line.split()[1]) / 1e6
+    return 0.0
+
+
+def emit(**kw) -> None:
+    kw["rss_gb"] = round(_rss_gb(), 2)
+    print(json.dumps(kw), flush=True)
+
+
+def main() -> None:
+    scale = float(os.environ.get("BENCH_SCALE", 1.0))
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else int(10_000_000 * scale)
+    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 768
+    data_dir = os.environ.get("STORE_SCALE_DIR", "/tmp/wdbx_store_scale")
+    import shutil
+
+    shutil.rmtree(data_dir, ignore_errors=True)
+
+    import jax
+    import jax.numpy as jnp
+
+    from wdbx_tpu.core.config import WDBXConfig
+    from wdbx_tpu.store.vector_store import VectorStore
+
+    cfg = WDBXConfig()
+    cfg.set("VECTOR_DIMENSION", dim)
+    cfg.set("INDEX_TYPE", "ivf_clustered")
+    cfg.set("INDEX_DTYPE", os.environ.get("STORE_SCALE_DTYPE", "int8"))
+    cfg.set("IVF_NLIST", 4096)
+    cfg.set("IVF_NPROBE", 4)
+    cfg.set("IVF_TRAIN_THRESHOLD", 1 << 62)  # build_from trains
+    cfg.set("VECTOR_STORE_AUTOSAVE_INTERVAL", 0)  # explicit save only
+    cfg.set("RAW_STORE", os.environ.get("RAW_STORE", "memmap"))
+    cfg.set("RAW_STORE_DTYPE", os.environ.get("RAW_STORE_DTYPE", "int8"))
+    store = VectorStore(cfg, data_dir=data_dir)
+
+    n_comp = 4096
+    centers = jax.random.normal(
+        jax.random.PRNGKey(7), (n_comp, dim), jnp.float32
+    )
+    centers = centers / jnp.linalg.norm(centers, axis=-1, keepdims=True)
+    noise = 0.67 / np.sqrt(dim)
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("m",))
+    def _gen(seed, m):
+        key = jax.random.PRNGKey(seed)
+        k1, k2 = jax.random.split(key)
+        ids = jax.random.randint(k1, (m,), 0, n_comp)
+        rows = centers[ids] + noise * jax.random.normal(
+            k2, (m, dim), jnp.float32
+        )
+        return rows / jnp.linalg.norm(rows, axis=-1, keepdims=True)
+
+    # ---- ingest: chunked bulk_load with metadata columns ----
+    chunk = 524_288
+    cats = np.asarray(["a", "b", "c", "d", "e", "f", "g", "h", "i", "j"])
+    t0 = time.perf_counter()
+    for i in range(0, n, chunk):
+        m = min(chunk, n - i)
+        rows = np.asarray(_gen(1000 + i // chunk, m), np.float32)
+        ids = [f"v{j}" for j in range(i, i + m)]
+        rng = np.random.default_rng(i)
+        store.bulk_load(ids, rows, metadata_columns={
+            "cat": cats[rng.integers(0, 10, m)],
+            "score": rng.random(m).astype(np.float32),
+            "ts": np.arange(i, i + m, dtype=np.int64),
+        })
+        del rows
+    ingest_s = time.perf_counter() - t0
+    emit(stage="ingest", n=n, dim=dim, s=round(ingest_s, 1),
+         rows_per_s=int(n / ingest_s))
+
+    # cluster the slab so serving is the real path (trains on device)
+    t0 = time.perf_counter()
+    store.optimize()
+    emit(stage="optimize", s=round(time.perf_counter() - t0, 1))
+
+    # ---- save ----
+    t0 = time.perf_counter()
+    store.save()
+    save_s = time.perf_counter() - t0
+    du = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(data_dir) for f in fs
+    )
+    emit(stage="save", s=round(save_s, 1), disk_gb=round(du / 1e9, 2))
+
+    # ---- load (fresh store object = fresh process equivalent) ----
+    del store
+    t0 = time.perf_counter()
+    store = VectorStore(cfg, data_dir=data_dir)
+    load_s = time.perf_counter() - t0
+    emit(stage="load", s=round(load_s, 1), count=store.count())
+
+    q = np.asarray(_gen(9999, 16), np.float32)
+
+    # ---- first-seen filter: 10% selectivity (cat == "a") ----
+    t0 = time.perf_counter()
+    hits = store.search_batch(q, limit=10, filter_metadata={"cat": "a"})
+    first_filter_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    hits2 = store.search_batch(q, limit=10, filter_metadata={"cat": "a"})
+    emit(stage="first_filter", selectivity=0.10,
+         first_s=round(first_filter_s, 2),
+         cached_s=round(time.perf_counter() - t0, 3),
+         hits=sum(len(h) for h in hits), hits2=sum(len(h) for h in hits2))
+
+    # ---- update churn over existing ids ----
+    upd = 10_000
+    rng = np.random.default_rng(3)
+    pick = rng.integers(0, n, upd)
+    rows = np.asarray(_gen(31337, upd), np.float32)
+    t0 = time.perf_counter()
+    store.batch_store({f"v{j}": rows[i] for i, j in enumerate(pick)})
+    upd_s = time.perf_counter() - t0
+    emit(stage="update", n=upd, s=round(upd_s, 2),
+         rows_per_s=int(upd / upd_s))
+
+    # ---- steady serving: unfiltered vs filtered ----
+    for name, flt in (("unfiltered", None), ("filtered_10pct",
+                                             {"cat": "a"})):
+        for _ in range(3):
+            store.search_batch(q, limit=10, filter_metadata=flt)
+        t0 = time.perf_counter()
+        reps = 20
+        for _ in range(reps):
+            store.search_batch(q, limit=10, filter_metadata=flt)
+        dt = time.perf_counter() - t0
+        emit(stage=f"search_{name}", qps=int(reps * len(q) / dt),
+             ms_per_batch=round(dt / reps * 1000, 1))
+
+    emit(stage="summary", peak_rss_gb=round(_peak_rss_gb(), 2),
+         save_s=round(save_s, 1), load_s=round(load_s, 1),
+         first_filter_s=round(first_filter_s, 2))
+
+
+if __name__ == "__main__":
+    main()

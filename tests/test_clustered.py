@@ -1883,3 +1883,107 @@ class TestFilteredTuning:
         assert _filter_boost(0.10, {3: 32}) == 32
         assert _filter_boost(0.30, {3: 32}) == _DEFAULT_BOOSTS[1]
         assert _filter_boost(0.60, {}) == 2
+
+
+class TestStaleLabelAliasing:
+    """update-move must clear the moved-from label (r4 racing
+    differential failure): a stale ``_slot_of`` label at a dead
+    position survived save(), and load()'s last-assignment-wins
+    ``_pos_of`` rebuild could point the slot at its dead row — a later
+    remove then double-freed that position, two inserts recycled it
+    twice, and one slot became a ghost the next rebuild dropped."""
+
+    def _live_invariant(self, idx, live_slots):
+        """Every live slot maps to a unique valid position whose label
+        round-trips, and count() agrees."""
+        live_slots = np.asarray(sorted(live_slots), np.int64)
+        pos = idx._positions_of(live_slots)
+        assert (pos >= 0).all(), "live slot lost its position"
+        assert len(np.unique(pos)) == len(pos), "two slots share a row"
+        valid = np.asarray(idx._valid)
+        assert valid[pos].all(), "live slot points at a dead row"
+        assert (idx._slot_of[pos] == live_slots).all(), "label mismatch"
+        assert idx.count() == len(live_slots)
+        # and no DEAD position keeps a label anywhere below the HWM
+        hwm = idx._next_slot
+        labels = idx._slot_of[:hwm]
+        assert (labels[~np.asarray(valid[:hwm])] == -1).all(), (
+            "stale label on a dead row"
+        )
+
+    def test_update_clears_moved_from_label(self, rng):
+        d = 32
+        idx = _make(d)
+        db = _normed(rng, 1200, d)
+        slots = idx.add_batch(db)
+        idx.build()
+        idx.update_slots(slots[5:9], _normed(rng, 4, d))
+        self._live_invariant(idx, slots.tolist())
+
+    def test_update_save_load_churn_no_ghost(self, rng, tmp_path):
+        """The full failure chain: update-moves, persistence round
+        trip, recycling churn, then a rebuild — no slot may vanish."""
+        d = 32
+        idx = _make(d)
+        db = _normed(rng, 1500, d)
+        slots = idx.add_batch(db)
+        idx.build()
+        live = set(slots.tolist())
+        # moves: updates land in bucket holes or the residual region
+        for lo in (0, 40, 40, 80):  # re-update 40.. twice (re-move)
+            idx.update_slots(
+                slots[lo:lo + 40], _normed(rng, 40, d)
+            )
+        path = os.path.join(str(tmp_path), "stale")
+        idx.save(path)
+        idx2 = _make(d)
+        assert idx2.load(path)
+        self._live_invariant(idx2, live)
+        # churn the recycled holes: remove the updated slots, insert
+        # replacements (double-freed positions would alias here)
+        idx2.remove_slots(slots[:120])
+        live -= set(slots[:120].tolist())
+        fresh = idx2.add_batch(_normed(rng, 240, d))
+        assert not (set(fresh.tolist()) & live), "recycled live slot id"
+        live |= set(fresh.tolist())
+        self._live_invariant(idx2, live)
+        idx2.build()
+        self._live_invariant(idx2, live)
+
+    def test_load_drops_stale_labels_from_old_checkpoints(
+        self, rng, tmp_path
+    ):
+        """Pre-r4 checkpoints can carry the stale moved-from label;
+        load() must drop labels on dead rows instead of letting the
+        last assignment win."""
+        d = 32
+        idx = _make(d)
+        db = _normed(rng, 1200, d)
+        slots = idx.add_batch(db)
+        idx.build()
+        idx.remove_slots(slots[100:101])  # a dead clustered row
+        dead_pos = -1
+        valid = np.asarray(idx._valid[: idx._next_slot])
+        for p in range(len(valid) - 1, 0, -1):
+            if not valid[p] and valid[p - 1] and idx._slot_of[p - 1] >= 0:
+                dead_pos = p
+                break
+        assert dead_pos > 0, "no dead row with a live lower neighbor"
+        victim = int(idx._slot_of[dead_pos - 1])
+        path = os.path.join(str(tmp_path), "oldckpt")
+        idx.save(path)
+        # plant the stale label the way pre-r4 update_slots left it:
+        # the dead row still carries the victim's (moved-from) label,
+        # AFTER the victim's real row in assignment order
+        data = dict(np.load(path + ".ivfc.npz"))
+        data["slot_of"] = np.asarray(data["slot_of"], np.int32).copy()
+        data["slot_of"][dead_pos] = victim
+        np.savez(path + ".ivfc.npz", **data)
+        idx2 = _make(d)
+        assert idx2.load(path)
+        assert int(idx2._pos_of[victim]) == dead_pos - 1, (
+            "stale label at the dead row won the _pos_of rebuild"
+        )
+        self._live_invariant(
+            idx2, [s for s in slots.tolist() if s != int(slots[100])]
+        )

@@ -662,6 +662,14 @@ class ClusteredSlotMixin:
             # (often its own old position — an in-place rewrite), else
             # above the clustered boundary
             self._tombstone_positions(pos)
+            # clear the moved-from label NOW: a stale label at a dead
+            # position persisted through save() and load()'s
+            # last-assignment-wins _pos_of rebuild, pointing the slot at
+            # its dead row — a later remove then double-freed that
+            # position, two inserts recycled it twice, and one slot
+            # became a ghost the next rebuild dropped (the r4 racing
+            # differential failure: slot lost with _size intact)
+            self._slot_of[pos] = -1
             clustered = pos < self._fresh_base
             self._quarantine_positions(pos[clustered])
             self._free.extend(int(p) for p in pos[~clustered])
@@ -902,23 +910,30 @@ class ClusteredSlotMixin:
         boost = _filter_boost(sel, getattr(self, "_filter_boosts", None))
         return pm, min(nlist, nprobe * boost), False
 
-    # -- background-rebuild journal: shared swap-time drain ------------------
-    def _drain_bg_journal(self, journal, snap_slot_of, src, dest,
-                          fetch_rows):
-        """Swap-time drain of the COW-window mutation journal, shared
-        by the single-device and mesh-striped engines (the subtlest
-        logic in the serve-through rebuild lives in ONE place).
+    # -- background-rebuild journal: swap-time drain + replay ----------------
+    # Every slot journaled during the COW window has a STALE snapshot
+    # row: its dest position in the new layout must be invalidated
+    # (else a removed slot is resurrected as "known": _pos_of >= 0 at a
+    # dead row means a double-decrement on re-remove and updates
+    # scattering into the dead row), and — if it is still live
+    # ("dirty") — its CURRENT row must be replayed into the fresh
+    # region. VERDICT r3 ask #5: doing all of that under the swap-time
+    # write lock (device fetch of every dirty row + O(cap) host map
+    # rebuild) stalled rebuild p99 at 5.6x steady. The split here:
+    # _prestage_bg_journal + _prepare_bg_swap run OFF the lock;
+    # _bg_dirty_rows + _bg_delta_fixup pay only the final delta under
+    # it. Shared by the single-device and mesh-striped engines — the
+    # subtlest logic in the serve-through rebuild lives in ONE place.
 
-        Every journaled slot's snapshot row is stale: its ``dest``
-        position in the new layout is returned for invalidation, and
-        its entry in ``snap_slot_of`` is nulled IN PLACE so a removed
-        slot cannot be resurrected as "known" (``_pos_of >= 0`` at a
-        dead row means a double-decrement on re-remove and updates
-        scattering into the dead row). Slots still live ("dirty") have
-        their CURRENT rows fetched via ``fetch_rows(positions)`` before
-        the swap so the caller can replay them into the fresh region.
-
-        Returns ``(dirty, rows, dead_dest)``."""
+    def _bg_dirty_rows(self, journal, fetch_rows, staged=None,
+                       refetch=None):
+        """Current rows of the journal's surviving "dirty" slots for
+        the swap-time replay. Staged copies (pre-fetched off the lock)
+        are assembled on DEVICE — only the unstaged remainder pays a
+        fetch + upload while the write lock is held. ``refetch`` (the
+        swap-time delta journal) forces a fresh fetch even for staged
+        slots: a slot that mutated AFTER its staging round has a stale
+        staged copy, and the last copy must win."""
         dirty = np.asarray(
             sorted(s for s, v in journal.items() if v == "dirty"),
             np.int64,
@@ -928,19 +943,148 @@ class ClusteredSlotMixin:
             cur_pos = self._positions_of(dirty)
             known = cur_pos >= 0
             dirty = dirty[known]
+            cur_pos = cur_pos[known]
             if len(dirty):
-                rows = np.asarray(fetch_rows(cur_pos[known]), np.float32)
-        dead_dest = np.empty(0, np.int64)
-        if journal:
-            drop = np.fromiter(journal, np.int64, len(journal))
-            dead_dest = dest[np.isin(snap_slot_of[src], drop)]
-            snap_slot_of[np.isin(snap_slot_of, drop)] = -1
-        return dirty, rows, dead_dest
+                stage_of, staged_rows = staged if staged else ({}, None)
+                rf = refetch if refetch is not None else ()
+                hit = np.asarray(
+                    [int(s) in stage_of and int(s) not in rf
+                     for s in dirty], bool
+                ) if staged_rows is not None else np.zeros(
+                    len(dirty), bool
+                )
+                if staged_rows is not None and hit.any():
+                    n_staged = int(staged_rows.shape[0])
+                    sel = np.zeros(len(dirty), np.int32)
+                    sel[hit] = [stage_of[int(s)] for s in dirty[hit]]
+                    if (~hit).any():
+                        fetched = np.asarray(
+                            fetch_rows(cur_pos[~hit]), np.float32
+                        )
+                        pool = jnp.concatenate(
+                            [staged_rows, jnp.asarray(fetched)], axis=0
+                        )
+                        sel[~hit] = n_staged + np.arange(
+                            int((~hit).sum()), dtype=np.int32
+                        )
+                    else:
+                        pool = staged_rows
+                    rows = pool[jnp.asarray(sel)]
+                else:
+                    rows = np.asarray(fetch_rows(cur_pos), np.float32)
+        return dirty, rows
+
+    def _prepare_bg_swap(self, snap_slot_of, src, dest, merged, cap):
+        """Pre-compute the post-swap slot maps OFF the write lock
+        (VERDICT r3 ask #5: ``_install_built``'s O(cap) host fills and
+        scatters — ~0.1 GB/s on a contended single-core host — were a
+        lock-held stall at 10M rows). Journaled slots are dropped here;
+        anything that mutates after this runs lands in the delta
+        journal and is fixed up under the lock by
+        :meth:`_bg_delta_fixup` (tiny). Returns
+        ``(new_slot_of, new_pos_of, pre_dead)``."""
+        slot_at_dest = snap_slot_of[src].copy()
+        if merged:
+            drop = np.fromiter(merged, np.int64, len(merged))
+            hit = np.isin(slot_at_dest, drop)
+            pre_dead = dest[hit]
+            slot_at_dest[hit] = -1
+        else:
+            pre_dead = np.empty(0, np.int64)
+        new_slot_of = np.full(cap, -1, np.int32)
+        new_slot_of[dest] = slot_at_dest
+        new_pos_of = np.full(cap, -1, np.int32)
+        keep = slot_at_dest >= 0
+        new_pos_of[slot_at_dest[keep]] = dest[keep].astype(np.int32)
+        return new_slot_of, new_pos_of, pre_dead
+
+    @staticmethod
+    def _bg_delta_fixup(delta, new_slot_of, new_pos_of):
+        """Null the pre-built maps' entries for slots that mutated
+        after ``_prepare_bg_swap`` ran (write lock held; O(len(delta))).
+        Returns the extra dest positions to invalidate in the new
+        validity array."""
+        extra_dead = []
+        for s in delta:
+            s = int(s)
+            if s < len(new_pos_of):
+                i = int(new_pos_of[s])
+                if i >= 0:
+                    new_slot_of[i] = -1
+                    new_pos_of[s] = -1
+                    extra_dead.append(i)
+        return np.asarray(extra_dead, np.int64)
+
+    def _prestage_bg_journal(self, fetch_rows, snap_gen,
+                             rounds: int = 4, quiet: int = 8):
+        """Iterative OFF-lock drain of the COW-window journal (the VM
+        live-migration pattern): each round atomically swaps the live
+        journal for a fresh one (brief write lock — a dict swap), then
+        fetches the drained dirty slots' current rows with no lock
+        held. Mutations landing during a fetch re-journal their slot,
+        so a later round (or the swap-time delta) re-fetches it — the
+        LAST copy always wins. Converges when a round drains at most
+        ``quiet`` entries; whatever still lands after the final round
+        is the swap-time delta, which is all the device traffic the
+        write lock has to pay.
+
+        Returns ``(merged_journal, (stage_of, staged_rows))`` where
+        ``staged_rows`` is a device-resident row matrix (uploaded off
+        the lock) and ``stage_of`` maps slot -> row index (later
+        stagings override earlier ones)."""
+        merged: dict[int, str] = {}
+        slots_acc: list[int] = []
+        rows_acc: list[np.ndarray] = []
+        for _ in range(rounds):
+            with self._mu.write():
+                if (getattr(self, "_layout_gen", 0) != snap_gen
+                        or not getattr(self, "_cow_writes", False)):
+                    break  # window invalidated: the swap will abandon
+                j = self._bg_journal
+                if not j:
+                    break
+                self._bg_journal = {}
+                dirty = np.asarray(
+                    sorted(s for s, v in j.items() if v == "dirty"),
+                    np.int64,
+                )
+                # positions read under the lock (consistent vs racing
+                # mutators); a move AFTER this re-journals the slot, so
+                # a later round or the swap-time delta re-fetches it
+                pos = self._positions_of(dirty) if len(dirty) else None
+            merged.update(j)
+            if pos is not None:
+                known = pos >= 0
+                if known.any():
+                    try:
+                        rows = np.asarray(
+                            fetch_rows(pos[known]), np.float32
+                        )
+                    except Exception:
+                        # racing clear()/load()/remesh swapped storage
+                        # under the off-lock gather — abandon staging;
+                        # the swap phase re-checks the generation and
+                        # either abandons too or fetches under the lock
+                        break
+                    slots_acc.extend(int(s) for s in dirty[known])
+                    rows_acc.append(rows)
+            if len(j) <= quiet:
+                break
+        staged_rows = None
+        if rows_acc:
+            staged_rows = jax.device_put(
+                jnp.asarray(np.concatenate(rows_acc, axis=0))
+            )
+            jax.block_until_ready(staged_rows)  # H2D paid off-lock
+        stage_of = {s: i for i, s in enumerate(slots_acc)}
+        return merged, (stage_of, staged_rows)
 
     def _replay_bg_dirty(self, dirty, rows):
         """Re-insert the journal's surviving mutated rows into the
         fresh region of the just-swapped layout, keeping their external
-        slot ids (write lock held by the caller)."""
+        slot ids (write lock held by the caller). ``rows`` may be a
+        device array (the pre-staged path) — ``_scatter`` takes it
+        without a host round trip."""
         pos = self._take_slots(len(dirty))
         self._scatter(pos, rows, True)
         self._slot_of[pos] = dirty.astype(np.int32)
@@ -1231,27 +1375,36 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
     def _install_built(
         self, src, counts, centroids, new_slab, new_valid, new_scales,
         slot_src: np.ndarray | None = None,
+        prebuilt: tuple[np.ndarray, np.ndarray] | None = None,
     ) -> None:
         """Swap the permuted arrays in and rebuild mappings + overlay
         (the tail of a build; write lock held by the caller).
         ``slot_src`` overrides the slot-of-position map used to label
         dest rows — the background build passes its snapshot (current
-        ``_slot_of`` may have drifted for rows it replays separately)."""
+        ``_slot_of`` may have drifted for rows it replays separately).
+        ``prebuilt`` = (slot_of, pos_of) maps already computed OFF the
+        lock by :meth:`_prepare_bg_swap` (+ delta fixup): the O(cap)
+        fills/scatters below were a lock-held p99 stall at 10M rows."""
         n_live = len(src)
         self._slab = new_slab
         self._valid = new_valid
         if self._is_quantized:
             self._scales = new_scales
 
-        # slot mapping: dest i holds the row that lived at src[i]
-        slot_at_dest = (self._slot_of if slot_src is None else slot_src)[src]
-        self._slot_of[:] = -1
-        self._slot_of[: n_live] = slot_at_dest
-        self._pos_of[:] = -1
-        keep = slot_at_dest >= 0
-        self._pos_of[slot_at_dest[keep]] = np.arange(n_live, dtype=np.int32)[
-            keep
-        ]
+        if prebuilt is not None:
+            self._slot_of, self._pos_of = prebuilt
+        else:
+            # slot mapping: dest i holds the row that lived at src[i]
+            slot_at_dest = (
+                self._slot_of if slot_src is None else slot_src
+            )[src]
+            self._slot_of[:] = -1
+            self._slot_of[: n_live] = slot_at_dest
+            self._pos_of[:] = -1
+            keep = slot_at_dest >= 0
+            self._pos_of[slot_at_dest[keep]] = np.arange(
+                n_live, dtype=np.int32
+            )[keep]
 
         self._install_layout(np.asarray(centroids), counts)
         # fresh adds start at the next block boundary: scanned blocks and
@@ -1308,6 +1461,17 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
             new_slab, new_valid, new_scales = self._permute(
                 snap_slab, snap_scales, src, cap=snap_cap
             )
+            # drain the window's journal OFF-lock (iterative pre-stage)
+            # and pre-build the post-swap slot maps: the swap below then
+            # pays device traffic + host map work only for the final
+            # delta, not the whole window's mutations + O(cap) fills
+            merged, staged = self._prestage_bg_journal(
+                lambda p: FlatIndex.get_vectors(self, p), snap_gen
+            )
+            dest = np.arange(len(src), dtype=np.int64)
+            new_slot_of, new_pos_of, pre_dead = self._prepare_bg_swap(
+                snap_slot_of, src, dest, merged, snap_cap
+            )
             done = True
         finally:
             if not done:
@@ -1332,13 +1496,21 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
                     self._cow_writes = False
                     self._build_locked()
                     return
-                journal = self._bg_journal
+                delta = self._bg_journal
                 self._bg_journal = {}
-                # the permute placed src[i] at new position i
-                dirty, rows, dead_dest = self._drain_bg_journal(
-                    journal, snap_slot_of, src,
-                    np.arange(len(src), dtype=np.int64),
-                    lambda p: FlatIndex.get_vectors(self, p),
+                merged.update(delta)
+                # the permute placed src[i] at new position i; the delta
+                # (journaled after prepare) patches the prebuilt maps
+                dirty, rows = self._bg_dirty_rows(
+                    merged, lambda p: FlatIndex.get_vectors(self, p),
+                    staged=staged, refetch=delta,
+                )
+                extra_dead = self._bg_delta_fixup(
+                    delta, new_slot_of, new_pos_of
+                )
+                dead_dest = (
+                    np.concatenate([pre_dead, extra_dead])
+                    if len(extra_dead) else pre_dead
                 )
                 if len(dead_dest):
                     pad_n = _next_pow2(len(dead_dest))
@@ -1350,7 +1522,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
                 self._cow_writes = False
                 self._install_built(
                     src, counts, centroids, new_slab, new_valid,
-                    new_scales, slot_src=snap_slot_of,
+                    new_scales, prebuilt=(new_slot_of, new_pos_of),
                 )
                 if rows is not None and len(dirty):
                     self._replay_bg_dirty(dirty, rows)
@@ -1830,6 +2002,12 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
             data = np.load(path + ".ivfc.npz")
             hwm = self._next_slot
             slot_of = np.asarray(data["slot_of"], np.int32)
+            # drop labels on DEAD rows: checkpoints written before r4
+            # kept the moved-from label of updated slots, and mapping
+            # those here (last assignment wins) pointed slots at their
+            # dead old rows — see update_slots' stale-label note
+            live = np.asarray(self._valid[:hwm])
+            slot_of = np.where(live, slot_of, -1)
             self._slot_of[:hwm] = slot_of
             keep = slot_of >= 0
             self._pos_of[slot_of[keep]] = np.arange(hwm, dtype=np.int32)[keep]

@@ -592,25 +592,30 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
 
     def _install_striped(
         self, src_global, dest, local_counts, local_starts, centroids,
-        slab_n, valid_n, scales_n, slot_src=None,
+        slab_n, valid_n, scales_n, slot_src=None, prebuilt=None,
     ) -> None:
         """Swap the permuted arrays in and rebuild mappings + overlay
         (write lock held by the caller). ``slot_src`` overrides the
         slot-of-position map labeling dest rows — the background build
         passes its snapshot (the live ``_slot_of`` has drifted for rows
-        it replays separately)."""
+        it replays separately). ``prebuilt`` = (slot_of, pos_of) maps
+        computed OFF the lock by ``_prepare_bg_swap`` + delta fixup
+        (the O(cap) fills below stall p99 at 10M+ rows)."""
         n_dev = self.n_devices
         self._slab, self._valid, self._scales = slab_n, valid_n, scales_n
 
-        # host slot mapping follows the permutation
-        slot_at_dest = (
-            self._slot_of if slot_src is None else slot_src
-        )[src_global]
-        self._slot_of[:] = -1
-        self._slot_of[dest] = slot_at_dest
-        self._pos_of[:] = -1
-        keep = slot_at_dest >= 0
-        self._pos_of[slot_at_dest[keep]] = dest[keep].astype(np.int32)
+        if prebuilt is not None:
+            self._slot_of, self._pos_of = prebuilt
+        else:
+            # host slot mapping follows the permutation
+            slot_at_dest = (
+                self._slot_of if slot_src is None else slot_src
+            )[src_global]
+            self._slot_of[:] = -1
+            self._slot_of[dest] = slot_at_dest
+            self._pos_of[:] = -1
+            keep = slot_at_dest >= 0
+            self._pos_of[slot_at_dest[keep]] = dest[keep].astype(np.int32)
 
         self._install_layout(np.asarray(centroids), local_counts)
         self._free = []
@@ -681,10 +686,21 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
             )
             if need_local > snap_cap // n_dev:
                 overflow = True  # growth can't happen off-lock
+                merged, staged, prep = {}, None, None
             else:
                 slab_n, valid_n, scales_n = self._permute_striped(
                     snap_slab, snap_scales, src_global, dest, snap_cap,
                     n_dev,
+                )
+                # pre-stage the window's journal OFF-lock and pre-build
+                # the post-swap slot maps (see the single-device twin):
+                # the swap pays only the final delta
+                merged, staged = self._prestage_bg_journal(
+                    lambda p: ShardedFlatIndex.get_vectors(self, p),
+                    snap_gen,
+                )
+                prep = self._prepare_bg_swap(
+                    snap_slot_of, src_global, dest, merged, snap_cap
                 )
         except BaseException:
             # Phase 2 reads live mesh handles (self._sharding/axis) off
@@ -714,11 +730,21 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
                     self._cow_writes = False
                     self._build_locked()
                     return
-                journal = self._bg_journal
+                delta = self._bg_journal
                 self._bg_journal = {}
-                dirty, rows, dead_dest = self._drain_bg_journal(
-                    journal, snap_slot_of, src_global, dest,
+                merged.update(delta)
+                new_slot_of, new_pos_of, pre_dead = prep
+                dirty, rows = self._bg_dirty_rows(
+                    merged,
                     lambda p: ShardedFlatIndex.get_vectors(self, p),
+                    staged=staged, refetch=delta,
+                )
+                extra_dead = self._bg_delta_fixup(
+                    delta, new_slot_of, new_pos_of
+                )
+                dead_dest = (
+                    np.concatenate([pre_dead, extra_dead])
+                    if len(extra_dead) else pre_dead
                 )
                 if len(dead_dest):
                     pad_n = _next_pow2(len(dead_dest))
@@ -736,7 +762,7 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
                 self._install_striped(
                     src_global, dest, local_counts, local_starts,
                     centroids, slab_n, valid_n, scales_n,
-                    slot_src=snap_slot_of,
+                    prebuilt=(new_slot_of, new_pos_of),
                 )
                 if rows is not None and len(dirty):
                     self._replay_bg_dirty(dirty, rows)
@@ -1129,6 +1155,10 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
             data = np.load(path + ".ivfsc.npz")
             hwm = min(len(data["slot_of"]), self._cap)
             slot_of = np.asarray(data["slot_of"], np.int32)[:hwm]
+            # drop labels on DEAD rows (stale moved-from labels in
+            # pre-r4 checkpoints — see ClusteredIVFIndex.load)
+            live = self._host_replicated(self._valid).T.reshape(-1)[:hwm]
+            slot_of = np.where(live, slot_of, -1)
             self._slot_of[:hwm] = slot_of
             keep = slot_of >= 0
             self._pos_of[slot_of[keep]] = np.arange(hwm, dtype=np.int32)[keep]
