@@ -147,32 +147,36 @@ def main() -> None:
          device_ms_per_batch64=round(dev_ms, 3),
          ceiling_qps=round(64 / dev_ms * 1e3))
 
-    # (b) depth sweep at the r3 point (NB=16, B=64)
-    qs16 = qstack_of(16, 64)
-    for flights in (1, 2, 4, 6, 8, 12):
-        emit(stage="depth_sweep", nb=16, b=64, flights=flights,
-             qps=round(serve(qs16, flights)))
+    phases = os.environ.get("ATTRIB_PHASES", "all")
+    if phases == "all":
+        # (b) depth sweep at the r3 point (NB=16, B=64)
+        qs16 = qstack_of(16, 64)
+        for flights in (1, 2, 4, 6, 8, 12):
+            emit(stage="depth_sweep", nb=16, b=64, flights=flights,
+                 qps=round(serve(qs16, flights)))
 
-    # (c) NB sweep (amortize per-dispatch host turnaround)
-    for nb in (16, 32, 64):
-        qs = qstack_of(nb, 64)
+        # (c) NB sweep (amortize per-dispatch host turnaround)
+        for nb in (16, 32, 64):
+            qs = qstack_of(nb, 64)
+            for flights in (4, 8):
+                emit(stage="nb_sweep", nb=nb, b=64, flights=flights,
+                     qps=round(serve(qs, flights)))
+
+        # (d) B sweep at the best NB so far (64): 64 vs 128
+        qs128 = qstack_of(32, 128)
         for flights in (4, 8):
-            emit(stage="nb_sweep", nb=nb, b=64, flights=flights,
-                 qps=round(serve(qs, flights)))
+            emit(stage="b_sweep", nb=32, b=128, flights=flights,
+                 qps=round(serve(qs128, flights)))
 
-    # (d) B sweep at the best NB so far (64): 64 vs 128
-    qs128 = qstack_of(32, 128)
-    for flights in (4, 8):
-        emit(stage="b_sweep", nb=32, b=128, flights=flights,
-             qps=round(serve(qs128, flights)))
+        # (e) result-D2H share at the operating point
+        qs = qstack_of(64, 64)
+        emit(stage="d2h_share", nb=64, b=64, flights=4,
+             qps_fetched=round(serve(qs, 4, fetch=True)),
+             qps_device_only=round(serve(qs, 4, fetch=False)))
 
-    # (e) result-D2H share at the operating point
-    qs = qstack_of(64, 64)
-    emit(stage="d2h_share", nb=64, b=64, flights=4,
-         qps_fetched=round(serve(qs, 4, fetch=True)),
-         qps_device_only=round(serve(qs, 4, fetch=False)))
-
-    # (f) recall at the operating point vs the exact f32 oracle
+    # (f) recall sweep vs the exact f32 oracle + QPS at each nprobe:
+    # the geometry lever (nlist x nprobe) trades DMA/batch for recall,
+    # so the operating point must be read recall-matched
     q = np.asarray(_gen(centers, 9999, 64), np.float32)
     qd = jax.device_put(jnp.asarray(q))
 
@@ -196,16 +200,46 @@ def main() -> None:
         base += m
     inv = np.full(int(slots_all.max()) + 1, -1, np.int64)
     inv[slots_all] = np.arange(n)
-    _, got = idx.search(q, k)
-    got = np.asarray(got, np.int64)
-    got_rows = np.full_like(got, -1)
-    ok = got >= 0
-    got_rows[ok] = inv[got[ok]]
-    rec = float(np.mean([
-        len(set(int(x) for x in a if x >= 0) & set(b.tolist())) / k
-        for a, b in zip(got_rows, best_i)
-    ]))
-    emit(stage="recall", nprobe=nprobe, recall_at_10=round(rec, 4))
+
+    def recall_now() -> float:
+        _, got = idx.search(q, k)
+        got = np.asarray(got, np.int64)
+        got_rows = np.full_like(got, -1)
+        ok = got >= 0
+        got_rows[ok] = inv[got[ok]]
+        return float(np.mean([
+            len(set(int(x) for x in a if x >= 0) & set(b.tolist())) / k
+            for a, b in zip(got_rows, best_i)
+        ]))
+
+    def coverage_now() -> float:
+        """Probe coverage: agreement with the exact scan over the SAME
+        int8 slab (the r3 'recall' methodology — measures what the
+        probes missed, independent of quantization noise)."""
+        _, oracle = idx._oracle_search(q, k)
+        oracle = np.asarray(oracle, np.int64)
+        _, got = idx.search(q, k)
+        got = np.asarray(got, np.int64)
+        return float(np.mean([
+            len(set(map(int, a[a >= 0])) & set(map(int, b[b >= 0]))) / k
+            for a, b in zip(got, oracle)
+        ]))
+
+    probes = [int(x) for x in os.environ.get(
+        "ATTRIB_NPROBES", str(nprobe)
+    ).split(",")]
+    qs_op = qstack_of(64, 64)
+    for np_i in probes:
+        idx.nprobe = np_i
+        rec = recall_now()
+        cov = coverage_now()
+        row = {"stage": "op_point", "nprobe": np_i,
+               "recall_f32_oracle": round(rec, 4),
+               "probe_coverage": round(cov, 4)}
+        for flights in (8, 12):
+            row[f"qps_f{flights}"] = round(serve(qs_op, flights))
+        emit(**row)
+    idx.nprobe = nprobe
 
 
 if __name__ == "__main__":

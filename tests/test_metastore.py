@@ -73,6 +73,13 @@ def test_meta_kind_promotion():
     {"missing_key": 1},
     {"missing_key": {"$exists": False}},
     {"n": {"$gt": "not_a_number"}},
+    # mixed-type $in/$nin: np.asarray promotion must not kill matches
+    # (review r4 finding: ['a', 4] promoted to unicode -> zero matches)
+    {"n": {"$in": ["a", 4]}},
+    {"n": {"$nin": ["a", 4]}},
+    {"s": {"$in": ["cat1", 3]}},
+    {"n": {"$in": []}},
+    {"n": {"$in": [4.0, 6]}},
 ])
 def test_meta_mask_matches_reference_semantics(flt):
     """The vectorized mask must agree with the scalar matcher row by
@@ -104,6 +111,50 @@ def test_meta_mask_obj_column_cmp():
     assert mask.tolist()[:3] == [False, False, True]
     mask = m.mask(0, {"k": "three"}, 8)
     assert mask.tolist()[:3] == [False, True, False]
+
+
+def test_meta_mask_obj_column_in_nin():
+    """$in/$nin on an object (mixed-type) column uses Python equality
+    per element — np.isin's sort kernel would raise or mismatch."""
+    m = ColumnarMetadata(1)
+    metas = [{"k": 3}, {"k": "three"}, {"k": 7}, {"k": (1, 2)}]
+    for i, meta in enumerate(metas):
+        m.set(0, i, meta)
+    for flt in ({"k": {"$in": [3, "three"]}}, {"k": {"$nin": [7]}}):
+        mask = m.mask(0, flt, 8)
+        for i, meta in enumerate(metas):
+            assert mask[i] == matches_filter(meta, flt), (i, flt)
+
+
+def test_meta_get_lockfree_vs_column_inserts():
+    """get() races writers that insert first-seen columns and grow the
+    arrays (the search merge reads lock-free under epoch retry); it must
+    never crash (review r4 finding: dict-changed-size RuntimeError)."""
+    import threading
+
+    m = ColumnarMetadata(1)
+    m.set(0, 0, {"base": 1})
+    stop = threading.Event()
+    errors: list[Exception] = []
+
+    def reader():
+        while not stop.is_set():
+            try:
+                got = m.get(0, 0)
+                assert got is None or isinstance(got, dict)
+            except Exception as e:  # noqa: BLE001 — no-crash IS the test
+                errors.append(e)
+                return
+
+    threads = [threading.Thread(target=reader) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for i in range(1, 3000):
+        m.set(0, (i % 599) + 1, {"base": 2, f"k{i}": i})
+    stop.set()
+    for t in threads:
+        t.join()
+    assert not errors, errors[0]
 
 
 def test_meta_set_columns_bulk_and_mask_speed_shape():
@@ -209,6 +260,39 @@ def test_rawstore_persisted_dtype_wins(tmp_path):
     np.testing.assert_allclose(got[0], np.ones(4), atol=2e-2)
 
 
+def test_rawstore_read_lockfree_vs_grow(tmp_path):
+    """read() races a writer growing the shard (the re-rank path reads
+    lock-free); views must never be nulled mid-resize (review r4
+    finding: NoneType subscript crash)."""
+    import threading
+
+    rs = RawStore(str(tmp_path), 1, 8)
+    rows = np.ones((1, 8), np.float32)
+    rs.write(0, np.asarray([0]), rows)
+    stop = threading.Event()
+    errors: list[Exception] = []
+
+    def reader():
+        while not stop.is_set():
+            try:
+                got, have = rs.read(0, np.asarray([0]))
+                assert have[0] and got.shape == (1, 8)
+            except Exception as e:  # noqa: BLE001 — no-crash IS the test
+                errors.append(e)
+                return
+
+    threads = [threading.Thread(target=reader) for _ in range(4)]
+    for t in threads:
+        t.start()
+    # each write doubles capacity several times -> many grow windows
+    for hi in (100, 1000, 10_000, 60_000, 200_000):
+        rs.write(0, np.asarray([hi]), rows)
+    stop.set()
+    for t in threads:
+        t.join()
+    assert not errors, errors[0]
+
+
 # ------------------------------------------------------- store integration
 def _store(tmp_path, **over):
     cfg = {"VECTOR_DIMENSION": 8, "DATA_DIR": str(tmp_path),
@@ -302,6 +386,44 @@ def test_store_rerank_disabled_without_rawstore(tmp_path):
     s.store("a", np.ones(8, np.float32))
     assert not s._rerank_enabled()
     assert s.search(np.ones(8, np.float32), limit=1)[0][0] == "a"
+
+
+def test_store_save_keeps_legacy_raw_when_rawstore_disabled(tmp_path):
+    """save() must NOT delete a legacy raw.npz it never ingested: with
+    the raw store disabled it is the only f32 copy (review r4 finding).
+    Re-enabling the raw store later must still find and ingest it."""
+    s = _store(tmp_path)
+    s.store("a", np.arange(8, dtype=np.float32), {"k": 1})
+    s.save()
+    vec_dir = os.path.join(str(tmp_path), "vectors")
+    for f in os.listdir(vec_dir):
+        if f.startswith("raw_"):
+            os.remove(os.path.join(vec_dir, f))
+    legacy = os.path.join(vec_dir, "raw.npz")
+    np.savez(
+        legacy,
+        ids=np.asarray(["a"], dtype=np.str_),
+        vectors=np.arange(8, dtype=np.float32)[None],
+    )
+    s2 = _store(tmp_path, RAW_STORE="none")
+    s2.save()  # must not destroy the blob it did not read
+    assert os.path.exists(legacy)
+    s3 = _store(tmp_path)  # raw store back on: blob ingests, then save
+    got = s3.get("a")
+    np.testing.assert_allclose(got[0], np.arange(8), atol=1e-6)
+    s3.save()
+    assert not os.path.exists(legacy)  # ingested -> superseded
+
+
+def test_store_bulk_load_rejects_duplicate_ids_in_batch(tmp_path):
+    """A duplicate id inside one bulk_load batch would insert two index
+    rows but register one -> permanent ghost slot (review r4 finding)."""
+    s = _store(tmp_path)
+    vecs = np.eye(3, 8, dtype=np.float32)
+    with pytest.raises(ValueError, match="unique"):
+        s.bulk_load(["a", "b", "a"], vecs)
+    assert s.count() == 0
+    assert all(ix.count() == 0 for ix in s.indices)
 
 
 def test_store_compact_remaps_sidecars(tmp_path):

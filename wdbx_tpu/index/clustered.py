@@ -1035,6 +1035,7 @@ class ClusteredSlotMixin:
         merged: dict[int, str] = {}
         slots_acc: list[int] = []
         rows_acc: list[np.ndarray] = []
+        failed: set[int] = set()
         for _ in range(rounds):
             with self._mu.write():
                 if (getattr(self, "_layout_gen", 0) != snap_gen
@@ -1061,10 +1062,15 @@ class ClusteredSlotMixin:
                             fetch_rows(pos[known]), np.float32
                         )
                     except Exception:
-                        # racing clear()/load()/remesh swapped storage
-                        # under the off-lock gather — abandon staging;
-                        # the swap phase re-checks the generation and
-                        # either abandons too or fetches under the lock
+                        # racing clear()/load()/remesh (or a transient
+                        # device error) broke the off-lock gather —
+                        # abandon staging. This round's journal is
+                        # already merged, so its dirty slots must NOT
+                        # resolve to an OLDER staged copy at swap time:
+                        # drop them from the stage map (the swap then
+                        # re-fetches them under the lock, or abandons on
+                        # a dead generation)
+                        failed.update(int(s) for s in dirty)
                         break
                     slots_acc.extend(int(s) for s in dirty[known])
                     rows_acc.append(rows)
@@ -1076,7 +1082,9 @@ class ClusteredSlotMixin:
                 jnp.asarray(np.concatenate(rows_acc, axis=0))
             )
             jax.block_until_ready(staged_rows)  # H2D paid off-lock
-        stage_of = {s: i for i, s in enumerate(slots_acc)}
+        stage_of = {
+            s: i for i, s in enumerate(slots_acc) if s not in failed
+        }
         return merged, (stage_of, staged_rows)
 
     def _replay_bg_dirty(self, dirty, rows):

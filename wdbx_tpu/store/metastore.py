@@ -179,6 +179,39 @@ class _Column:
         self.has[slots] = True
 
 
+def _isin_mask(vals: np.ndarray, kind: str, expected, n: int) -> np.ndarray:
+    """``value in expected`` per row, matching the reference's Python
+    ``in`` semantics (wdbx/core/vector_store.py:414-463). ``np.isin``
+    with a heterogeneous list is WRONG, not just slow: ``np.asarray``
+    promotes e.g. ``['a', 1]`` to a unicode array, so a typed int column
+    never compares equal and matches are silently dropped. Fast-path
+    only when the promoted dtype preserves equality; otherwise OR
+    per-element vectorized equality (also the safe path for object
+    columns, where np.isin's sort-based kernel can raise)."""
+    exp = list(expected)
+    if not exp:
+        return np.zeros(n, bool)
+    if kind != "obj":
+        arr = np.asarray(exp)
+        if arr.dtype.kind in "biuf" or (
+            arr.dtype.kind == "U"
+            and all(isinstance(e, str) for e in exp)
+        ):
+            try:
+                return np.isin(vals, arr)
+            except (TypeError, ValueError):
+                return np.zeros(n, bool)
+    m = np.zeros(n, bool)
+    for e in exp:
+        try:
+            em = vals == e
+        except (TypeError, ValueError):
+            continue
+        if isinstance(em, np.ndarray):  # scalar False = incomparable
+            m |= em.astype(bool)
+    return m
+
+
 def _col_clause(col: _Column, cond: Any, n: int) -> np.ndarray:
     """Evaluate one filter clause against a column; returns (n,) bool.
     Missing values fail every operator except ``$exists: False``."""
@@ -191,15 +224,9 @@ def _col_clause(col: _Column, cond: Any, n: int) -> np.ndarray:
                 out &= has if expected else ~has
                 continue
             if op == "$in":
-                try:
-                    m = np.isin(vals, np.asarray(list(expected)))
-                except (TypeError, ValueError):
-                    m = np.zeros(n, bool)
+                m = _isin_mask(vals, col.kind, expected, n)
             elif op == "$nin":
-                try:
-                    m = ~np.isin(vals, np.asarray(list(expected)))
-                except (TypeError, ValueError):
-                    m = np.zeros(n, bool)
+                m = ~_isin_mask(vals, col.kind, expected, n)
             elif op in ("$gt", "$gte", "$lt", "$lte"):
                 import operator as _op
 
@@ -300,12 +327,26 @@ class _ShardMeta:
             col.set_many(slots, values)
 
     def get(self, slot: int) -> dict[str, Any] | None:
-        if slot < 0 or slot >= self.cap or not self.present[slot]:
+        # Called lock-free from the search merge (epoch-validated by the
+        # caller), racing writers that insert columns and grow/swap the
+        # backing arrays. Snapshot every reference locally and bounds-
+        # check against the snapshots so this is crash-free; CONTENT
+        # consistency is the caller's epoch retry's job. list(items())
+        # materializes atomically under the GIL — iterating the live
+        # dict would raise "dictionary changed size during iteration".
+        present = self.present
+        if slot < 0 or slot >= len(present) or not present[slot]:
             return None
         out: dict[str, Any] = {}
-        for key, col in self.cols.items():
-            if col.has[slot]:
-                out[key] = _to_py(col.vals[slot], col.kind)
+        for key, col in list(self.cols.items()):
+            vals, has, kind = col.vals, col.has, col.kind
+            if slot < len(has) and slot < len(vals) and has[slot]:
+                try:
+                    out[key] = _to_py(vals[slot], kind)
+                except (TypeError, ValueError):
+                    # kind/vals torn mid-promotion; raw value is the
+                    # closest consistent read
+                    out[key] = vals[slot]
         return out
 
     def drop(self, slot: int) -> None:

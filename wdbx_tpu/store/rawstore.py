@@ -169,8 +169,13 @@ class RawStore:
             self._rows[shard], self._ok[shard] = rows, ok
             self._caps[shard] = cap
             return
-        # release current views before resizing the files
-        self._rows[shard] = self._ok[shard] = self._scales[shard] = None
+        # Grow the files, then swap in fresh views WITHOUT ever nulling
+        # the current ones: the re-rank path reads these arrays
+        # lock-free (epoch-validated), so a None window would crash a
+        # concurrent search. Extending a file under a live readonly
+        # view is safe on Linux (the old mapping stays valid for its
+        # original range), and readers snapshot the array references
+        # locally (see read()).
         specs = [("bin", cap * self.dim * itemsize), ("ok", cap)]
         if self.dtype_name == "int8":
             specs.append(("scale", cap * 4))
@@ -237,18 +242,33 @@ class RawStore:
         """Gather rows by slot. Returns ``(rows_f32, have)`` — ``have``
         is False for slots never written (their rows are zeros)."""
         slots = np.asarray(slots, np.int64)
-        cap = self._caps[shard]
-        if cap == 0 or len(slots) == 0:
+        # snapshot the view references ONCE and derive the usable
+        # capacity from the arrays themselves (never self._caps): a
+        # concurrent grow may swap the views mid-read, and mixing a new
+        # cap with an old (smaller) view would index out of bounds.
+        # Content-level races are handled by the caller's epoch retry;
+        # this only has to be crash-free.
+        rows_v, ok_v = self._rows[shard], self._ok[shard]
+        sc_v = self._scales[shard]
+        if rows_v is None or ok_v is None or len(slots) == 0:
+            return (
+                np.zeros((len(slots), self.dim), np.float32),
+                np.zeros(len(slots), bool),
+            )
+        cap = min(rows_v.shape[0], len(ok_v))
+        if sc_v is not None:
+            cap = min(cap, len(sc_v))
+        if cap == 0:
             return (
                 np.zeros((len(slots), self.dim), np.float32),
                 np.zeros(len(slots), bool),
             )
         safe = np.clip(slots, 0, cap - 1)
         in_range = (slots >= 0) & (slots < cap)
-        have = (self._ok[shard][safe] != 0) & in_range
-        rows = self._rows[shard][safe].astype(np.float32)
+        have = (ok_v[safe] != 0) & in_range
+        rows = rows_v[safe].astype(np.float32)
         if self.dtype_name == "int8":
-            rows *= self._scales[shard][safe][:, None]
+            rows *= sc_v[safe][:, None]
         rows[~have] = 0.0
         return rows, have
 

@@ -266,6 +266,11 @@ class VectorStore:
             )
         if len(ids) != len(vectors):
             raise ValueError("ids and vectors length mismatch")
+        if len(set(ids)) != len(ids):
+            # a duplicate inside the batch would insert BOTH rows but
+            # register only the last slot — the first becomes a ghost
+            # row that fills candidate positions forever
+            raise ValueError("bulk_load ids must be unique within the batch")
         with self.metrics.timed("bulk_load"), self._lock:
             if any(reg.size() for reg in self.registries):
                 for vid in ids:  # fresh-only contract (updates: batch_store)
@@ -392,12 +397,14 @@ class VectorStore:
             # candidate pool (VERDICT r2 ask #2: over-fetch + re-rank)
             fetch_k = max(fetch_k, limit * self._rerank_fetch_factor())
 
-        # Epoch-validated optimistic concurrency: device searches run
-        # lock-free, but a mutation between the id-table snapshot and
-        # the merge could recycle a slot and mispair an old score with a
-        # new id. If the mutation epoch moved, retry; after two misses
-        # fall back to searching under the store lock (serialized but
-        # exact — mutations are rarer than searches).
+        # Epoch-validated optimistic concurrency: device searches AND
+        # the slot-keyed merge (id table, metadata, raw re-rank rows)
+        # run lock-free, but a mutation anywhere in that window could
+        # recycle a slot and pair an old id with another vector's
+        # metadata or exact score. If the mutation epoch moved, retry
+        # the whole pass; after two misses fall back to running it all
+        # under the store lock (serialized but exact — mutations are
+        # rarer than searches).
         for attempt in range(3):
             hold_lock = attempt == 2
             self._lock.acquire()
@@ -446,12 +453,25 @@ class VectorStore:
                         index.search(queries, fetch_k, slot_mask=masks[s])
                         for s, index in enumerate(indices)
                     ]
+                results = self._merge_hits(
+                    per_shard, id_tables, queries, b, limit, threshold,
+                    filter_metadata, use_pre, rerank,
+                )
                 if hold_lock or self._epoch == epoch:
                     break
             finally:
                 if held:
                     self._lock.release()
+        return results
 
+    def _merge_hits(
+        self, per_shard, id_tables, queries, b, limit, threshold,
+        filter_metadata, use_pre, rerank,
+    ) -> list[list[SearchHit]]:
+        """Merge per-shard candidates into ranked hits: vectorized id
+        resolution, optional exact re-rank from the raw store, metadata
+        attach. Runs inside the caller's epoch-retry window — every
+        slot-keyed read here is validated (or serialized) by it."""
         with self.metrics.timed("search_batch" if b > 1 else "search"):
 
             n_shards = len(per_shard)
@@ -940,8 +960,11 @@ class VectorStore:
             self.meta.save(meta_dir)
             # a columnar save supersedes any legacy one-blob metadata.json
             # (leaving it would resurrect stale entries on the next load)
+            # — but ONLY if this process actually ingested it; deleting
+            # a blob we failed (or were configured not) to read destroys
+            # the only copy
             legacy = os.path.join(meta_dir, "metadata.json")
-            if os.path.exists(legacy):
+            if self._legacy_meta_ingested and os.path.exists(legacy):
                 os.remove(legacy)
             if self._tuned_fetch_factor:
                 # persist alongside the nprobe the same tune() learned
@@ -959,13 +982,20 @@ class VectorStore:
             # the raw memmap IS the on-disk format — flush dirty pages
             self.raws.flush()
             legacy_raw = os.path.join(self.data_dir, "vectors", "raw.npz")
-            if os.path.exists(legacy_raw):
-                # already ingested into the memmap at load; a stale blob
-                # would re-ingest over fresher rows next restart
+            if self._legacy_raw_ingested and os.path.exists(legacy_raw):
+                # ingested into the memmap at load (verified — with the
+                # raw store disabled, load skips ingestion and this blob
+                # is the ONLY f32 copy); a stale ingested blob would
+                # re-ingest over fresher rows next restart
                 os.remove(legacy_raw)
             self._mutations_since_save = 0
 
     def _load(self) -> None:
+        # ingestion provenance for save()'s legacy-blob cleanup: only a
+        # blob THIS process read (into the columnar store / memmap) is
+        # safe to delete
+        self._legacy_meta_ingested = False
+        self._legacy_raw_ingested = False
         # indices + registries FIRST: legacy metadata/raw ingestion keys
         # on id -> (shard, slot), which the registries supply
         for shard, index in enumerate(self.indices):
@@ -1005,12 +1035,15 @@ class VectorStore:
 
         meta_dir = os.path.join(self.data_dir, "metadata")
         try:
-            if not self.meta.load(meta_dir):
+            if self.meta.load(meta_dir):
+                self._legacy_meta_ingested = True  # superseded on disk
+            else:
                 # reference-format one-blob fallback (restart-resume from
                 # an older data_dir keeps working)
                 self.meta.load_legacy(
                     os.path.join(meta_dir, "metadata.json"), resolve
                 )
+                self._legacy_meta_ingested = True
         except (ValueError, OSError, KeyError) as e:
             logger.warning("failed to load metadata: %s", e)
 
@@ -1043,6 +1076,7 @@ class VectorStore:
                     self.raws.write(
                         shard, np.asarray(slots, np.int64), rows[srcs]
                     )
+                self._legacy_raw_ingested = True
             except (ValueError, OSError) as e:
                 # Unreadable (e.g. a legacy object-id checkpoint): move it
                 # aside rather than deleting the only f32 copy.
