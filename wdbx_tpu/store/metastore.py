@@ -368,24 +368,33 @@ class _ShardMeta:
             col.has[slots] = False
 
     def mask(self, flt: dict[str, Any], capacity: int) -> np.ndarray:
+        """Per-slot filter mask over ``capacity`` index slots.
+
+        A slot with no metadata record behaves as ``{}`` — the reference
+        evaluates filters against ``metadata.get(id, {})``, so e.g.
+        ``{"k": {"$exists": False}}`` MATCHES a row stored without
+        metadata (reference wdbx/core/vector_store.py:414-463). Slots
+        this shard's columns never reached (beyond ``self.cap``, or
+        dropped) get that empty-row verdict too; liveness is not this
+        layer's job — every index ANDs the mask into its own validity.
+        """
+        from wdbx_tpu.store.filters import matches_filter
+
+        empty_ok = matches_filter({}, flt)
         n = min(self.cap, capacity)
-        out = np.zeros(capacity, bool)
+        out = np.full(capacity, empty_ok, dtype=bool)
         if n == 0:
             return out
-        m = self.present[:n].copy()
+        m = np.ones(n, bool)
         for key, cond in flt.items():
             col = self.cols.get(key)
             if col is None:
-                # key never seen: only `$exists: False` can pass
-                if not (
-                    isinstance(cond, dict) and set(cond) == {"$exists"}
-                    and not cond["$exists"]
-                ):
-                    return out
+                # key never seen in this shard: every row gets the
+                # missing-value verdict for this clause
+                if not matches_filter({}, {key: cond}):
+                    return np.zeros(capacity, bool)
                 continue
             m &= _col_clause(col, cond, n)
-            if not m.any():
-                break
         out[:n] = m
         return out
 

@@ -567,7 +567,10 @@ class VectorStore:
                 ids = np.take_along_axis(ids, order, axis=1)
 
             keep = np.isfinite(all_scores)
-            if threshold is not None:
+            # the reference filters only when threshold > 0 (reference
+            # wdbx/core/vector_store.py:332-334) — the 0.0 default must
+            # NOT drop negative-similarity hits
+            if threshold is not None and threshold > 0:
                 keep &= all_scores >= threshold
 
             post = (
