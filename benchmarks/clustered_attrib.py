@@ -215,14 +215,61 @@ def main() -> None:
     def coverage_now() -> float:
         """Probe coverage: agreement with the exact scan over the SAME
         int8 slab (the r3 'recall' methodology — measures what the
-        probes missed, independent of quantization noise)."""
-        _, oracle = idx._oracle_search(q, k)
+        probes missed, independent of quantization noise). The oracle
+        MUST run with topk_method='exact': the default approx fold
+        caps agreement at its own ~0.98 and flattens the nprobe sweep
+        (clustered_10m.py:134 learned this first)."""
+        prior = idx.topk_method
+        idx.topk_method = "exact"
+        try:
+            _, oracle = idx._oracle_search(q, k)
+        finally:
+            idx.topk_method = prior
         oracle = np.asarray(oracle, np.int64)
         _, got = idx.search(q, k)
         got = np.asarray(got, np.int64)
         return float(np.mean([
             len(set(map(int, a[a >= 0])) & set(map(int, b[b >= 0]))) / k
             for a, b in zip(got, oracle)
+        ]))
+
+    def rerank_recall_now(factor: int = 5) -> float:
+        """f32-oracle recall AFTER the store-style exact re-rank: fetch
+        k*factor candidates from the int8 index, score them against
+        their TRUE f32 rows (regenerated on device — the raw store's
+        role), keep top-k. Shows what the serving stack (index +
+        RERANK=auto) delivers, vs raw_recall's slab-only number."""
+        _, cand = idx.search(q, k * factor)
+        cand = np.asarray(cand, np.int64)
+        rows_ids = np.full_like(cand, -1)
+        ok = cand >= 0
+        rows_ids[ok] = inv[cand[ok]]
+        # gather true f32 rows by regenerating the corpus chunkwise
+        need = np.unique(rows_ids[rows_ids >= 0])
+        got_rows = np.zeros((len(need), dim), np.float32)
+        base = 0
+        for rows in chunks():
+            m = int(rows.shape[0])
+            lo, hi = np.searchsorted(need, [base, base + m])
+            if hi > lo:
+                sel = need[lo:hi] - base
+                got_rows[lo:hi] = np.asarray(rows[jnp.asarray(sel)])
+            base += m
+        lut = {int(r): i for i, r in enumerate(need)}
+        out = np.full((len(q), k), -1, np.int64)
+        for i in range(len(q)):
+            ri = rows_ids[i][rows_ids[i] >= 0]
+            if not len(ri):
+                continue
+            rr = got_rows[[lut[int(x)] for x in ri]]
+            rr = rr / np.maximum(
+                np.linalg.norm(rr, axis=1, keepdims=True), 1e-12
+            )
+            order = np.argsort(-(rr @ q[i]))[:k]
+            out[i, : len(order)] = ri[order]
+        return float(np.mean([
+            len(set(map(int, a[a >= 0])) & set(b.tolist())) / k
+            for a, b in zip(out, best_i)
         ]))
 
     probes = [int(x) for x in os.environ.get(
@@ -233,8 +280,10 @@ def main() -> None:
         idx.nprobe = np_i
         rec = recall_now()
         cov = coverage_now()
+        rr = rerank_recall_now()
         row = {"stage": "op_point", "nprobe": np_i,
                "recall_f32_oracle": round(rec, 4),
+               "recall_f32_reranked_x5": round(rr, 4),
                "probe_coverage": round(cov, 4)}
         for flights in (8, 12):
             row[f"qps_f{flights}"] = round(serve(qs_op, flights))
