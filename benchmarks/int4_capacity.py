@@ -188,10 +188,12 @@ def main() -> None:
     # capacity tier. The int4 slab serves; an int8 slot-indexed raw
     # store (store/rawstore.py — the store's RERANK=auto mechanism,
     # ~0.77 GB/1M rows, memmap or ram) re-ranks the over-fetched
-    # candidates exactly. Here the corpus is device-synthesized, so the
-    # raw-store fill pays a D2H of the int8 rows through the sandbox
-    # tunnel (~18 MB/s); in production ingest rows arrive FROM the host,
-    # so the fill is a free write-through on the ingest path.
+    # candidates exactly. The corpus is device-synthesized, but jax's
+    # threefry PRNG is platform-invariant, so the raw-store fill and
+    # the exact-oracle fold REGENERATE the same rows on the CPU backend
+    # — zero bulk D2H through the sandbox tunnel (a 15.4 GB fetch at
+    # tunnel rates killed a prior run; in production ingest rows arrive
+    # FROM the host, so the fill is a free ingest write-through).
     big_n = int(os.environ.get("INT4_N", 0))
     if big_n:
         del twins
@@ -221,9 +223,10 @@ def main() -> None:
         import jax.numpy as _jnp
 
         q = np.asarray(_gen(centers, 9999, 64), np.float32)
-        qd = _jax.device_put(_jnp.asarray(q))
 
-        # -- third pass: exact f32 oracle + int8 raw-store fill --
+        # -- third pass: exact f32 oracle + int8 raw-store fill, both
+        # on the CPU BACKEND (threefry regenerates identical rows;
+        # nothing bulk crosses the tunnel) --
         import shutil
         import tempfile
 
@@ -232,55 +235,69 @@ def main() -> None:
         raw_dir = tempfile.mkdtemp(prefix="int4raw_")
         raw = RawStore(raw_dir, 1, dim, dtype="int8", backend="ram")
 
-        from functools import partial as _partial
+        cpu = _jax.devices("cpu")[0]
+        with _jax.default_device(cpu):
+            centers_cpu = _jax.device_put(np.asarray(centers), cpu)
+            qd_cpu = _jax.device_put(q, cpu)
 
-        @_partial(_jax.jit, static_argnames=("kk",))
-        def _chunk_topk(rows, qq, kk):
-            return _jax.lax.top_k(qq @ rows.T, kk)  # (64, kk)
+            from functools import partial as _partial
 
-        @_jax.jit
-        def _quant8(rows):
-            scale = _jnp.maximum(
-                _jnp.abs(rows).max(axis=1), 1e-12
-            ) / 127.0
-            qr = _jnp.clip(
-                _jnp.rint(rows / scale[:, None]), -127, 127
-            ).astype(_jnp.int8)
-            # row norms of the QUANTIZED rows: for cosine the per-row
-            # scale cancels, so the host re-rank can score int8 rows
-            # directly as (row_i8 . q) / ||row_i8|| — one astype pass,
-            # no dequantize/normalize passes on the host's single core
-            nrm = _jnp.linalg.norm(
-                qr.astype(_jnp.float32), axis=1
-            ).astype(_jnp.float32)
-            return qr, scale.astype(_jnp.float32), nrm
+            @_partial(_jax.jit, static_argnames=("kk", "m"), device=cpu)
+            def _chunk_step(cents, seed, qq, kk, m):
+                """One CPU-backend pass: regenerate the chunk, fold the
+                oracle top-k, and quantize for the raw store."""
+                key = _jax.random.PRNGKey(seed)
+                k1, k2 = _jax.random.split(key)
+                ids = _jax.random.randint(k1, (m,), 0, n_comp)
+                rows = cents[ids] + noise * _jax.random.normal(
+                    k2, (m, dim), _jnp.float32
+                )
+                rows = rows / _jnp.linalg.norm(
+                    rows, axis=-1, keepdims=True
+                )
+                ts, ti = _jax.lax.top_k(qq @ rows.T, kk)  # (64, kk)
+                scale = _jnp.maximum(
+                    _jnp.abs(rows).max(axis=1), 1e-12
+                ) / 127.0
+                qr = _jnp.clip(
+                    _jnp.rint(rows / scale[:, None]), -127, 127
+                ).astype(_jnp.int8)
+                # row norms of the QUANTIZED rows: for cosine the
+                # per-row scale cancels, so the re-rank scores int8
+                # rows directly as (row_i8 . q) / ||row_i8||
+                nrm = _jnp.linalg.norm(
+                    qr.astype(_jnp.float32), axis=1
+                ).astype(_jnp.float32)
+                return ts, ti, qr, scale.astype(_jnp.float32), nrm
 
-        norms = np.empty(int(slots_all.max()) + 1, np.float32)
-        best_s = np.full((64, k), -np.inf)
-        best_i = np.full((64, k), -1, np.int64)
-        base = 0
-        t0 = time.perf_counter()
-        for rows in big_chunks():
-            m = int(rows.shape[0])
-            ts, ti = _chunk_topk(rows, qd, k)
-            q8, sc, nr = _quant8(rows)
-            sl = slots_all[base:base + m]
-            raw.write_quantized(0, sl, np.asarray(q8), np.asarray(sc))
-            norms[sl] = np.asarray(nr)
-            ts = np.asarray(ts)
-            ti = np.asarray(ti, np.int64) + base
-            cs = np.concatenate([best_s, ts], axis=1)
-            ci = np.concatenate([best_i, ti], axis=1)
-            sel = np.argsort(-cs, axis=1)[:, :k]
-            best_s = np.take_along_axis(cs, sel, axis=1)
-            best_i = np.take_along_axis(ci, sel, axis=1)
-            base += m
+            norms = np.empty(int(slots_all.max()) + 1, np.float32)
+            best_s = np.full((64, k), -np.inf)
+            best_i = np.full((64, k), -1, np.int64)
+            base = 0
+            t0 = time.perf_counter()
+            for i in range(0, big_n, chunk):
+                m = min(chunk, big_n - i)
+                ts, ti, q8, sc, nr = _chunk_step(
+                    centers_cpu, 5000 + i // chunk, qd_cpu, k, m
+                )
+                sl = slots_all[base:base + m]
+                raw.write_quantized(0, sl, np.asarray(q8), np.asarray(sc))
+                norms[sl] = np.asarray(nr)
+                ts = np.asarray(ts)
+                ti = np.asarray(ti, np.int64) + base
+                cs = np.concatenate([best_s, ts], axis=1)
+                ci = np.concatenate([best_i, ti], axis=1)
+                sel = np.argsort(-cs, axis=1)[:, :k]
+                best_s = np.take_along_axis(cs, sel, axis=1)
+                best_i = np.take_along_axis(ci, sel, axis=1)
+                base += m
         fill_s = time.perf_counter() - t0
         exact_big = best_i  # row-id space, true f32 oracle at big_n
         print(json.dumps({
             "stage": "flagship_rawfill", "fill_s": round(fill_s, 1),
             "raw_gb": round(big_n * (dim + 8) / 1e9, 2),
-            "note": "D2H-bound in sandbox; free on real ingest paths",
+            "note": "cpu-backend regeneration (threefry is platform-"
+                    "invariant); free write-through on real ingest",
         }), flush=True)
 
         inv = np.full(int(slots_all.max()) + 1, -1, np.int64)
