@@ -46,10 +46,16 @@ def main() -> None:
     from wdbx_tpu.index.clustered import ClusteredIVFIndex
 
     n_comp = 4096
-    centers = jax.random.normal(
-        jax.random.PRNGKey(7), (n_comp, dim), jnp.float32
-    )
-    centers = centers / jnp.linalg.norm(centers, axis=-1, keepdims=True)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        centers_cpu = jax.random.normal(
+            jax.random.PRNGKey(7), (n_comp, dim), jnp.float32
+        )
+        centers_cpu = centers_cpu / jnp.linalg.norm(
+            centers_cpu, axis=-1, keepdims=True
+        )
+    # H2D upload for the device-side build/search legs
+    centers = jax.device_put(centers_cpu, jax.devices()[0])
     noise = 0.67 / np.sqrt(dim)
 
     from functools import partial
@@ -70,6 +76,16 @@ def main() -> None:
         for i in range(0, n, chunk):
             yield _gen(centers, 1000 + i // chunk, min(chunk, n - i))
 
+    # CPU-backend twin for the oracle's corpus regeneration: threefry
+    # is platform-invariant, and materializing device chunks to host
+    # would D2H gigabytes through the sandbox tunnel
+    _gen_cpu_jit = jax.jit(
+        _gen.__wrapped__, static_argnames=("m",), device=cpu
+    )
+
+    def gen_host(seed, m):
+        return np.asarray(_gen_cpu_jit(centers_cpu, seed, m))
+
     sharded = bool(int(os.environ.get("FILTERED_SHARDED", "0")))
     if sharded:
         from wdbx_tpu.parallel.sharded_clustered import (
@@ -86,14 +102,14 @@ def main() -> None:
             train_threshold=1 << 62,
         )
     t0 = time.perf_counter()
-    slots = idx.build_from(chunks, train_chunks=1)
+    slots = np.asarray(idx.build_from(chunks, train_chunks=1))
     print(json.dumps({
         "stage": "build", "n": n, "dim": dim,
         "engine": type(idx).__name__,
         "devices": len(jax.devices()),
         "build_s": round(time.perf_counter() - t0, 1),
     }), flush=True)
-    q = np.asarray(_gen(centers, 9999, b), np.float32)
+    q = gen_host(9999, b).astype(np.float32)
     rng = np.random.default_rng(0)
 
     def qps_of(mask, reps=3):
@@ -119,9 +135,7 @@ def main() -> None:
         best_s = np.full((b, k), -np.inf)
         best_i = np.full((b, k), -1, np.int64)
         for ci in range(0, n, chunk):
-            rows = np.asarray(
-                _gen(centers, 1000 + ci // chunk, min(chunk, n - ci))
-            )
+            rows = gen_host(1000 + ci // chunk, min(chunk, n - ci))
             in_chunk = sub[(sub >= ci) & (sub < ci + rows.shape[0])]
             if not len(in_chunk):
                 continue
@@ -153,7 +167,7 @@ def main() -> None:
         if rec < 0.95 and sel >= 0.02:
             # close the loop: calibrate the bin's boost on a HELD-OUT
             # query sample, then remeasure the original query set
-            q_tune = np.asarray(_gen(centers, 4242, 32), np.float32)
+            q_tune = gen_host(4242, 32).astype(np.float32)
             tuned = idx.tune_filtered(
                 q_tune, mask, k=k, target_recall=0.95
             )

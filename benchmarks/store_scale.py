@@ -88,23 +88,36 @@ def main() -> None:
     cfg.set("RAW_STORE_DTYPE", os.environ.get("RAW_STORE_DTYPE", "int8"))
     store = VectorStore(cfg, data_dir=data_dir)
 
+    # corpus generation runs on the CPU BACKEND: the ingest contract is
+    # host rows -> store (the production direction), and materializing
+    # device-generated rows would instead D2H ~30 GB through the
+    # sandbox tunnel (threefry is platform-invariant, so seeds stay
+    # comparable with the device-side benchmarks)
     n_comp = 4096
-    centers = jax.random.normal(
-        jax.random.PRNGKey(7), (n_comp, dim), jnp.float32
-    )
-    centers = centers / jnp.linalg.norm(centers, axis=-1, keepdims=True)
+    cpu = jax.devices("cpu")[0]
     noise = 0.67 / np.sqrt(dim)
     from functools import partial
 
-    @partial(jax.jit, static_argnames=("m",))
-    def _gen(seed, m):
+    with jax.default_device(cpu):
+        centers = jax.random.normal(
+            jax.random.PRNGKey(7), (n_comp, dim), jnp.float32
+        )
+        centers = centers / jnp.linalg.norm(
+            centers, axis=-1, keepdims=True
+        )
+
+    @partial(jax.jit, static_argnames=("m",), device=cpu)
+    def _gen_jit(cents, seed, m):
         key = jax.random.PRNGKey(seed)
         k1, k2 = jax.random.split(key)
         ids = jax.random.randint(k1, (m,), 0, n_comp)
-        rows = centers[ids] + noise * jax.random.normal(
+        rows = cents[ids] + noise * jax.random.normal(
             k2, (m, dim), jnp.float32
         )
         return rows / jnp.linalg.norm(rows, axis=-1, keepdims=True)
+
+    def _gen(seed, m):
+        return _gen_jit(centers, seed, m)
 
     # ---- ingest: chunked bulk_load with metadata columns ----
     chunk = 524_288
