@@ -9,13 +9,16 @@ rows/chip. Three stages:
    over-fetched int4 candidate set (factor sweep) — shows the factor
    that recovers >= 0.95 and the memory ratio.
 2. flagship capacity run (env INT4_N, e.g. 20M x 768 on one 16 GB
-   chip): build via build_from, report HBM envelope, build time,
-   single-query and batch-64 QPS, and recall vs an int8-proxy oracle
-   (the exact f32 oracle does not fit at that scale; the proxy bounds
-   true recall within ~0.01 per the int8 tables in RESULTS.md).
+   chip): build via build_from, report HBM envelope and build time,
+   fill an int8 raw store + exact f32 oracle by CPU-backend
+   regeneration (threefry is platform-invariant — no bulk D2H), then
+   sweep the (nprobe, fetch-factor) frontier of raw and RE-RANKED
+   recall@10 vs the true f32 oracle and serve each nprobe op point
+   (batch-64 stacks, in-flight dispatches).
 
 Usage: python benchmarks/int4_capacity.py [stage1_n] [dim]
-Env:   INT4_N=20000000 adds the flagship run.
+Env:   INT4_N=20000000 adds the flagship run; INT4_STAGE1=0 skips the
+       mid-scale stage; INT4_NPROBE_SWEEP=8,16,32; INT4_SERVE_FACTOR=5.
 """
 
 from __future__ import annotations
@@ -75,113 +78,117 @@ def main() -> None:
         for i in range(0, n, chunk):
             yield _gen(centers, 1000 + i // chunk, min(chunk, n - i))
 
+    run_stage1 = os.environ.get("INT4_STAGE1", "1") != "0"
+
     # ---- stage 1: int4 vs int8 twins + re-rank sweep ----
     # build_from returns the row->slot assignment (clustered builds
     # permute rows; slots are NOT row ids, and the two twins permute
     # DIFFERENTLY) — keep both maps and their inverses so results can
     # be compared in row-id space against the regenerated-corpus oracle
-    twins, row_to_slot, slot_to_row = {}, {}, {}
-    for dtype in ("int8", "int4"):
-        idx = ClusteredIVFIndex(
-            dim, dtype=dtype, nlist=nlist, nprobe=nprobe,
-            train_threshold=1 << 62,
-        )
-        t0 = time.perf_counter()
-        slots = np.asarray(idx.build_from(chunks, train_chunks=1))
-        stats = idx.get_stats()
-        print(json.dumps({
-            "stage": "build", "dtype": dtype, "n": n,
-            "build_s": round(time.perf_counter() - t0, 1),
-            "slab_gb": round(stats["hbm_bytes"] / 1e9, 3),
-        }), flush=True)
-        idx.batch_flat_fallback = False
-        twins[dtype] = idx
-        row_to_slot[dtype] = slots
-        inv = np.full(int(slots.max()) + 1, -1, np.int64)
-        inv[slots] = np.arange(len(slots))
-        slot_to_row[dtype] = inv
-
-    q = np.asarray(_gen(centers, 9999, 64), np.float32)
-    # exact oracle via the f32-scored int8 twin at full probe is still
-    # quantized; at this mid scale use a true exact scan: regenerate the
-    # corpus in chunks and fold the top-k on host
-    best_s = np.full((64, k), -np.inf)
-    best_i = np.full((64, k), -1, np.int64)
-    for ci, rows in enumerate(chunks()):
-        s = np.asarray(rows @ jnp.asarray(q).T).T  # (64, chunk)
-        base = ci * chunk
-        cand_s = np.concatenate([best_s, s], axis=1)
-        cand_i = np.concatenate(
-            [best_i, np.tile(np.arange(s.shape[1]) + base, (64, 1))],
-            axis=1,
-        )
-        sel = np.argsort(-cand_s, axis=1)[:, :k]
-        best_s = np.take_along_axis(cand_s, sel, axis=1)
-        best_i = np.take_along_axis(cand_i, sel, axis=1)
-    exact = best_i
-
-    def to_rows(slot_hits, dtype):
-        """Translate returned slot ids into row-id space (-1 passes)."""
-        inv = slot_to_row[dtype]
-        out = np.full_like(np.asarray(slot_hits, np.int64), -1)
-        ok = np.asarray(slot_hits) >= 0
-        out[ok] = inv[np.asarray(slot_hits, np.int64)[ok]]
-        return out
-
-    for dtype, idx in twins.items():
-        _, got = idx.search(q, k)
-        print(json.dumps({
-            "stage": "raw_recall", "dtype": dtype, "nprobe": nprobe,
-            "recall_at_10": round(
-                recall_at(to_rows(got, dtype), exact, k), 4
-            ),
-        }), flush=True)
-
-    # re-rank sweep: over-fetch k' from int4 and exact-re-rank the
-    # candidates. The store does this against kept f32 raws; a 512k
-    # host-side f32 copy is ruled out here (host first-touch ~15 MB/s),
-    # so candidates re-rank against the int8 twin's DEQUANTIZED rows
-    # (f32-from-int8 ranks within 0.001 of true f32 at these margins —
-    # RESULTS.md int8 tables). Candidate slots translate int4-slot ->
-    # row -> int8-slot: the twins' build permutations differ.
-    idx4 = twins["int4"]
-    for factor in (5, 10, 20, 50):
-        kf = k * factor
-        _, cand = idx4.search(q, kf)
-        got = np.full((64, k), -1, np.int64)
-        for i in range(64):
-            rows_ids = to_rows(cand[i], "int4")
-            rows_ids = rows_ids[rows_ids >= 0]
-            if not len(rows_ids):
-                continue
-            rows = twins["int8"].get_vectors(
-                row_to_slot["int8"][rows_ids]
+    if run_stage1:
+        twins, row_to_slot, slot_to_row = {}, {}, {}
+        for dtype in ("int8", "int4"):
+            idx = ClusteredIVFIndex(
+                dim, dtype=dtype, nlist=nlist, nprobe=nprobe,
+                train_threshold=1 << 62,
             )
-            rows /= np.maximum(
-                np.linalg.norm(rows, axis=1, keepdims=True), 1e-12
-            )
-            order = np.argsort(-(rows @ q[i]))[:k]
-            got[i, : len(order)] = rows_ids[order]
-        print(json.dumps({
-            "stage": "rerank", "fetch_factor": factor,
-            "recall_at_10": round(recall_at(got, exact, k), 4),
-        }), flush=True)
+            t0 = time.perf_counter()
+            slots = np.asarray(idx.build_from(chunks, train_chunks=1))
+            stats = idx.get_stats()
+            print(json.dumps({
+                "stage": "build", "dtype": dtype, "n": n,
+                "build_s": round(time.perf_counter() - t0, 1),
+                "slab_gb": round(stats["hbm_bytes"] / 1e9, 3),
+            }), flush=True)
+            idx.batch_flat_fallback = False
+            twins[dtype] = idx
+            row_to_slot[dtype] = slots
+            inv = np.full(int(slots.max()) + 1, -1, np.int64)
+            inv[slots] = np.arange(len(slots))
+            slot_to_row[dtype] = inv
 
-    # serving throughput (batch-64 pipelined, NB=8)
-    for dtype, idx in twins.items():
-        qstack = np.asarray(
-            _gen(centers, 31337, 8 * 64), np.float32
-        ).reshape(8, 64, dim)
-        idx.search_pipelined(qstack, k)  # warm
-        t0 = time.perf_counter()
-        reps = 3
-        for _ in range(reps):
-            s, _ = idx.search_pipelined(qstack, k)
-        qps = 8 * 64 * reps / (time.perf_counter() - t0)
-        print(json.dumps({
-            "stage": "serving", "dtype": dtype,
-            "batch64_qps": round(qps),
-        }), flush=True)
+        q = np.asarray(_gen(centers, 9999, 64), np.float32)
+        # exact oracle via the f32-scored int8 twin at full probe is still
+        # quantized; at this mid scale use a true exact scan: regenerate the
+        # corpus in chunks and fold the top-k on host
+        best_s = np.full((64, k), -np.inf)
+        best_i = np.full((64, k), -1, np.int64)
+        for ci, rows in enumerate(chunks()):
+            s = np.asarray(rows @ jnp.asarray(q).T).T  # (64, chunk)
+            base = ci * chunk
+            cand_s = np.concatenate([best_s, s], axis=1)
+            cand_i = np.concatenate(
+                [best_i, np.tile(np.arange(s.shape[1]) + base, (64, 1))],
+                axis=1,
+            )
+            sel = np.argsort(-cand_s, axis=1)[:, :k]
+            best_s = np.take_along_axis(cand_s, sel, axis=1)
+            best_i = np.take_along_axis(cand_i, sel, axis=1)
+        exact = best_i
+
+        def to_rows(slot_hits, dtype):
+            """Translate returned slot ids into row-id space (-1 passes)."""
+            inv = slot_to_row[dtype]
+            out = np.full_like(np.asarray(slot_hits, np.int64), -1)
+            ok = np.asarray(slot_hits) >= 0
+            out[ok] = inv[np.asarray(slot_hits, np.int64)[ok]]
+            return out
+
+        for dtype, idx in twins.items():
+            _, got = idx.search(q, k)
+            print(json.dumps({
+                "stage": "raw_recall", "dtype": dtype, "nprobe": nprobe,
+                "recall_at_10": round(
+                    recall_at(to_rows(got, dtype), exact, k), 4
+                ),
+            }), flush=True)
+
+        # re-rank sweep: over-fetch k' from int4 and exact-re-rank the
+        # candidates. The store does this against kept f32 raws; a 512k
+        # host-side f32 copy is ruled out here (host first-touch ~15 MB/s),
+        # so candidates re-rank against the int8 twin's DEQUANTIZED rows
+        # (f32-from-int8 ranks within 0.001 of true f32 at these margins —
+        # RESULTS.md int8 tables). Candidate slots translate int4-slot ->
+        # row -> int8-slot: the twins' build permutations differ.
+        idx4 = twins["int4"]
+        for factor in (5, 10, 20, 50):
+            kf = k * factor
+            _, cand = idx4.search(q, kf)
+            got = np.full((64, k), -1, np.int64)
+            for i in range(64):
+                rows_ids = to_rows(cand[i], "int4")
+                rows_ids = rows_ids[rows_ids >= 0]
+                if not len(rows_ids):
+                    continue
+                rows = twins["int8"].get_vectors(
+                    row_to_slot["int8"][rows_ids]
+                )
+                rows /= np.maximum(
+                    np.linalg.norm(rows, axis=1, keepdims=True), 1e-12
+                )
+                order = np.argsort(-(rows @ q[i]))[:k]
+                got[i, : len(order)] = rows_ids[order]
+            print(json.dumps({
+                "stage": "rerank", "fetch_factor": factor,
+                "recall_at_10": round(recall_at(got, exact, k), 4),
+            }), flush=True)
+
+        # serving throughput (batch-64 pipelined, NB=8)
+        for dtype, idx in twins.items():
+            qstack = np.asarray(
+                _gen(centers, 31337, 8 * 64), np.float32
+            ).reshape(8, 64, dim)
+            idx.search_pipelined(qstack, k)  # warm
+            t0 = time.perf_counter()
+            reps = 3
+            for _ in range(reps):
+                s, _ = idx.search_pipelined(qstack, k)
+            qps = 8 * 64 * reps / (time.perf_counter() - t0)
+            print(json.dumps({
+                "stage": "serving", "dtype": dtype,
+                "batch64_qps": round(qps),
+            }), flush=True)
+
 
     # ---- stage 2: flagship capacity run ----
     # VERDICT r3 ask #1: the >=0.95 recall story must hold AT the
@@ -196,7 +203,7 @@ def main() -> None:
     # FROM the host, so the fill is a free ingest write-through).
     big_n = int(os.environ.get("INT4_N", 0))
     if big_n:
-        del twins
+        twins = None
         big_nprobe = int(os.environ.get("INT4_NPROBE", nprobe))
         idx = ClusteredIVFIndex(
             dim, dtype="int4", nlist=4096, nprobe=big_nprobe,
@@ -324,27 +331,39 @@ def main() -> None:
             order = np.argsort(-s, axis=1)[:, :k]
             return np.take_along_axis(cand_slots, order, axis=1)
 
-        # raw + re-ranked recall vs the true f32 oracle, at big_n
-        _, got_raw = idx.search(q, k)
-        print(json.dumps({
-            "stage": "flagship_recall_raw", "nprobe": big_nprobe,
-            "recall_at_10": round(
-                recall_at(to_rows_big(got_raw), exact_big, k), 4
-            ),
-        }), flush=True)
+        # raw + re-ranked recall vs the true f32 oracle, at big_n.
+        # nprobe is a search-time knob (tune() mutates it the same
+        # way), so the whole (nprobe, fetch-factor) frontier comes off
+        # ONE build+rawfill: at 20M/nlist=4096 probe COVERAGE caps the
+        # re-rank (raw 0.51 at nprobe=8 -> rerank plateaus ~0.96-0.98),
+        # so the op point that meets >=0.95 at serving fetch depth
+        # k'=50 needs more probes, not a deeper fetch.
+        sweep = [int(s) for s in os.environ.get(
+            "INT4_NPROBE_SWEEP", "8,16,32"
+        ).split(",")]
         qn = q / np.maximum(
             np.linalg.norm(q, axis=-1, keepdims=True), 1e-12
         )
-        for factor in (5, 10, 20, 50):
-            _, cand = idx.search(q, k * factor)
-            got = rerank(np.asarray(cand), qn)
+        for np_ in sweep:
+            idx.nprobe = np_
+            _, got_raw = idx.search(q, k)
             print(json.dumps({
-                "stage": "flagship_recall_rerank", "fetch_factor": factor,
-                "nprobe": big_nprobe,
+                "stage": "flagship_recall_raw", "nprobe": np_,
                 "recall_at_10": round(
-                    recall_at(to_rows_big(got), exact_big, k), 4
+                    recall_at(to_rows_big(got_raw), exact_big, k), 4
                 ),
             }), flush=True)
+            for factor in (5, 10):
+                _, cand = idx.search(q, k * factor)
+                got = rerank(np.asarray(cand), qn)
+                print(json.dumps({
+                    "stage": "flagship_recall_rerank",
+                    "fetch_factor": factor, "nprobe": np_,
+                    "recall_at_10": round(
+                        recall_at(to_rows_big(got), exact_big, k), 4
+                    ),
+                }), flush=True)
+        idx.nprobe = big_nprobe
 
         # serving protocol matched to clustered_10m.py: NB=16 stacks,
         # device-resident queries, in-flight dispatches (the serial
@@ -363,27 +382,30 @@ def main() -> None:
             np.linalg.norm(qhost, axis=-1, keepdims=True), 1e-12
         )
         flights = 8
-        for mode, kk in (("raw", k), ("rerank", k * factor_serve)):
-            idx.resolve_pipelined(
-                idx.search_pipelined(qstack, kk, materialize=False)
-            )
-            # contention probe: a do-nothing dispatch floor
-            t0 = time.perf_counter()
-            hs = [
-                idx.search_pipelined(qstack, kk, materialize=False)
-                for _ in range(flights)
-            ]
-            done = [idx.resolve_pipelined(h) for h in hs]
-            if mode == "rerank":
-                for _, slots3 in done:
-                    for nb in range(slots3.shape[0]):
-                        rerank(np.asarray(slots3[nb]), qhost_n[nb])
-            qps = 16 * 64 * flights / (time.perf_counter() - t0)
-            print(json.dumps({
-                "stage": "flagship_serving", "mode": mode,
-                "fetch_k": kk, "batch64_qps": round(qps),
-                "in_flight": flights, "device_qs": True,
-            }), flush=True)
+        for np_ in sweep:
+            idx.nprobe = np_
+            for mode, kk in (("raw", k), ("rerank", k * factor_serve)):
+                idx.resolve_pipelined(
+                    idx.search_pipelined(qstack, kk, materialize=False)
+                )
+                t0 = time.perf_counter()
+                hs = [
+                    idx.search_pipelined(qstack, kk, materialize=False)
+                    for _ in range(flights)
+                ]
+                done = [idx.resolve_pipelined(h) for h in hs]
+                if mode == "rerank":
+                    for _, slots3 in done:
+                        for nb in range(slots3.shape[0]):
+                            rerank(np.asarray(slots3[nb]), qhost_n[nb])
+                qps = 16 * 64 * flights / (time.perf_counter() - t0)
+                print(json.dumps({
+                    "stage": "flagship_serving", "mode": mode,
+                    "nprobe": np_, "fetch_k": kk,
+                    "batch64_qps": round(qps),
+                    "in_flight": flights, "device_qs": True,
+                }), flush=True)
+        idx.nprobe = big_nprobe
         shutil.rmtree(raw_dir, ignore_errors=True)
 
 
