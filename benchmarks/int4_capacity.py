@@ -234,16 +234,43 @@ def main() -> None:
         # -- third pass: exact f32 oracle + int8 raw-store fill, both
         # on the CPU BACKEND (threefry regenerates identical rows;
         # nothing bulk crosses the tunnel) --
+        # INT4_CKPT=<dir> persists the HOST-side artifacts (int8 raw
+        # rows, norms, slot map, f32 oracle) so op-point re-sweeps skip
+        # the ~27 min CPU fill; the device slab rebuilds in ~2 min and
+        # the saved slot map is asserted against the fresh build
+        # (threefry + XLA reductions are deterministic per platform).
         import shutil
         import tempfile
 
         from wdbx_tpu.store.rawstore import RawStore
 
-        raw_dir = tempfile.mkdtemp(prefix="int4raw_")
-        raw = RawStore(raw_dir, 1, dim, dtype="int8", backend="ram")
+        ckpt = os.environ.get("INT4_CKPT", "")
+        ck_done = os.path.join(ckpt, "done") if ckpt else ""
+        if ckpt and os.path.exists(ck_done):
+            meta = np.load(os.path.join(ckpt, "meta.npz"))
+            assert int(meta["big_n"]) == big_n and int(meta["dim"]) == dim
+            if not np.array_equal(meta["slots_all"], slots_all):
+                raise SystemExit(
+                    "INT4_CKPT slot map does not match the fresh build"
+                )
+            norms = meta["norms"]
+            exact_big = meta["exact_big"]
+            q = meta["q"]
+            raw_rows = np.memmap(
+                os.path.join(ckpt, "raw.bin"), np.int8, "r",
+                shape=tuple(meta["raw_shape"]),
+            )
+            raw = raw_dir = None
+            print(json.dumps({
+                "stage": "flagship_rawfill", "loaded_from": ckpt,
+            }), flush=True)
+        else:
+            raw_dir = tempfile.mkdtemp(prefix="int4raw_")
+            raw = RawStore(raw_dir, 1, dim, dtype="int8", backend="ram")
 
         cpu = _jax.devices("cpu")[0]
-        with _jax.default_device(cpu):
+        if raw is not None:
+          with _jax.default_device(cpu):
             centers_cpu = _jax.device_put(np.asarray(centers), cpu)
             qd_cpu = _jax.device_put(q, cpu)
 
@@ -298,14 +325,28 @@ def main() -> None:
                 best_s = np.take_along_axis(cs, sel, axis=1)
                 best_i = np.take_along_axis(ci, sel, axis=1)
                 base += m
-        fill_s = time.perf_counter() - t0
-        exact_big = best_i  # row-id space, true f32 oracle at big_n
-        print(json.dumps({
-            "stage": "flagship_rawfill", "fill_s": round(fill_s, 1),
-            "raw_gb": round(big_n * (dim + 8) / 1e9, 2),
-            "note": "cpu-backend regeneration (threefry is platform-"
-                    "invariant); free write-through on real ingest",
-        }), flush=True)
+          fill_s = time.perf_counter() - t0
+          exact_big = best_i  # row-id space, true f32 oracle at big_n
+          raw_rows = raw._rows[0]
+          print(json.dumps({
+              "stage": "flagship_rawfill", "fill_s": round(fill_s, 1),
+              "raw_gb": round(big_n * (dim + 8) / 1e9, 2),
+              "note": "cpu-backend regeneration (threefry is platform-"
+                      "invariant); free write-through on real ingest",
+          }), flush=True)
+          if ckpt:
+              os.makedirs(ckpt, exist_ok=True)
+              raw_rows.tofile(os.path.join(ckpt, "raw.bin"))
+              np.savez(
+                  os.path.join(ckpt, "meta.npz"), big_n=big_n, dim=dim,
+                  slots_all=slots_all, norms=norms, exact_big=exact_big,
+                  q=q, raw_shape=np.asarray(raw_rows.shape),
+              )
+              with open(ck_done, "w") as f:
+                  f.write("ok")
+              print(json.dumps(
+                  {"stage": "flagship_ckpt_saved", "dir": ckpt}
+              ), flush=True)
 
         inv = np.full(int(slots_all.max()) + 1, -1, np.int64)
         inv[slots_all] = np.arange(big_n)
@@ -324,7 +365,7 @@ def main() -> None:
             (measured 3x slower at kf=100 on this host)."""
             cand = np.asarray(cand_slots, np.int64)
             safe = np.clip(cand, 0, None)
-            rows = raw._rows[0][safe]  # (B, kf, d) int8 gather
+            rows = raw_rows[safe]  # (B, kf, d) int8 gather
             s = np.einsum("bkd,bd->bk", rows.astype(np.float32), qn)
             s /= np.maximum(norms[safe], 1e-12)
             s[cand < 0] = -np.inf
@@ -334,12 +375,17 @@ def main() -> None:
         # raw + re-ranked recall vs the true f32 oracle, at big_n.
         # nprobe is a search-time knob (tune() mutates it the same
         # way), so the whole (nprobe, fetch-factor) frontier comes off
-        # ONE build+rawfill: at 20M/nlist=4096 probe COVERAGE caps the
-        # re-rank (raw 0.51 at nprobe=8 -> rerank plateaus ~0.96-0.98),
-        # so the op point that meets >=0.95 at serving fetch depth
-        # k'=50 needs more probes, not a deeper fetch.
+        # ONE build+rawfill. Measured at 20M/nlist=4096: recall is
+        # nprobe-INDEPENDENT (raw 0.514/0.514/0.516 and rerank
+        # 0.909/0.961 identical at nprobe 8/16/32) — probe coverage
+        # saturates on this mixture like the 10M flagship's nprobe=1,
+        # and int4 ordering noise is the cap. FETCH DEPTH is the recall
+        # lever; nprobe only buys DMA cost.
         sweep = [int(s) for s in os.environ.get(
             "INT4_NPROBE_SWEEP", "8,16,32"
+        ).split(",")]
+        fetches = [int(s) for s in os.environ.get(
+            "INT4_FETCH_SWEEP", "5,10"
         ).split(",")]
         qn = q / np.maximum(
             np.linalg.norm(q, axis=-1, keepdims=True), 1e-12
@@ -353,7 +399,7 @@ def main() -> None:
                     recall_at(to_rows_big(got_raw), exact_big, k), 4
                 ),
             }), flush=True)
-            for factor in (5, 10):
+            for factor in fetches:
                 _, cand = idx.search(q, k * factor)
                 got = rerank(np.asarray(cand), qn)
                 print(json.dumps({
@@ -367,12 +413,13 @@ def main() -> None:
 
         # serving protocol matched to clustered_10m.py: NB=16 stacks,
         # device-resident queries, in-flight dispatches (the serial
-        # f32-upload protocol measured 4-6x low — RESULTS.md r3-late)
-        # fetch factor 5 keeps k' = 50 <= KERNEL_K_MAX: the over-fetch
-        # stays on the Pallas kernel (deeper fetches fall to the lax
-        # scan, ~4x slower per dispatch) and already saturates the
-        # re-rank's coverage-limited recall (see the sweep above)
-        factor_serve = int(os.environ.get("INT4_SERVE_FACTOR", 5))
+        # f32-upload protocol measured 4-6x low — RESULTS.md r3-late).
+        # Fetch factor 5 keeps k' = 50 <= KERNEL_K_MAX (Pallas path);
+        # factor 10 (k'=100) is the measured >=0.95 op point and falls
+        # to the lax scan — INT4_SERVE_FACTOR sweeps both sides.
+        serve_factors = [int(s) for s in str(os.environ.get(
+            "INT4_SERVE_FACTOR", 5
+        )).split(",")]
         qhost = np.asarray(
             _gen(centers, 31338, 16 * 64), np.float32
         ).reshape(16, 64, dim)
@@ -384,7 +431,9 @@ def main() -> None:
         flights = 8
         for np_ in sweep:
             idx.nprobe = np_
-            for mode, kk in (("raw", k), ("rerank", k * factor_serve)):
+            for mode, kk in [("raw", k)] + [
+                ("rerank", k * f) for f in serve_factors
+            ]:
                 idx.resolve_pipelined(
                     idx.search_pipelined(qstack, kk, materialize=False)
                 )
@@ -406,7 +455,8 @@ def main() -> None:
                     "in_flight": flights, "device_qs": True,
                 }), flush=True)
         idx.nprobe = big_nprobe
-        shutil.rmtree(raw_dir, ignore_errors=True)
+        if raw_dir:
+            shutil.rmtree(raw_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
