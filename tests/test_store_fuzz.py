@@ -17,8 +17,46 @@ import numpy as np
 import pytest
 
 from wdbx_tpu.core.config import WDBXConfig
-from wdbx_tpu.store.filters import matches_filter
 from wdbx_tpu.store.vector_store import VectorStore
+
+_MISSING = object()
+
+
+def _ref_matches(meta: dict, flt: dict | None) -> bool:
+    """Independent model of the reference's filter semantics
+    (reference wdbx/core/vector_store.py:429-461), implemented directly
+    from its code — NOT wdbx_tpu.store.filters.matches_filter, so a bug
+    shared with the implementation stays visible (VERDICT r4 ask #2).
+    Divergence from the reference kept deliberately: mixed-type ordered
+    comparison fails the clause instead of raising."""
+    if not flt:
+        return True
+    for key, cond in flt.items():
+        v = meta.get(key, _MISSING)
+        if isinstance(cond, dict) and any(k.startswith("$") for k in cond):
+            for op, e in cond.items():
+                if op == "$exists":
+                    if (v is not _MISSING) != bool(e):
+                        return False
+                elif op == "$nin":
+                    if v is not _MISSING and v in e:
+                        return False
+                elif op == "$in":
+                    if v is _MISSING or v not in e:
+                        return False
+                else:
+                    if v is _MISSING:
+                        return False
+                    try:
+                        ok = {"$gt": v > e, "$gte": v >= e,
+                              "$lt": v < e, "$lte": v <= e}[op]
+                    except TypeError:
+                        ok = False
+                    if not ok:
+                        return False
+        elif v is _MISSING or v != cond:
+            return False
+    return True
 
 
 def _make(tmp_path, **over):
@@ -44,6 +82,7 @@ FILTERS = [
     {"num": {"$in": [1, 3, 5, 7]}},
     {"cat": {"$in": ["a", 2]}},          # mixed-type $in (r4 fix)
     {"num": {"$nin": [0, 2, 4]}},
+    {"flag": {"$nin": [True]}},          # missing key PASSES $nin (r5 fix)
     {"flag": {"$exists": True}},
     {"flag": {"$exists": False}},
     {"cat": "a", "num": {"$lte": 7}},
@@ -81,7 +120,7 @@ def test_store_differential_random_ops(tmp_path, seed):
         for qi, hits in zip(q, got):
             passing = {
                 vid: (vec, meta) for vid, (vec, meta) in model.items()
-                if flt is None or matches_filter(meta, flt)
+                if flt is None or _ref_matches(meta, flt)
             }
             want_n = min(limit, len(passing))
             assert len(hits) == want_n, (
@@ -230,7 +269,7 @@ def test_store_differential_sharded(tmp_path, seed):
         for qi, hits in zip(q, got):
             passing = {
                 vid: v for vid, (v, mt) in model.items()
-                if flt is None or matches_filter(mt, flt)
+                if flt is None or _ref_matches(mt, flt)
             }
             assert len(hits) == min(5, len(passing)), (flt, len(hits))
             if not passing:

@@ -2,8 +2,20 @@
 
 Operator semantics match the reference's ``_matches_filter`` (reference
 wdbx/core/vector_store.py:414-463): ``$gt $lt $gte $lte $in $nin
-$exists`` plus plain equality; a missing key fails every operator except
-``$exists: False``.
+$exists`` plus plain equality. Missing-key verdicts per the reference's
+code: ``$gt/$gte/$lt/$lte/$in`` and equality FAIL on a missing key;
+``$nin`` PASSES on a missing key (reference :450-452 — ``if key in
+metadata and metadata[key] in op_value: return False``); ``$exists``
+matches iff presence equals the operand's truthiness.
+
+Documented divergences from the reference (deliberate, not bugs):
+  * mixed-type ordered comparison (``{"k": {"$gt": 0}}`` vs ``k="a"``)
+    fails the clause here; the reference raises TypeError up through
+    ``search()`` (reference :439 — uncaught).
+  * an unknown ``$op`` raises ``ValueError`` here; the reference's
+    if/elif chain silently treats it as always-true.
+  * a dict value counts as an operator clause when ANY key starts with
+    ``$``; the reference inspects only the first key (dict order).
 
 Two execution modes (SURVEY.md §7 'metadata filtering at device speed'):
   * post-filter — apply to already-ranked results (reference semantics);
@@ -50,6 +62,13 @@ def matches_filter(metadata: dict[str, Any], flt: dict[str, Any] | None) -> bool
             for op, expected in cond.items():
                 if op == "$exists":
                     if (actual is not _MISSING) != bool(expected):
+                        return False
+                elif op == "$nin":
+                    # missing key PASSES $nin (reference
+                    # wdbx/core/vector_store.py:450-452)
+                    if actual is not _MISSING and not _cmp(
+                        op, actual, expected
+                    ):
                         return False
                 elif actual is _MISSING or not _cmp(op, actual, expected):
                     return False

@@ -214,7 +214,9 @@ def _isin_mask(vals: np.ndarray, kind: str, expected, n: int) -> np.ndarray:
 
 def _col_clause(col: _Column, cond: Any, n: int) -> np.ndarray:
     """Evaluate one filter clause against a column; returns (n,) bool.
-    Missing values fail every operator except ``$exists: False``."""
+    Missing values fail every operator except ``$exists: False`` and
+    ``$nin`` (a row missing the key PASSES ``$nin`` — reference
+    wdbx/core/vector_store.py:450-452)."""
     vals = col.vals[:n]
     has = col.has[:n]
     if isinstance(cond, dict) and any(k.startswith("$") for k in cond):
@@ -226,7 +228,8 @@ def _col_clause(col: _Column, cond: Any, n: int) -> np.ndarray:
             if op == "$in":
                 m = _isin_mask(vals, col.kind, expected, n)
             elif op == "$nin":
-                m = ~_isin_mask(vals, col.kind, expected, n)
+                out &= ~has | ~_isin_mask(vals, col.kind, expected, n)
+                continue
             elif op in ("$gt", "$gte", "$lt", "$lte"):
                 import operator as _op
 
