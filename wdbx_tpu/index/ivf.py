@@ -1030,19 +1030,38 @@ class IVFIndex(FlatIndex):
         k: int = 10,
         target_recall: float = 0.95,
         max_scan_fraction: float = 1.0,
+        exclude_slots: np.ndarray | None = None,
     ) -> float:
         """Pick the smallest ``nprobe`` hitting ``target_recall`` on a
         sample query set, measured against this index's own exact scan
         (the oracle the reference never had; SURVEY.md §7 'hard parts'
         calls for exactly this loop). Returns the achieved recall.
+
+        ``exclude_slots`` (one slot per query row) makes the evaluation
+        HELD-OUT: when the queries are stored rows, each query's own
+        slot is dropped from both the oracle and the ANN result before
+        scoring — a self-hit is trivially recalled and flatters the
+        measurement by ~1/k (VERDICT r4 ask #6).
         """
         with self._mu.write():
             self._maybe_build()
         if not self.is_trained:
             return 1.0
         queries = self._prep(queries)
-        _, exact = self._oracle_search(queries, k)
-        exact_sets = [set(int(s) for s in row if s >= 0) or {-1} for row in exact]
+        fetch_k = k + 1 if exclude_slots is not None else k
+
+        def row_sets(slot_rows) -> list[set]:
+            out = []
+            for qi, row in enumerate(slot_rows):
+                kept = [int(s) for s in row if s >= 0]
+                if exclude_slots is not None:
+                    own = int(exclude_slots[qi])
+                    kept = [s for s in kept if s != own]
+                out.append(set(kept[:k]))
+            return out
+
+        _, exact = self._oracle_search(queries, fetch_k)
+        exact_sets = [s or {-1} for s in row_sets(exact)]
         nlist = int(self._centroids.shape[0])
         max_probe = max(1, int(nlist * max_scan_fraction))
 
@@ -1051,14 +1070,14 @@ class IVFIndex(FlatIndex):
             fallback = self.batch_flat_fallback
             self.batch_flat_fallback = False  # measure the real scan path
             try:
-                _, got = self.search(queries, k)
+                _, got = self.search(queries, fetch_k)
             finally:
                 self.batch_flat_fallback = fallback
             return float(
                 np.mean(
                     [
-                        len(e & set(int(s) for s in g)) / len(e)
-                        for e, g in zip(exact_sets, got)
+                        len(e & g) / len(e)
+                        for e, g in zip(exact_sets, row_sets(got))
                     ]
                 )
             )

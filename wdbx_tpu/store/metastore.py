@@ -352,6 +352,42 @@ class _ShardMeta:
                     out[key] = vals[slot]
         return out
 
+    def get_many(self, slots: np.ndarray) -> list[dict[str, Any] | None]:
+        """Vectorized row gather: one fancy-index per column instead of
+        per-slot scalar reads — the serving merge attaches metadata to
+        every hit, and the per-hit ``get()`` walk was the next Python
+        wall once dispatch pipelining landed (VERDICT r4 ask #4).
+
+        Same lock-free contract as ``get()``: snapshot every array
+        reference, bounds-check against the snapshots, epoch-validated
+        by the caller."""
+        slots = np.asarray(slots, np.int64)
+        n = len(slots)
+        present = self.present
+        inb = (slots >= 0) & (slots < len(present))
+        ok = np.zeros(n, bool)
+        ok[inb] = present[slots[inb]]
+        out: list[dict[str, Any] | None] = [
+            ({} if good else None) for good in ok
+        ]
+        idx = np.nonzero(ok)[0]
+        if len(idx) == 0:
+            return out
+        sl = slots[idx]
+        for key, col in list(self.cols.items()):
+            vals, has, kind = col.vals, col.has, col.kind
+            valid = (sl < len(has)) & (sl < len(vals))
+            which = idx[valid]
+            wsl = sl[valid]
+            hmask = has[wsl]
+            rows = vals[wsl[hmask]]
+            for oi, value in zip(which[hmask], rows):
+                try:
+                    out[oi][key] = _to_py(value, kind)
+                except (TypeError, ValueError):
+                    out[oi][key] = value
+        return out
+
     def drop(self, slot: int) -> None:
         if 0 <= slot < self.cap and self.present[slot]:
             self.present[slot] = False
@@ -435,6 +471,9 @@ class ColumnarMetadata:
 
     def get(self, shard: int, slot: int) -> dict[str, Any] | None:
         return self.shards[shard].get(int(slot))
+
+    def get_many(self, shard: int, slots) -> list[dict[str, Any] | None]:
+        return self.shards[shard].get_many(slots)
 
     def drop(self, shard: int, slot: int) -> None:
         self.shards[shard].drop(int(slot))

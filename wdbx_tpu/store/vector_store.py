@@ -42,6 +42,7 @@ import numpy as np
 
 from wdbx_tpu.index.base import VectorIndex, create_index
 from wdbx_tpu import native as _native
+from wdbx_tpu.store.atomic import CheckpointRoot
 from wdbx_tpu.store.filters import compile_filter
 from wdbx_tpu.store.metastore import ColumnarMetadata
 from wdbx_tpu.store.rawstore import create_raw_store
@@ -85,6 +86,16 @@ class VectorStore:
         # store-wide shared state, and one probe's finally-reset must
         # not unpin another's in-flight measurement
         self._tune_ff_mu = threading.Lock()
+
+        #: crash-atomic checkpoint generations (store/atomic.py); fsync
+        #: can be disabled for benchmark runs on throwaway dirs
+        self._ckpt = CheckpointRoot(
+            os.path.join(self.data_dir, "checkpoint"),
+            fsync=bool(config.get("CHECKPOINT_FSYNC", True)),
+        )
+        self._ckpt_gen = 0
+        self._ckpt_dir: str | None = None
+        self._oldlayout_loaded = False
 
         self.indices: list[VectorIndex] = []
         # id <-> slot bookkeeping: native C++ registry when built
@@ -464,6 +475,93 @@ class VectorStore:
                     self._lock.release()
         return results
 
+    # -- pipelined serving (VERDICT r4 ask #4) ----------------------------
+    # submit() dispatches the device work for a whole batch WITHOUT
+    # blocking on the transfer; resolve() materializes and merges.
+    # A serving loop (api/batching.QueryBatcher) keeps the next flush's
+    # dispatch in flight while the previous one materializes — the
+    # engine-level double-buffering (index.search_pipelined), carried
+    # through the store's id/metadata/re-rank merge.
+    def search_batch_submit(
+        self,
+        query_vectors: Any,
+        limit: int = 10,
+        threshold: float = 0.0,
+        filter_metadata: dict[str, Any] | None = None,
+    ):
+        """Dispatch a query batch; returns an opaque handle for
+        ``search_batch_resolve``. Falls back to a pre-resolved handle
+        when the batch cannot pipeline (metadata filter, or an engine
+        without ``search_pipelined``)."""
+        queries = np.asarray(query_vectors, np.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        if queries.shape[-1] != self.dim:
+            raise ValueError(
+                f"query dimension {queries.shape[-1]} does not match store "
+                f"dimension {self.dim}"
+            )
+        if filter_metadata or any(
+            not hasattr(index, "search_pipelined") for index in self.indices
+        ):
+            return (
+                "sync",
+                self.search_batch(
+                    queries, limit, threshold, filter_metadata
+                ),
+            )
+        b = len(queries)
+        rerank = self._rerank_enabled()
+        fetch_k = limit
+        if rerank:
+            fetch_k = max(fetch_k, limit * self._rerank_fetch_factor())
+        # pad the batch to the next power of two: pipelined dispatch
+        # compiles per (1, B, d) geometry, and a bounded width set keeps
+        # a live service from billing fresh compiles to unlucky p99s
+        from wdbx_tpu.index.flat import _next_pow2
+
+        bp = _next_pow2(b)
+        padded = queries
+        if bp != b:
+            padded = np.concatenate(
+                [queries, np.repeat(queries[:1], bp - b, axis=0)], axis=0
+            )
+        with self._lock:
+            indices = list(self.indices)
+            id_tables = [self._ids_for(s) for s in range(len(indices))]
+            epoch = self._epoch
+        handles = [
+            index.search_pipelined(
+                padded[None], fetch_k, materialize=False
+            )
+            for index in indices
+        ]
+        return (
+            "pipelined", handles, indices, id_tables, queries, b,
+            limit, threshold, rerank, epoch,
+        )
+
+    def search_batch_resolve(self, handle) -> list[list[SearchHit]]:
+        """Materialize a ``search_batch_submit`` handle into ranked
+        hits. Epoch-validated: if a mutation landed between submit and
+        resolve, the merge re-runs synchronously (slots could have been
+        recycled under the in-flight dispatch)."""
+        if handle[0] == "sync":
+            return handle[1]
+        (_, handles, indices, id_tables, queries, b, limit, threshold,
+         rerank, epoch) = handle
+        per_shard = []
+        for index, h in zip(indices, handles):
+            scores, slots = index.resolve_pipelined(h)
+            per_shard.append((scores[0][:b], slots[0][:b]))
+        results = self._merge_hits(
+            per_shard, id_tables, queries, b, limit, threshold,
+            None, False, rerank,
+        )
+        if self._epoch != epoch:
+            return self.search_batch(queries, limit, threshold)
+        return results
+
     def _merge_hits(
         self, per_shard, id_tables, queries, b, limit, threshold,
         filter_metadata, use_pre, rerank,
@@ -579,6 +677,58 @@ class VectorStore:
                 else None
             )
             results: list[list[SearchHit]] = []
+            if post is None:
+                # Two-phase fast path: pick hit positions first (id
+                # dedupe only — no metadata reads), then attach metadata
+                # with ONE vectorized column gather per shard. The
+                # per-hit ``meta.get`` walk was ~O(hits x columns)
+                # Python scalar reads per batch — the next serving wall
+                # after dispatch pipelining (VERDICT r4 ask #4).
+                rows_ci: list[list[int]] = []
+                hq: list[int] = []
+                hc: list[int] = []
+                for qi in range(b):
+                    row: list[int] = []
+                    seen: set[str] = set()  # indexes may yield an id twice
+                    for ci in np.nonzero(keep[qi])[0]:
+                        vid = ids[qi, ci]
+                        if vid is None or vid in seen:
+                            continue
+                        seen.add(vid)
+                        row.append(int(ci))
+                        if len(row) >= limit:
+                            break
+                    rows_ci.append(row)
+                    hq.extend([qi] * len(row))
+                    hc.extend(row)
+                hq_a = np.asarray(hq, np.int64)
+                hc_a = np.asarray(hc, np.int64)
+                metas: list[dict | None] = [None] * len(hq)
+                for s in range(n_shards):
+                    sel = (
+                        all_shard[hq_a, hc_a] == s
+                        if len(hq) else np.zeros(0, bool)
+                    )
+                    if not sel.any():
+                        continue
+                    where = np.nonzero(sel)[0]
+                    got = self.meta.get_many(
+                        s, all_slots[hq_a[where], hc_a[where]]
+                    )
+                    for w, m in zip(where, got):
+                        metas[w] = m
+                pos = 0
+                for qi in range(b):
+                    hits: list[SearchHit] = []
+                    for ci in rows_ci[qi]:
+                        hits.append((
+                            ids[qi, ci],
+                            float(all_scores[qi, ci]),
+                            metas[pos] or {},
+                        ))
+                        pos += 1
+                    results.append(hits)
+                return results
             for qi in range(b):
                 hits: list[SearchHit] = []
                 seen: set[str] = set()  # indexes may yield an id twice
@@ -739,14 +889,24 @@ class VectorStore:
         return True
 
     def _sample_raw_rows(
-        self, shard: int, n: int
-    ) -> tuple[np.ndarray, list[int]]:
+        self, shard: int, n: int, rng: np.random.Generator | None = None
+    ) -> tuple[np.ndarray, list[int], list[str]]:
         """Up to ``n`` stored rows of one shard for tuning probes
-        (raw-store rows when kept, else dequantized slab reads)."""
+        (raw-store rows when kept, else dequantized slab reads).
+
+        The sample is a uniform RANDOM subset of the registry — the
+        first-n rows are insertion-ordered and bias the tuner toward
+        whatever was loaded first (VERDICT r4 ask #6). Returns
+        (rows, slots, ids) so callers can hold each query's own row out
+        of its oracle set."""
         items = self.registries[shard].items()
+        if rng is not None and len(items) > n:
+            pick = rng.choice(len(items), size=n, replace=False)
+            items = [items[int(i)] for i in pick]
+        ids = [vid for vid, _ in items][:n]
         slots = [int(slot) for _, slot in items][:n]
         if not slots:
-            return np.zeros((0, self.dim), np.float32), []
+            return np.zeros((0, self.dim), np.float32), [], []
         rows, have = self.raws.read(shard, np.asarray(slots, np.int64))
         if not have.all():
             missing = np.nonzero(~have)[0]
@@ -754,7 +914,7 @@ class VectorStore:
                 np.asarray([slots[i] for i in missing], np.int64)
             )
             rows[missing] = fetched
-        return rows.astype(np.float32), slots
+        return rows.astype(np.float32), slots, ids
 
     def tune(self, target_recall: float = 0.95, sample: int = 64,
              k: int = 10) -> dict[str, Any]:
@@ -762,7 +922,12 @@ class VectorStore:
         ``target_recall``, using stored vectors as the query sample (the
         binary-search tuner each index carries; SURVEY §7's recall
         loop, operator-facing). Returns per-shard achieved recall; flat
-        shards report 1.0 (always exact)."""
+        shards report 1.0 (always exact).
+
+        Sample hygiene (VERDICT r4 ask #6): queries are a RANDOM
+        registry subset (seeded by ``TUNE_SEED``, default 0, for
+        reproducible re-tunes) and evaluation is HELD-OUT — each
+        query's own slot is dropped from both oracle and ANN sets."""
         report: dict[str, Any] = {"target": target_recall, "shards": []}
         # Snapshot the query samples under the store lock, then run the
         # sweep OUTSIDE it: each trial is several device searches (and a
@@ -771,12 +936,14 @@ class VectorStore:
         # Transiently observed nprobe values mid-sweep are benign (results
         # stay correct, only recall varies); each index's own read/write
         # locks guard its internal state.
+        rng = np.random.default_rng(int(self.config.get("TUNE_SEED", 0)))
         with self._lock:
             shards = list(enumerate(self.indices))
             samples = [
-                self._sample_raw_rows(shard, sample) for shard, _ in shards
+                self._sample_raw_rows(shard, sample, rng=rng)
+                for shard, _ in shards
             ]
-        for (shard, index), (rows, slots) in zip(shards, samples):
+        for (shard, index), (rows, slots, _ids) in zip(shards, samples):
             entry: dict[str, Any] = {"shard": shard, "type": index.kind}
             tune = getattr(index, "tune", None)
             if tune is None or index.count() == 0 or not len(rows):
@@ -784,7 +951,8 @@ class VectorStore:
             else:
                 try:
                     entry["recall"] = float(
-                        tune(rows, k=k, target_recall=target_recall)
+                        tune(rows, k=k, target_recall=target_recall,
+                             exclude_slots=np.asarray(slots, np.int64))
                     )
                     entry["nprobe"] = getattr(index, "nprobe", None)
                 except (ValueError, IndexError) as e:
@@ -812,9 +980,17 @@ class VectorStore:
         stays correct for int8 and int4 alike. The probe pins the
         factor store-wide; concurrent searches transiently see the
         probed factor (results stay correct, only recall varies — same
-        contract as the nprobe sweep above)."""
+        contract as the nprobe sweep above).
+
+        Sample hygiene matches tune(): random registry subset, and each
+        query's own id is held out of both the probed and the deep id
+        sets (a self-hit survives any fetch factor and flatters the
+        convergence measure by ~1/k)."""
+        rng = np.random.default_rng(int(self.config.get("TUNE_SEED", 0)))
         with self._lock:
-            rows, _ = self._sample_raw_rows(0, sample)
+            rows, _slots, own_ids = self._sample_raw_rows(
+                0, sample, rng=rng
+            )
         if not len(rows):
             return None
         queries = rows.astype(np.float32)
@@ -822,10 +998,13 @@ class VectorStore:
         def ids_at(factor: int) -> list[set]:
             self._fetch_factor_force = factor
             try:
-                res = self.search_batch(queries, limit=k)
+                res = self.search_batch(queries, limit=k + 1)
             finally:
                 self._fetch_factor_force = None
-            return [set(h[0] for h in hits) for hits in res]
+            return [
+                set([h[0] for h in hits if h[0] != own][:k])
+                for hits, own in zip(res, own_ids)
+            ]
 
         with self._tune_ff_mu:
             try:
@@ -905,9 +1084,14 @@ class VectorStore:
         corrupt)."""
         with self._lock:
             index = self.indices[shard]
+            # re-resolve the newest complete generation: heal() may run
+            # long after load, and save()s since then moved the pointer
+            cur = self._ckpt.current()
+            if cur is not None:
+                self._ckpt_gen, self._ckpt_dir = cur
             try:
-                if index.load(self._index_path(shard)):
-                    with open(self._index_path(shard) + ".ids.json") as f:
+                if index.load(self._index_load_path(shard)):
+                    with open(self._index_load_path(shard) + ".ids.json") as f:
                         id_map = json.load(f)
                     reg = _native.SlotRegistry()
                     reg.put(
@@ -949,26 +1133,39 @@ class VectorStore:
         w = 1
         while w <= stop:
             self.search_batch(q[:w], limit=limit)
+            # the pipelined serving path compiles its own (1, B, d)
+            # geometry — warm it too or the first live flush bills it
+            self.search_batch_resolve(
+                self.search_batch_submit(q[:w], limit=limit)
+            )
             n += 1
             w *= 2
         return n
 
     # -- persistence ------------------------------------------------------
-    def _index_path(self, shard: int) -> str:
+    # Checkpoints are crash-atomic generation directories
+    # (store/atomic.py): save() stages everything under
+    # checkpoint/g{N}.tmp, fsyncs, renames, then flips CURRENT.json —
+    # a SIGKILL in any window leaves the previous complete generation
+    # serving (the reference tears its in-place files and falls back to
+    # a FRESH index, reference wdbx/core/indexing.py:309-315). The raw
+    # memmap sits OUTSIDE the generations: it is written in place at
+    # mutation time, slot-granular, so a crash loses only rows whose
+    # writes were in flight (those mutations were unacknowledged).
+    def _legacy_index_path(self, shard: int) -> str:
         return os.path.join(self.data_dir, "indices", f"shard_{shard}")
+
+    def _index_load_path(self, shard: int) -> str:
+        if self._ckpt_dir:
+            return os.path.join(self._ckpt_dir, "indices", f"shard_{shard}")
+        return self._legacy_index_path(shard)
 
     def save(self) -> None:
         with self._lock:
-            meta_dir = os.path.join(self.data_dir, "metadata")
+            gen = self._ckpt_gen + 1
+            stage = self._ckpt.stage(gen)
+            meta_dir = os.path.join(stage, "metadata")
             self.meta.save(meta_dir)
-            # a columnar save supersedes any legacy one-blob metadata.json
-            # (leaving it would resurrect stale entries on the next load)
-            # — but ONLY if this process actually ingested it; deleting
-            # a blob we failed (or were configured not) to read destroys
-            # the only copy
-            legacy = os.path.join(meta_dir, "metadata.json")
-            if self._legacy_meta_ingested and os.path.exists(legacy):
-                os.remove(legacy)
             if self._tuned_fetch_factor:
                 # persist alongside the nprobe the same tune() learned
                 # (that one rides the index checkpoint) — a restart must
@@ -977,21 +1174,56 @@ class VectorStore:
                     json.dump(
                         {"fetch_factor": self._tuned_fetch_factor}, f
                     )
+            idx_dir = os.path.join(stage, "indices")
             for shard, index in enumerate(self.indices):
-                index.save(self._index_path(shard))
+                path = os.path.join(idx_dir, f"shard_{shard}")
+                index.save(path)
                 maps = dict(self.registries[shard].items())
-                with open(self._index_path(shard) + ".ids.json", "w") as f:
+                with open(path + ".ids.json", "w") as f:
                     json.dump(maps, f)
             # the raw memmap IS the on-disk format — flush dirty pages
             self.raws.flush()
+            self._ckpt_dir = self._ckpt.commit(gen, stage)
+            self._ckpt_gen = gen
+            # A committed generation supersedes every pre-generation
+            # file this process ingested at load; leaving them would
+            # resurrect stale rows on a later load. Only files we
+            # actually READ are deleted — a blob we failed (or were
+            # configured not) to read may be the only copy.
+            legacy = os.path.join(self.data_dir, "metadata", "metadata.json")
+            if self._legacy_meta_ingested and os.path.exists(legacy):
+                os.remove(legacy)
             legacy_raw = os.path.join(self.data_dir, "vectors", "raw.npz")
             if self._legacy_raw_ingested and os.path.exists(legacy_raw):
-                # ingested into the memmap at load (verified — with the
-                # raw store disabled, load skips ingestion and this blob
-                # is the ONLY f32 copy); a stale ingested blob would
-                # re-ingest over fresher rows next restart
                 os.remove(legacy_raw)
+            if self._oldlayout_loaded:
+                self._remove_old_layout()
+                self._oldlayout_loaded = False
             self._mutations_since_save = 0
+
+    def _remove_old_layout(self) -> None:
+        """Drop pre-generation (r4-layout) checkpoint files this process
+        loaded from, now superseded by a committed generation."""
+        import glob
+        import shutil
+
+        for shard in range(self.num_shards):
+            base = self._legacy_index_path(shard)
+            for path in glob.glob(base + ".*"):
+                try:
+                    if os.path.isdir(path):  # orbax checkpoint dir
+                        shutil.rmtree(path)
+                    else:
+                        os.remove(path)
+                except OSError as e:
+                    logger.warning("old-layout cleanup of %s: %s", path, e)
+        meta_dir = os.path.join(self.data_dir, "metadata")
+        for pattern in ("columns_shard*", "tuned.json"):
+            for path in glob.glob(os.path.join(meta_dir, pattern)):
+                try:
+                    os.remove(path)
+                except OSError as e:
+                    logger.warning("old-layout cleanup of %s: %s", path, e)
 
     def _load(self) -> None:
         # ingestion provenance for save()'s legacy-blob cleanup: only a
@@ -999,17 +1231,25 @@ class VectorStore:
         # safe to delete
         self._legacy_meta_ingested = False
         self._legacy_raw_ingested = False
+        # Resolve the newest complete checkpoint generation; absent one,
+        # fall back to the pre-generation (r4) in-place layout so older
+        # data_dirs keep loading.
+        cur = self._ckpt.current()
+        if cur is not None:
+            self._ckpt_gen, self._ckpt_dir = cur
         # indices + registries FIRST: legacy metadata/raw ingestion keys
         # on id -> (shard, slot), which the registries supply
         for shard, index in enumerate(self.indices):
             try:
-                if index.load(self._index_path(shard)):
-                    with open(self._index_path(shard) + ".ids.json") as f:
+                if index.load(self._index_load_path(shard)):
+                    with open(self._index_load_path(shard) + ".ids.json") as f:
                         id_map = json.load(f)
                     reg = _native.SlotRegistry()
                     reg.put(list(id_map.keys()),
                             [int(s) for s in id_map.values()])
                     self.registries[shard] = reg
+                    if self._ckpt_dir is None:
+                        self._oldlayout_loaded = True
             except ValueError as e:
                 if "persisted index dim" in str(e):
                     # A dimension mismatch is a CONFIG error, not corrupt
@@ -1036,19 +1276,44 @@ class VectorStore:
             slot = self.registries[shard].lookup(vid)
             return None if slot is None else (shard, int(slot))
 
-        meta_dir = os.path.join(self.data_dir, "metadata")
-        try:
-            if self.meta.load(meta_dir):
-                self._legacy_meta_ingested = True  # superseded on disk
-            else:
-                # reference-format one-blob fallback (restart-resume from
-                # an older data_dir keeps working)
-                self.meta.load_legacy(
-                    os.path.join(meta_dir, "metadata.json"), resolve
-                )
-                self._legacy_meta_ingested = True
-        except (ValueError, OSError, KeyError) as e:
-            logger.warning("failed to load metadata: %s", e)
+        legacy_meta_dir = os.path.join(self.data_dir, "metadata")
+        if self._ckpt_dir is not None:
+            meta_dir = os.path.join(self._ckpt_dir, "metadata")
+            loaded = False
+            try:
+                loaded = self.meta.load(meta_dir)
+            except (ValueError, OSError, KeyError) as e:
+                logger.warning("failed to load metadata: %s", e)
+            # the generation's columnar metadata supersedes any legacy
+            # one-blob metadata.json (which save() deletes once
+            # ingested); only when the generation carried NO metadata at
+            # all does a blob copied in alongside still resume — a stale
+            # blob must never overwrite newer columnar rows
+            if not loaded:
+                blob = os.path.join(legacy_meta_dir, "metadata.json")
+                if os.path.exists(blob):
+                    try:
+                        self.meta.load_legacy(blob, resolve)
+                        self._legacy_meta_ingested = True
+                    except (ValueError, OSError, KeyError) as e:
+                        logger.warning(
+                            "failed to load legacy metadata: %s", e
+                        )
+        else:
+            meta_dir = legacy_meta_dir
+            try:
+                if self.meta.load(meta_dir):
+                    self._legacy_meta_ingested = True  # superseded on disk
+                    self._oldlayout_loaded = True
+                else:
+                    # reference-format one-blob fallback (restart-resume
+                    # from an older data_dir keeps working)
+                    self.meta.load_legacy(
+                        os.path.join(meta_dir, "metadata.json"), resolve
+                    )
+                    self._legacy_meta_ingested = True
+            except (ValueError, OSError, KeyError) as e:
+                logger.warning("failed to load metadata: %s", e)
 
         tuned_path = os.path.join(meta_dir, "tuned.json")
         if os.path.exists(tuned_path):
