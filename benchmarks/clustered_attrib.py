@@ -275,16 +275,24 @@ def main() -> None:
     probes = [int(x) for x in os.environ.get(
         "ATTRIB_NPROBES", str(nprobe)
     ).split(",")]
+    # VERDICT r4 ask #3: measure the asserted "deeper over-fetch
+    # recovers ~0.99+" claim — f32-oracle recall after re-rank at a
+    # sweep of fetch factors, at 10M, per nprobe
+    fetch_sweep = [int(x) for x in os.environ.get(
+        "ATTRIB_FETCH_SWEEP", "5"
+    ).split(",")]
     qs_op = qstack_of(64, 64)
     for np_i in probes:
         idx.nprobe = np_i
         rec = recall_now()
         cov = coverage_now()
-        rr = rerank_recall_now()
         row = {"stage": "op_point", "nprobe": np_i,
                "recall_f32_oracle": round(rec, 4),
-               "recall_f32_reranked_x5": round(rr, 4),
                "probe_coverage": round(cov, 4)}
+        for factor in fetch_sweep:
+            row[f"recall_f32_reranked_x{factor}"] = round(
+                rerank_recall_now(factor), 4
+            )
         for flights in (8, 12):
             row[f"qps_f{flights}"] = round(serve(qs_op, flights))
         emit(**row)

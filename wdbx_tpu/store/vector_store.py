@@ -1076,7 +1076,11 @@ class VectorStore:
         return report
 
     def recover(self, shard: int, clear_on_failure: bool = False) -> bool:
-        """Rebuild one shard from its last checkpoint on disk. Returns
+        """Rebuild one shard from the newest COMPLETE checkpoint
+        generation (store/atomic.py — a torn save can never be picked:
+        generations become visible only after their manifest + rename +
+        CURRENT commit; heal() therefore always restores a consistent
+        index+registry pair, at worst one save older). Returns
         False when no usable checkpoint exists — in-memory state is left
         UNTOUCHED unless ``clear_on_failure`` is set (a flapping health
         check must never wipe live rows that were simply not yet saved;
