@@ -561,6 +561,9 @@ class FlatIndex(VectorIndex):
             self._size = 0
             self._free = []
             self._next_slot = 0
+            # an abandoned slab-external load must not leave a pending
+            # restore against state that no longer exists
+            self._slab_restore_pending = False
 
     def count(self) -> int:
         return self._size
@@ -574,11 +577,20 @@ class FlatIndex(VectorIndex):
     # validity; <path>.meta.json holds scalars. Mirrors the reference's
     # <path>.bin + <path>.mapping scheme (reference
     # wdbx/core/indexing.py:317-344) without pickle.
-    def save(self, path: str) -> None:
-        with self._mu.read():  # consistent slab/valid view vs. donation
-            self._save_locked(path)
+    #
+    # ``skip_slab`` writes a SLAB-EXTERNAL checkpoint: everything except
+    # the slab itself (valid/scales/meta), with the slab reconstructed
+    # at load from the store's raw row source via ``restore_slab`` —
+    # the device->host gather is the save wall on tunnel-attached
+    # devices (~20 MB/s D2H vs ~1 GB/s H2D measured here), so the
+    # checkpoint flows host->device only.
+    supports_slab_external = True
 
-    def _save_locked(self, path: str) -> None:
+    def save(self, path: str, skip_slab: bool = False) -> None:
+        with self._mu.read():  # consistent slab/valid view vs. donation
+            self._save_locked(path, skip_slab=skip_slab)
+
+    def _save_locked(self, path: str, skip_slab: bool = False) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         if self.persist_backend == "orbax":
             from wdbx_tpu.store import persist
@@ -587,19 +599,26 @@ class FlatIndex(VectorIndex):
             if self._is_quantized:
                 arrays["scales"] = self._scales
             persist.save_arrays(path, arrays)
+            skip_slab = False
         else:
             hwm = self._next_slot
-            # Host-side slicing: partial slices of sharded slabs are
-            # ambiguous for the partitioner, a full host gather is not.
-            slab = np.asarray(self._slab)[:hwm]
-            if slab.dtype not in (np.float32, np.int8, np.uint8):
-                slab = slab.view(np.uint16)
-            arrays = {"slab": slab, "valid": np.asarray(self._valid)[:hwm]}
+            arrays = {"valid": np.asarray(self._valid)[:hwm]}
+            if not skip_slab:
+                # Host-side slicing: partial slices of sharded slabs are
+                # ambiguous for the partitioner, a full host gather is
+                # not.
+                slab = np.asarray(self._slab)[:hwm]
+                if slab.dtype not in (np.float32, np.int8, np.uint8):
+                    slab = slab.view(np.uint16)
+                arrays["slab"] = slab
             if self._is_quantized:
                 arrays["scales"] = np.asarray(self._scales)[:hwm]
             np.savez(path + ".npz", **arrays)
+        meta = self._persist_meta()
+        if skip_slab:
+            meta["slab_external"] = True
         with open(path + ".meta.json", "w") as f:
-            json.dump(self._persist_meta(), f)
+            json.dump(meta, f)
 
     def _persist_meta(self) -> dict:
         return {
@@ -654,30 +673,76 @@ class FlatIndex(VectorIndex):
         if not os.path.exists(path + ".npz"):
             return False
         data = np.load(path + ".npz")
-        slab, valid = data["slab"], data["valid"]
-        if slab.dtype == np.uint16:
-            slab = slab.view(jnp.bfloat16)
         hwm = int(meta["next_slot"])
         self._cap = self._round_cap(max(hwm, 1024))
-        # Assemble on host, then place once (device_put handles sharded
-        # placement in the subclass).
-        slab_np = np.zeros(
-            (self._cap, self._row_width), np.asarray(slab).dtype
-        )
+        valid = np.asarray(data["valid"], bool)
+        if meta.get("slab_external"):
+            # slab omitted from the checkpoint: zero-fill now, the
+            # store refills from its raw row source via restore_slab()
+            slab_np = np.zeros((self._cap, self._row_width), self._dtype)
+        else:
+            slab = data["slab"]
+            if slab.dtype == np.uint16:
+                slab = slab.view(jnp.bfloat16)
+            # Assemble on host, then place once (device_put handles
+            # sharded placement in the subclass).
+            slab_np = np.zeros(
+                (self._cap, self._row_width), np.asarray(slab).dtype
+            )
+            if hwm:
+                slab_np[:hwm] = slab
         valid_np = np.zeros((self._cap,), bool)
         scales_np = (
             np.zeros((self._cap,), np.float32) if self._is_quantized
             else None
         )
         if hwm:
-            slab_np[:hwm] = slab
-            valid_np[:hwm] = valid
+            valid_np[:hwm] = valid[:hwm]
             if self._is_quantized:
                 scales_np[:hwm] = data["scales"]
         self._place(slab_np, valid_np, scales_np)
         self._size = int(meta["size"])
         self._next_slot = hwm
         self._free = [int(s) for s in meta["free"]]
+        # host-side validity snapshot: subclass loads and restore_slab
+        # read this instead of round-tripping the device array (the
+        # device->host gather is pathologically slow on tunneled chips)
+        self._loaded_valid_np = valid_np[:hwm].copy()
+        if meta.get("slab_external"):
+            self._slab_restore_pending = True
+        return True
+
+    def _slots_for_positions(self, positions: np.ndarray) -> np.ndarray:
+        """Slab position -> external slot (identity for flat slabs;
+        clustered layouts override with their position map)."""
+        return positions
+
+    def restore_slab(self, reader, chunk: int = 262_144) -> bool:
+        """Refill the device slab from a host row source after loading
+        a slab-external checkpoint. ``reader(slots) -> (rows_f32,
+        have)`` is the store's raw-row gather. Rows go H2D in chunks
+        and re-quantize on device through the same write kernel the
+        add path uses — scales regenerate self-consistently, and the
+        checkpoint never pays the device->host slab gather."""
+        if not getattr(self, "_slab_restore_pending", False):
+            return False
+        valid_host = self._loaded_valid_np
+        hwm = len(valid_host)
+        with self._mu.write():
+            for lo in range(0, hwm, chunk):
+                pos = np.nonzero(valid_host[lo:lo + chunk])[0] + lo
+                if not len(pos):
+                    continue
+                slots = self._slots_for_positions(pos)
+                rows, have = reader(np.asarray(slots, np.int64))
+                if not have.all():
+                    raise ValueError(
+                        f"slab restore: raw store is missing "
+                        f"{int((~have).sum())} of {len(pos)} rows — "
+                        "checkpoint unusable without its row source"
+                    )
+                self._scatter(pos, rows.astype(np.float32), True)
+            self._slab_restore_pending = False
         return True
 
     def get_stats(self) -> dict:

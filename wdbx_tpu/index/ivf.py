@@ -433,6 +433,9 @@ def _dedup_rows(scores: np.ndarray, slots: np.ndarray, k: int):
 
 class IVFIndex(FlatIndex):
     kind = "ivf"
+    # dense bucket tables duplicate rows outside the flat slab; the
+    # slab-external scheme cannot reconstruct them from raw rows
+    supports_slab_external = False
 
     def __init__(
         self,

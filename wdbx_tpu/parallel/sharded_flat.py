@@ -244,6 +244,9 @@ def _build_search(mesh: Mesh, axis: str, k: int, precision: str, int8: bool,
 
 class ShardedFlatIndex(FlatIndex):
     kind = "sharded_flat"
+    #: sharded slabs keep their own save path (no slab-external
+    #: reconstruction wired for mesh-striped layouts yet)
+    supports_slab_external = False
     #: packed int4 is supported: the fused kernel unpacks per tile and
     #: the exact fallback per 8192-row block — the packed slab never
     #: expands in HBM. (ShardedIVFIndex still rejects int4 through the

@@ -272,6 +272,18 @@ class RawStore:
         rows[~have] = 0.0
         return rows, have
 
+    def has(self, shard: int, slots: np.ndarray) -> np.ndarray:
+        """ok-flag gather only, no row reads — the coverage gate for
+        slab-external checkpoints (store skips persisting the device
+        slab only when every live row is reconstructable from here)."""
+        slots = np.asarray(slots, np.int64)
+        ok_v = self._ok[shard]
+        if ok_v is None or len(slots) == 0:
+            return np.zeros(len(slots), bool)
+        cap = len(ok_v)
+        safe = np.clip(slots, 0, cap - 1)
+        return (ok_v[safe] != 0) & (slots >= 0) & (slots < cap)
+
     def drop(self, shard: int, slots: np.ndarray) -> None:
         slots = np.asarray(slots, np.int64)
         cap = self._caps[shard]
@@ -338,6 +350,9 @@ class NullRawStore:
     def read(self, shard, slots):
         n = len(np.asarray(slots))
         return np.zeros((n, self.dim), np.float32), np.zeros(n, bool)
+
+    def has(self, shard, slots):
+        return np.zeros(len(np.asarray(slots)), bool)
 
     def drop(self, shard, slots) -> None:
         pass

@@ -1095,6 +1095,7 @@ class VectorStore:
                 self._ckpt_gen, self._ckpt_dir = cur
             try:
                 if index.load(self._index_load_path(shard)):
+                    self._maybe_restore_slab(shard, index)
                     with open(self._index_load_path(shard) + ".ids.json") as f:
                         id_map = json.load(f)
                     reg = _native.SlotRegistry()
@@ -1181,11 +1182,20 @@ class VectorStore:
             idx_dir = os.path.join(stage, "indices")
             for shard, index in enumerate(self.indices):
                 path = os.path.join(idx_dir, f"shard_{shard}")
-                index.save(path)
+                if self._slab_external_ok(shard, index):
+                    # Persist everything EXCEPT the slab; load rebuilds
+                    # it from the raw store by H2D + device re-quantize.
+                    # The device->host slab gather measured ~20 MB/s on
+                    # the tunneled chip (vs ~1 GB/s H2D): at 10M x 768
+                    # it alone turned save() into minutes.
+                    index.save(path, skip_slab=True)
+                else:
+                    index.save(path)
                 maps = dict(self.registries[shard].items())
                 with open(path + ".ids.json", "w") as f:
                     json.dump(maps, f)
             # the raw memmap IS the on-disk format — flush dirty pages
+            # (before commit: slab-external generations depend on it)
             self.raws.flush()
             self._ckpt_dir = self._ckpt.commit(gen, stage)
             self._ckpt_gen = gen
@@ -1204,6 +1214,40 @@ class VectorStore:
                 self._remove_old_layout()
                 self._oldlayout_loaded = False
             self._mutations_since_save = 0
+
+    def _maybe_restore_slab(self, shard: int, index: Any) -> None:
+        """Rebuild a slab-external checkpoint's device slab from the
+        raw store (chunked host read -> H2D -> device re-quantize).
+        Raises ValueError when the raw store lost rows the checkpoint
+        depends on — the caller's corrupt-checkpoint handling applies."""
+        if not getattr(index, "_slab_restore_pending", False):
+            return
+        index.restore_slab(
+            lambda slots: self.raws.read(shard, np.asarray(slots, np.int64))
+        )
+
+    def _slab_external_ok(self, shard: int, index: Any) -> bool:
+        """True when this shard's checkpoint may omit the device slab:
+        quantized dtype (re-quantization from raw rows is within the
+        slab's own quantization noise), the index supports positional
+        restore, the raw store is live, and EVERY live slot has a raw
+        row (gap -> full slab persists; a checkpoint must never depend
+        on rows it cannot get back). ``CHECKPOINT_SLAB=full`` forces
+        the full slab; ``auto`` (default) applies the gate."""
+        mode = str(self.config.get("CHECKPOINT_SLAB", "auto")).lower()
+        if mode == "full":
+            return False
+        if not (
+            getattr(index, "supports_slab_external", False)
+            and getattr(index, "dtype_name", "") in ("int8", "int4")
+            and self.raws.enabled
+        ):
+            return False
+        table = self._ids_for(shard)
+        live_slots = np.nonzero(table != None)[0]  # noqa: E711
+        if not len(live_slots):
+            return True
+        return bool(self.raws.has(shard, live_slots).all())
 
     def _remove_old_layout(self) -> None:
         """Drop pre-generation (r4-layout) checkpoint files this process
@@ -1246,6 +1290,7 @@ class VectorStore:
         for shard, index in enumerate(self.indices):
             try:
                 if index.load(self._index_load_path(shard)):
+                    self._maybe_restore_slab(shard, index)
                     with open(self._index_load_path(shard) + ".ids.json") as f:
                         id_map = json.load(f)
                     reg = _native.SlotRegistry()
