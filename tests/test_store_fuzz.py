@@ -280,3 +280,89 @@ def test_store_differential_sharded(tmp_path, seed):
                 assert hit[0] in passing, (flt, hit[0])
                 assert abs(hit[1] - exact[rank]) < 5e-3, (
                     flt, rank, hit[1], exact[rank])
+
+
+@pytest.mark.parametrize("seed", [7, 19])
+def test_store_differential_pipelined_and_generations(tmp_path, seed):
+    """r5 surfaces under random ops: submit/resolve handles racing
+    mutations (resolve must re-run, never mispair), generation saves
+    interleaved with churn, and a clustered engine rebuilding under the
+    mutations (serve-through). Model = independent _ref_matches."""
+    r = np.random.default_rng(seed)
+    dim = 8
+    store = _make(
+        tmp_path, INDEX_TYPE="ivf_clustered", IVF_NLIST=8,
+        IVF_TRAIN_THRESHOLD=64, IVF_NPROBE=8,
+    )
+    model: dict[str, tuple[np.ndarray, dict]] = {}
+    next_id = 0
+    pending: list[tuple] = []  # (handle, queries, limit)
+
+    def rand_vec(n):
+        v = r.standard_normal((n, dim)).astype(np.float32)
+        return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+    def check_resolved(handle, q, limit, label):
+        got = store.search_batch_resolve(handle)
+        for qi, hits in zip(q, got):
+            # every hit must be a LIVE id whose metadata is its own
+            for vid, score, meta in hits:
+                assert vid in model, f"{label}: ghost id {vid!r}"
+                mvec, mmeta = model[vid]
+                assert meta == mmeta, f"{label}: metadata mispair {vid!r}"
+                true_s = float(qi @ mvec / max(np.linalg.norm(mvec), 1e-12))
+                assert abs(score - true_s) < 5e-3, (
+                    f"{label}: stale score for {vid!r}"
+                )
+            assert len(hits) == min(limit, len(model))
+
+    for step in range(60):
+        op = r.random()
+        if op < 0.35 or not model:
+            m = int(r.integers(1, 8))
+            batch, metas = {}, {}
+            for _ in range(m):
+                if model and r.random() < 0.3:
+                    vid = list(model)[int(r.integers(0, len(model)))]
+                else:
+                    vid = f"p{next_id}"
+                    next_id += 1
+                vec, meta = rand_vec(1)[0], _rand_meta(r)
+                batch[vid], metas[vid] = vec, meta
+            store.batch_store(batch, metas)
+            for vid, vec in batch.items():
+                model[vid] = (np.asarray(vec), metas[vid])
+        elif op < 0.50 and model:
+            vid = list(model)[int(r.integers(0, len(model)))]
+            assert store.delete(vid)
+            del model[vid]
+        elif op < 0.65:
+            # submit now, mutate before resolving (below): the epoch
+            # retry must keep results consistent with the LIVE state
+            q = rand_vec(2)
+            limit = int(r.integers(1, 5))
+            pending.append((store.search_batch_submit(q, limit=limit),
+                            q, limit))
+        elif op < 0.80:
+            store.save()  # a new generation mid-churn
+        elif op < 0.90:
+            store.optimize()  # clustered rebuild under the ops
+        else:
+            store.save()
+            store = _make(
+                tmp_path, INDEX_TYPE="ivf_clustered", IVF_NLIST=8,
+                IVF_TRAIN_THRESHOLD=64, IVF_NPROBE=8,
+            )
+            pending.clear()  # handles die with their store
+        # resolve one aged handle against the CURRENT model
+        if pending and r.random() < 0.6:
+            handle, q, limit = pending.pop(0)
+            check_resolved(handle, q, limit, f"step{step}")
+    for handle, q, limit in pending:
+        check_resolved(handle, q, limit, "drain")
+    # final: registry and model agree after all generations
+    assert store.count() == len(model)
+    for vid, (vec, meta) in model.items():
+        got = store.get(vid)
+        assert got is not None and got[1] == meta
+        np.testing.assert_allclose(got[0], vec, atol=2e-2)
