@@ -191,6 +191,12 @@ class RawStore:
     def enabled(self) -> bool:
         return True
 
+    #: int8-quantize work-chunk: temporaries stay in two reused scratch
+    #: buffers (~100 MB) — whole-batch temporaries at bulk_load scale
+    #: allocated ~2.5 GB of fresh pages per chunk, and page first-touch
+    #: (~110 MB/s on this host) made RawStore.write 80% of ingest time
+    _CHUNK = 32_768
+
     def write(self, shard: int, slots: np.ndarray, rows: np.ndarray) -> None:
         """Scatter f32 ``rows`` at ``slots`` (quantizing per the store
         dtype). Vectorized; dirty pages flush lazily (or at save())."""
@@ -199,16 +205,31 @@ class RawStore:
             return
         self._ensure(shard, int(slots.max()) + 1)
         rows = np.asarray(rows, np.float32)
-        if self.dtype_name == "int8":
-            scale = np.maximum(
-                np.abs(rows).max(axis=1), 1e-12
-            ).astype(np.float32) / 127.0
-            self._rows[shard][slots] = np.clip(
-                np.rint(rows / scale[:, None]), -127, 127
-            ).astype(np.int8)
-            self._scales[shard][slots] = scale
-        else:
-            self._rows[shard][slots] = rows.astype(self._dtype)
+        if self.dtype_name != "int8":
+            # fancy-index assignment casts in C without an .astype copy
+            self._rows[shard][slots] = rows
+            self._ok[shard][slots] = 1
+            return
+        ch = self._CHUNK
+        if not hasattr(self, "_scratch_f"):
+            self._scratch_f = np.empty((ch, self.dim), np.float32)
+            self._scratch_q = np.empty((ch, self.dim), np.int8)
+        for lo in range(0, len(slots), ch):
+            sl = slots[lo:lo + ch]
+            r = rows[lo:lo + ch]
+            n = len(sl)
+            buf = self._scratch_f[:n]
+            np.abs(r, out=buf)
+            scale = buf.max(axis=1)
+            np.maximum(scale, 1e-12, out=scale)
+            scale /= 127.0
+            np.divide(r, scale[:, None], out=buf)
+            np.rint(buf, out=buf)
+            np.clip(buf, -127, 127, out=buf)
+            q = self._scratch_q[:n]
+            np.copyto(q, buf, casting="unsafe")
+            self._rows[shard][sl] = q
+            self._scales[shard][sl] = scale
         self._ok[shard][slots] = 1
 
     def write_quantized(
