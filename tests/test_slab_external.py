@@ -129,3 +129,19 @@ def test_slab_external_survives_recover(tmp_path):
     assert store.count() == 80
     got = store.get("v0042")
     assert got is not None and got[1]["num"] == 42
+
+
+def test_post_save_delete_then_crash_recovers_checkpoint_state(tmp_path):
+    """A delete AFTER a slab-external save must not poison the
+    checkpoint: simulated crash (no second save) + reload serves the
+    at-save state, not a fresh shard (the eager raws.drop regression)."""
+    store = _store(tmp_path)
+    _fill(store, 60)
+    store.save()
+    assert "slab" not in _npz_keys(tmp_path)
+    assert store.delete("v0012")  # post-save mutation, never saved
+    del store  # crash: no save after the delete
+    re = _store(tmp_path)
+    assert re.count() == 60, "whole-shard loss on restore"
+    got = re.get("v0012")  # at-save semantics: the row is back
+    assert got is not None and got[1]["num"] == 12

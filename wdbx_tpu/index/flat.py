@@ -723,7 +723,14 @@ class FlatIndex(VectorIndex):
         have)`` is the store's raw-row gather. Rows go H2D in chunks
         and re-quantize on device through the same write kernel the
         add path uses — scales regenerate self-consistently, and the
-        checkpoint never pays the device->host slab gather."""
+        checkpoint never pays the device->host slab gather.
+
+        Known recovery caveat (same unacknowledged-window class as the
+        reference's save cadence): a slot freed AND recycled by a new
+        id between the checkpoint and a crash restores with the newer
+        row under the checkpointed id. Deletes alone are safe — the
+        store keeps raw bytes for freed slots until they are
+        rewritten."""
         if not getattr(self, "_slab_restore_pending", False):
             return False
         valid_host = self._loaded_valid_np
@@ -741,7 +748,7 @@ class FlatIndex(VectorIndex):
                         f"{int((~have).sum())} of {len(pos)} rows — "
                         "checkpoint unusable without its row source"
                     )
-                self._scatter(pos, rows.astype(np.float32), True)
+                self._scatter(pos, np.asarray(rows, np.float32), True)
             self._slab_restore_pending = False
         return True
 

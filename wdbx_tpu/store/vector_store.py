@@ -324,7 +324,14 @@ class VectorStore:
                 return False
             self.indices[shard].remove_slots(np.asarray([slot]))
             self.meta.drop(shard, int(slot))
-            self.raws.drop(shard, np.asarray([slot]))
+            # The raw row is NOT dropped: every read path is gated on
+            # registry/index liveness, and the last slab-external
+            # checkpoint may still list this slot as valid — eagerly
+            # clearing the row would turn a post-save delete + crash
+            # into a failed slab restore (whole-shard loss) instead of
+            # the intended lose-only-unacknowledged-mutations recovery.
+            # The bytes are reclaimed when the slot is rewritten or the
+            # shard compacts (raws.remap clears stale flags).
             self._after_mutation()
         return True
 
