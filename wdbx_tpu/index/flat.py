@@ -105,9 +105,35 @@ def _write_quantized4_body(slab, valid, scales, vecs, slots, flags):
     return slab, valid, scales
 
 
+def _requant_body(slab, valid, scales, q, row_scales, slots, flags,
+                  normalize):
+    """Slab-restore write: dequantize int8 raw codes ON DEVICE (host
+    dequant allocated GBs of f32 temporaries and quadrupled H2D)."""
+    from wdbx_tpu.ops.normalize import l2_normalize as _l2n
+
+    rows = q.astype(jnp.float32) * row_scales[:, None]
+    if normalize:
+        rows = _l2n(rows)
+    return _write_quantized_body(slab, valid, scales, rows, slots, flags)
+
+
+def _requant4_body(slab, valid, scales, q, row_scales, slots, flags,
+                   normalize):
+    from wdbx_tpu.ops.normalize import l2_normalize as _l2n
+
+    rows = q.astype(jnp.float32) * row_scales[:, None]
+    if normalize:
+        rows = _l2n(rows)
+    return _write_quantized4_body(slab, valid, scales, rows, slots, flags)
+
+
 _write = jax.jit(_write_body, donate_argnums=(0, 1))
 _write_quantized = jax.jit(_write_quantized_body, donate_argnums=(0, 1, 2))
 _write_quantized4 = jax.jit(_write_quantized4_body, donate_argnums=(0, 1, 2))
+_requant = jax.jit(_requant_body, donate_argnums=(0, 1, 2),
+                   static_argnames=("normalize",))
+_requant4 = jax.jit(_requant4_body, donate_argnums=(0, 1, 2),
+                    static_argnames=("normalize",))
 _tombstone = jax.jit(_tombstone_body, donate_argnums=(0,))
 # Copy-on-write twins: a background rebuild holds references to the
 # current arrays as its read snapshot, so mutations in that window must
@@ -734,23 +760,64 @@ class FlatIndex(VectorIndex):
         if not getattr(self, "_slab_restore_pending", False):
             return False
         valid_host = self._loaded_valid_np
-        hwm = len(valid_host)
+        pos_all = np.nonzero(valid_host)[0]
+        slots_all = np.asarray(
+            self._slots_for_positions(pos_all), np.int64
+        )
+        # iterate in SLOT order: clustered layouts permute positions,
+        # and a slot-ordered pass turns the raw-store gather into
+        # sequential memmap reads (the measured restore wall)
+        order = np.argsort(slots_all, kind="stable")
+        pos_all = pos_all[order]
+        slots_all = slots_all[order]
         with self._mu.write():
-            for lo in range(0, hwm, chunk):
-                pos = np.nonzero(valid_host[lo:lo + chunk])[0] + lo
-                if not len(pos):
-                    continue
-                slots = self._slots_for_positions(pos)
-                rows, have = reader(np.asarray(slots, np.int64))
+            for lo in range(0, len(pos_all), chunk):
+                pos = pos_all[lo:lo + chunk]
+                slots = slots_all[lo:lo + chunk]
+                rows, row_scales, have = reader(slots)
                 if not have.all():
                     raise ValueError(
                         f"slab restore: raw store is missing "
                         f"{int((~have).sum())} of {len(pos)} rows — "
                         "checkpoint unusable without its row source"
                     )
-                self._scatter(pos, np.asarray(rows, np.float32), True)
+                if row_scales is not None:
+                    self._scatter_requant(pos, rows, row_scales)
+                else:
+                    self._scatter(pos, np.asarray(rows, np.float32), True)
             self._slab_restore_pending = False
         return True
+
+    def _scatter_requant(
+        self, slots: np.ndarray, q: np.ndarray, row_scales: np.ndarray
+    ) -> None:
+        """Restore-path scatter of int8 raw codes: dequantize + (re-)
+        quantize on device — only the int8 bytes cross the host
+        boundary."""
+        n = len(slots)
+        pad_n = _next_pow2(max(n, 1))
+        if pad_n != n:
+            q = np.pad(q[:n], ((0, pad_n - n), (0, 0)))
+            row_scales = np.pad(
+                row_scales[:n], (0, pad_n - n), constant_values=1.0
+            )
+        else:
+            q, row_scales = q[:n], row_scales[:n]
+        pslots = jnp.asarray(
+            np.pad(slots, (0, pad_n - n), constant_values=self._cap)
+        )
+        flags = jnp.asarray(
+            np.pad(np.full(n, True), (0, pad_n - n), constant_values=False)
+        )
+        body = _requant4 if self._is_int4 else _requant
+        self._slab, self._valid, self._scales = body(
+            self._slab, self._valid, self._scales,
+            jnp.asarray(q), jnp.asarray(row_scales), pslots, flags,
+            normalize=self.metric == "cosine",
+        )
+        # the q/row_scales host buffers are caller-reused scratch; the
+        # transfers above must complete before the caller refills them
+        jax.block_until_ready(self._valid)
 
     def get_stats(self) -> dict:
         stats = super().get_stats()

@@ -293,6 +293,52 @@ class RawStore:
         rows[~have] = 0.0
         return rows, have
 
+    def read_native(
+        self,
+        shard: int,
+        slots: np.ndarray,
+        out_q: np.ndarray | None = None,
+        out_s: np.ndarray | None = None,
+    ):
+        """int8 stores only: gather quantized codes + per-row scales
+        WITHOUT dequantizing — the slab-restore fast path ships int8
+        straight to the device (4x fewer H2D bytes, no host f32
+        temporaries). ``out_q``/``out_s`` are caller-reused buffers.
+        Returns ``(q, scales, have)`` or None for non-int8 stores."""
+        if self.dtype_name != "int8":
+            return None
+        slots = np.asarray(slots, np.int64)
+        n = len(slots)
+        rows_v, ok_v, sc_v = (
+            self._rows[shard], self._ok[shard], self._scales[shard]
+        )
+        q = out_q[:n] if out_q is not None else np.empty(
+            (n, self.dim), np.int8
+        )
+        s = out_s[:n] if out_s is not None else np.empty(n, np.float32)
+        if rows_v is None or n == 0:
+            q[:] = 0
+            s[:] = 0.0
+            return q, s, np.zeros(n, bool)
+        cap = min(rows_v.shape[0], len(ok_v), len(sc_v))
+        s0, s1 = int(slots[0]), int(slots[-1])
+        if s1 - s0 + 1 == n and 0 <= s0 and s1 < cap:
+            # dense ascending range (the slot-sorted restore's common
+            # case): one sliced copy instead of per-row fancy indexing
+            # — np.take over the memmap measured ~68 MB/s here, the
+            # slice runs at sequential-read speed
+            np.copyto(q, rows_v[s0:s1 + 1])
+            np.copyto(s, sc_v[s0:s1 + 1])
+            have = ok_v[s0:s1 + 1] != 0
+        else:
+            safe = np.clip(slots, 0, cap - 1)
+            have = (ok_v[safe] != 0) & (slots >= 0) & (slots < cap)
+            np.take(rows_v, safe, axis=0, out=q)
+            np.take(sc_v, safe, out=s)
+        q[~have] = 0
+        s[~have] = 0.0
+        return q, s, have
+
     def has(self, shard: int, slots: np.ndarray) -> np.ndarray:
         """ok-flag gather only, no row reads — the coverage gate for
         slab-external checkpoints (store skips persisting the device
@@ -374,6 +420,9 @@ class NullRawStore:
 
     def has(self, shard, slots):
         return np.zeros(len(np.asarray(slots)), bool)
+
+    def read_native(self, shard, slots, out_q=None, out_s=None):
+        return None
 
     def drop(self, shard, slots) -> None:
         pass

@@ -1225,13 +1225,29 @@ class VectorStore:
     def _maybe_restore_slab(self, shard: int, index: Any) -> None:
         """Rebuild a slab-external checkpoint's device slab from the
         raw store (chunked host read -> H2D -> device re-quantize).
-        Raises ValueError when the raw store lost rows the checkpoint
-        depends on — the caller's corrupt-checkpoint handling applies."""
+        int8 raw stores ship their codes natively (4x fewer wire
+        bytes, no host f32 temporaries) through reused scratch
+        buffers; other precisions read dequantized f32. Raises
+        ValueError when the raw store lost rows the checkpoint depends
+        on — the caller's corrupt-checkpoint handling applies."""
         if not getattr(index, "_slab_restore_pending", False):
             return
-        index.restore_slab(
-            lambda slots: self.raws.read(shard, np.asarray(slots, np.int64))
-        )
+        chunk = 262_144
+        scratch: dict[str, np.ndarray] = {}
+
+        def reader(slots: np.ndarray):
+            if "q" not in scratch:
+                scratch["q"] = np.empty((chunk, self.dim), np.int8)
+                scratch["s"] = np.empty(chunk, np.float32)
+            native = self.raws.read_native(
+                shard, slots, out_q=scratch["q"], out_s=scratch["s"]
+            )
+            if native is not None:
+                return native
+            rows, have = self.raws.read(shard, slots)
+            return rows, None, have
+
+        index.restore_slab(reader, chunk=chunk)
 
     def _slab_external_ok(self, shard: int, index: Any) -> bool:
         """True when this shard's checkpoint may omit the device slab:
