@@ -164,9 +164,11 @@ def main() -> None:
             "vs_unfiltered": round(fq / base_qps, 3),
             "recall_at_10": round(rec, 4),
         }), flush=True)
-        if rec < 0.95 and sel >= 0.02:
-            # close the loop: calibrate the bin's boost on a HELD-OUT
-            # query sample, then remeasure the original query set
+        if sel >= 0.02:
+            # close the loop BOTH ways: calibrate the bin's boost on a
+            # HELD-OUT query sample (escalating when recall misses,
+            # de-escalating when the default over-probes), then
+            # remeasure the original query set
             q_tune = gen_host(4242, 32).astype(np.float32)
             tuned = idx.tune_filtered(
                 q_tune, mask, k=k, target_recall=0.95

@@ -1865,6 +1865,33 @@ class TestFilteredTuning:
         )
         assert achieved >= 0.95, achieved
 
+    def test_tune_filtered_deescalates_overprobing_default(self, rng):
+        """When the default boost already over-shoots the target,
+        tune_filtered must pin a SMALLER factor (trimming probe DMA the
+        recall does not need) that still meets the target — the r5 fix
+        for the 10%-selectivity leg paying 3x the unfiltered cost for
+        +0.016 recall over the bar."""
+        from wdbx_tpu.index.ivf import _DEFAULT_BOOSTS, _boost_bin
+
+        # nprobe high enough that the default boost saturates recall:
+        # a mid-selectivity mask is then trivially recalled and the
+        # tuner should walk the ladder DOWN
+        idx = _make(32, nlist=32, nprobe=8, train_threshold=64)
+        idx.topk_method = "exact"
+        idx.batch_flat_fallback = False
+        db, slots = self._corpus(idx, rng, n=8192)
+        mask = self._pct_mask(rng, slots, 0.5)
+        q = _normed(rng, 16, 32)
+        achieved = idx.tune_filtered(q, mask, k=10, target_recall=0.9)
+        assert achieved >= 0.9, achieved
+        bin_ = _boost_bin(idx._mask_selectivity(mask))
+        pinned = idx._filter_boosts[bin_]
+        # nprobe=8 of nlist=32 at 50% selectivity: boost 1-2 suffices,
+        # so anything >= the default means de-escalation never ran
+        assert pinned < _DEFAULT_BOOSTS[bin_], (
+            f"pinned {pinned}, default {_DEFAULT_BOOSTS[bin_]}"
+        )
+
     def test_tune_filtered_sparse_mask_routes_exact(self, rng):
         """Below FILTER_EXACT_THRESHOLD the filtered path is already the
         exact masked scan; tuning is a no-op reporting recall 1.0."""
