@@ -44,6 +44,38 @@ class TestShardedClustered:
         _, selfq = idx.search(db[:8], 1)
         assert (selfq.ravel() == slots[:8]).all()
 
+    def test_build_from_streaming(self, rng):
+        """API parity with ClusteredIVFIndex.build_from: chunked bulk
+        load returns source-order slots and the built index recalls
+        (the filtered benchmark's FILTERED_SHARDED leg drives exactly
+        this path)."""
+        d, n_chunks, rows = 32, 5, 400
+
+        def chunks():
+            r = np.random.default_rng(11)
+            for _ in range(n_chunks):
+                yield r.standard_normal((rows, d)).astype(np.float32)
+
+        idx = _make(d)
+        slots = idx.build_from(chunks, train_chunks=2)
+        n = n_chunks * rows
+        assert len(slots) == n and idx.count() == n and idx.is_trained
+        with pytest.raises(ValueError):
+            idx.build_from(chunks)
+        all_rows = np.concatenate(list(chunks()))
+        all_rows /= np.linalg.norm(all_rows, axis=-1, keepdims=True)
+        q = _normed(rng, 4, d)
+        _, got = idx.search(q, 10)
+        inv = np.empty(n, np.int64)
+        inv[slots] = np.arange(n)
+        got_src = np.where(got >= 0, inv[np.clip(got, 0, n - 1)], -1)
+        exp = np.argsort(-(q @ all_rows.T), axis=-1)[:, :10]
+        recall = np.mean(
+            [len(set(a.tolist()) & set(b.tolist())) / 10
+             for a, b in zip(got_src, exp)]
+        )
+        assert recall >= 0.99, recall
+
     def test_load_balanced_striping(self, rng):
         """Every device holds ~1/n of every nonempty bucket."""
         idx = _make(32, nlist=8)

@@ -438,6 +438,25 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
             return slots, slots
 
     # -- build ---------------------------------------------------------------
+    def build_from(self, chunks_factory, *, train_chunks: int = 1):
+        """Chunked bulk load + one clustered build (API parity with
+        :meth:`ClusteredIVFIndex.build_from`). Mesh-striped slabs take
+        adds through the flat overlay and permute into stripes at
+        ``build()``, so the single-device engine's two-pass streaming
+        layout does not apply — each chunk lands once (device arrays
+        stay on device; the scatter rides the jit dispatch) and the
+        build runs at the end. ``train_chunks`` is accepted for
+        signature parity; training draws from ``train_sample`` rows of
+        the built slab. Returns ``(n_total,)`` slot ids in source
+        order."""
+        if self._size:
+            raise ValueError("build_from requires an empty index")
+        slots = [np.empty(0, np.int64)]
+        for rows in chunks_factory():
+            slots.append(np.asarray(self.add_batch(rows), np.int64))
+        self.build()
+        return np.concatenate(slots)
+
     def build(self) -> None:
         with self._mu.write():
             self._build_locked()
