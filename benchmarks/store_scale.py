@@ -82,6 +82,10 @@ def main() -> None:
     cfg.set("INDEX_DTYPE", os.environ.get("STORE_SCALE_DTYPE", "int8"))
     cfg.set("IVF_NLIST", 4096)
     cfg.set("IVF_NPROBE", 4)
+    # declared capacity (the reference's HNSW_MAX_ELEMENTS semantic):
+    # past ~half of HBM an incremental copy-grow cannot hold old+new
+    # slabs at once — a 10M bulk load OOMed at ~8M rows without this
+    cfg.set("INDEX_CAPACITY", n)
     cfg.set("IVF_TRAIN_THRESHOLD", 1 << 62)  # build_from trains
     cfg.set("VECTOR_STORE_AUTOSAVE_INTERVAL", 0)  # explicit save only
     cfg.set("RAW_STORE", os.environ.get("RAW_STORE", "memmap"))

@@ -135,6 +135,18 @@ def create_index(kind: str, dim: int, config: Any = None) -> "VectorIndex":
     if config is not None:
         kwargs["metric"] = config.get("INDEX_METRIC", "cosine")
         kwargs["dtype"] = config.get("INDEX_DTYPE", "float32")
+        # Declared capacity presizes the device slab (per shard), the
+        # reference's HNSW_MAX_ELEMENTS semantic (reference
+        # wdbx/core/indexing.py:245). Essential for bulk loads past
+        # ~half of HBM: an incremental copy-grow needs old+new slabs
+        # resident at once, which cannot fit there (measured: 10M x 768
+        # int8 ingest OOMs at ~8M rows without presizing).
+        declared = int(config.get(
+            "INDEX_CAPACITY",
+            config.get("HNSW_MAX_ELEMENTS", 0) if kind == "hnsw" else 0,
+        ) or 0)
+        if declared > 0:
+            kwargs["capacity"] = declared
     if kind == "hnsw":
         # Reference-config migration: the reference serves INDEX_TYPE=HNSW
         # via hnswlib (reference wdbx/core/indexing.py:709-758); the

@@ -127,6 +127,15 @@ def _requant4_body(slab, valid, scales, q, row_scales, slots, flags,
     return _write_quantized4_body(slab, valid, scales, rows, slots, flags)
 
 
+@partial(jax.jit, static_argnames=("new_cap",))
+def _grow_copy(old, new_cap):
+    """Copy-grow with the minimal HBM peak (old + new only): the zero
+    extension fuses into the output allocation instead of existing as a
+    separate full-size argument."""
+    out = jnp.zeros((new_cap,) + old.shape[1:], old.dtype)
+    return jax.lax.dynamic_update_slice(out, old, (0,) * old.ndim)
+
+
 _write = jax.jit(_write_body, donate_argnums=(0, 1))
 _write_quantized = jax.jit(_write_quantized_body, donate_argnums=(0, 1, 2))
 _write_quantized4 = jax.jit(_write_quantized4_body, donate_argnums=(0, 1, 2))
@@ -242,14 +251,20 @@ class FlatIndex(VectorIndex):
             self._scales = jnp.zeros((cap,), jnp.float32)
 
     def _grow(self, need: int) -> None:
+        # HBM peak during a copy-grow is old + new slab: jitted
+        # zeros+dynamic_update_slice fuses the zero-fill into the output
+        # allocation. (The eager ``zeros().at[:cap].set(old)`` this
+        # replaces materialized the zeros as a 3rd full-size buffer PLUS
+        # a scatter temp — 21 GB for a 6->9 GB grow, OOM on a 16 GB
+        # chip.) Past half of HBM even old+new cannot fit; bulk loads at
+        # that scale should presize via INDEX_CAPACITY (the reference
+        # declares capacity the same way, HNSW_MAX_ELEMENTS —
+        # reference wdbx/core/indexing.py:245).
         new_cap = self._round_cap(max(need, int(self._cap * 1.5)))
-        slab = jnp.zeros((new_cap, self._row_width), self._dtype)
-        self._slab = slab.at[: self._cap].set(self._slab)
-        valid = jnp.zeros((new_cap,), jnp.bool_)
-        self._valid = valid.at[: self._cap].set(self._valid)
+        self._slab = _grow_copy(self._slab, new_cap)
+        self._valid = _grow_copy(self._valid, new_cap)
         if self._is_quantized:
-            scales = jnp.zeros((new_cap,), jnp.float32)
-            self._scales = scales.at[: self._cap].set(self._scales)
+            self._scales = _grow_copy(self._scales, new_cap)
         self._cap = new_cap
 
     def _take_slots(self, n: int) -> np.ndarray:
