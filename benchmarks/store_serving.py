@@ -16,6 +16,9 @@ latency percentiles.
 Env: STORE_N (default 262144), STORE_DIM (384), CLIENTS (256),
      DURATION (10 s), MAX_BATCH (128), STORE_NLIST (default 4096),
      STORE_NPROBE (default 1 — the tuned flagship op point).
+     STORE_DATA_DIR — load a previously saved store (e.g. the
+     store_scale 10M corpus) instead of generating + building one;
+     STORE_NPROBE still applies (set on the loaded index).
 """
 
 from __future__ import annotations
@@ -62,7 +65,25 @@ def main() -> None:
     cfg.set("VECTOR_STORE_KEEP_RAW", False)  # no host copies at this n
     cfg.set("VECTOR_STORE_AUTOSAVE_INTERVAL", 1 << 62)
 
-    store = VectorStore(cfg, data_dir="/tmp/wdbx_store_bench")
+    data_dir = os.environ.get("STORE_DATA_DIR")
+    if data_dir:
+        # serve a persisted corpus (store_scale's 10M build): the cfg
+        # must match its geometry; nprobe is an op point, not a layout
+        # property, so the env override wins over the checkpointed one
+        cfg.set("INDEX_CAPACITY", n)
+        cfg.set("RAW_STORE", os.environ.get("RAW_STORE", "memmap"))
+        cfg.set("RAW_STORE_DTYPE", os.environ.get("RAW_STORE_DTYPE", "int8"))
+        cfg.set("IVF_TRAIN_THRESHOLD", 1 << 62)
+        t0 = time.perf_counter()
+        store = VectorStore(cfg, data_dir=data_dir)
+        for index in store.indices:
+            index.nprobe = int(os.environ.get("STORE_NPROBE", 1))
+        print(json.dumps({
+            "stage": "load", "n": store.count(),
+            "load_s": round(time.perf_counter() - t0, 1),
+        }), flush=True)
+    else:
+        store = VectorStore(cfg, data_dir="/tmp/wdbx_store_bench")
 
     # corpus generation on the CPU BACKEND (numpy first-touch is
     # ~15 MB/s here; and device-side generation would D2H ~30 GB of
@@ -91,16 +112,19 @@ def main() -> None:
         )
         return rows / jnp.linalg.norm(rows, axis=-1, keepdims=True)
 
-    t0 = time.perf_counter()
-    for i in range(0, n, chunk):
-        m = min(chunk, n - i)
-        rows = np.asarray(_gen(centers, 1000 + i // chunk, m), np.float32)
-        store.bulk_load([f"v{i + j}" for j in range(m)], rows)
-    store.indices[0].build()
-    print(json.dumps({
-        "stage": "ingest", "n": store.count(),
-        "ingest_s": round(time.perf_counter() - t0, 1),
-    }), flush=True)
+    if not data_dir:
+        t0 = time.perf_counter()
+        for i in range(0, n, chunk):
+            m = min(chunk, n - i)
+            rows = np.asarray(
+                _gen(centers, 1000 + i // chunk, m), np.float32
+            )
+            store.bulk_load([f"v{i + j}" for j in range(m)], rows)
+        store.indices[0].build()
+        print(json.dumps({
+            "stage": "ingest", "n": store.count(),
+            "ingest_s": round(time.perf_counter() - t0, 1),
+        }), flush=True)
 
     # window-contention probe: round-trip a trivial dispatch — the
     # serving numbers below are only comparable across windows when

@@ -1196,6 +1196,7 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
 
     def _reset_overlay(self) -> None:
         self._centroids = None
+        self._centroids_np = None
         self._bucket_start: np.ndarray | None = None  # (nlist+1,) int64
         self._blk_lo = None  # (nlist,) int32 device
         self._blk_hi = None
@@ -1582,6 +1583,10 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
         self._m = main["m"]
         self._c = c
         self._centroids = jnp.asarray(centroids)
+        # host mirror for persistence: every caller passes a host array
+        # here, and save() must not read the device copy back (~0.3 MB/s
+        # D2H on tunnel-attached chips)
+        self._centroids_np = np.asarray(centroids)
         self._bucket_start = start
         # exact per-bucket row ranges for the small-batch ranges path:
         # L is the static dynamic-slice length (max bucket rows, padded
@@ -1957,6 +1962,13 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
     def _slots_for_positions(self, positions: np.ndarray) -> np.ndarray:
         return self._slot_of[np.asarray(positions, np.int64)]
 
+    def _host_valid(self, hwm: int) -> np.ndarray:
+        """Positions are live exactly where a slot label exists. The
+        parent's freelist derivation over-claims here: a build rounds
+        ``_next_slot`` up to a block boundary, and the padding
+        positions are neither free nor quarantined."""
+        return self._slot_of[:hwm] >= 0
+
     def save(self, path: str, skip_slab: bool = False) -> None:
         with self._mu.read():
             FlatIndex._save_locked(self, path, skip_slab=skip_slab)
@@ -1966,7 +1978,10 @@ class ClusteredIVFIndex(ClusteredSlotMixin, IVFIndex):
                 residual=np.asarray(self._residual, np.int32),
             )
             if self.is_trained:
-                arrays["centroids"] = np.asarray(self._centroids)
+                cnp = getattr(self, "_centroids_np", None)
+                arrays["centroids"] = (
+                    cnp if cnp is not None else np.asarray(self._centroids)
+                )
                 arrays["bucket_start"] = self._bucket_start
             np.savez(path + ".ivfc.npz", **arrays)
             with open(path + ".ivfc.json", "w") as f:

@@ -643,8 +643,20 @@ class FlatIndex(VectorIndex):
             skip_slab = False
         else:
             hwm = self._next_slot
-            arrays = {"valid": np.asarray(self._valid)[:hwm]}
-            if not skip_slab:
+            if skip_slab:
+                # Slab-external saves must be D2H-FREE end to end: on a
+                # tunnel-attached chip even the 10 MB valid bitmap reads
+                # back at ~0.3 MB/s (the three small gathers this branch
+                # replaces measured 203 s of a 227 s save at 10M rows).
+                #  * valid derives on host — device valid is True exactly
+                #    on allocated positions minus the free list and the
+                #    rebuild quarantine (the same equivalence
+                #    _mask_selectivity relies on).
+                #  * scales are omitted — restore_slab regenerates them
+                #    through the device requantize at load.
+                arrays = {"valid": self._host_valid(hwm)}
+            else:
+                arrays = {"valid": np.asarray(self._valid)[:hwm]}
                 # Host-side slicing: partial slices of sharded slabs are
                 # ambiguous for the partitioner, a full host gather is
                 # not.
@@ -652,14 +664,27 @@ class FlatIndex(VectorIndex):
                 if slab.dtype not in (np.float32, np.int8, np.uint8):
                     slab = slab.view(np.uint16)
                 arrays["slab"] = slab
-            if self._is_quantized:
-                arrays["scales"] = np.asarray(self._scales)[:hwm]
+                if self._is_quantized:
+                    arrays["scales"] = np.asarray(self._scales)[:hwm]
             np.savez(path + ".npz", **arrays)
         meta = self._persist_meta()
         if skip_slab:
             meta["slab_external"] = True
         with open(path + ".meta.json", "w") as f:
             json.dump(meta, f)
+
+    def _host_valid(self, hwm: int) -> np.ndarray:
+        """Validity bitmap reconstructed from host bookkeeping (no
+        device readback): allocated positions are live unless they sit
+        on the free list or in the clustered rebuild quarantine."""
+        valid = np.ones(hwm, bool)
+        dead = [int(p) for p in self._free if p < hwm]
+        quar = getattr(self, "_pos_quarantine", None)
+        if quar:
+            dead += [int(p) for p in quar if p < hwm]
+        if dead:
+            valid[np.asarray(dead, np.int64)] = False
+        return valid
 
     def _persist_meta(self) -> dict:
         return {
@@ -718,9 +743,12 @@ class FlatIndex(VectorIndex):
         self._cap = self._round_cap(max(hwm, 1024))
         valid = np.asarray(data["valid"], bool)
         if meta.get("slab_external"):
-            # slab omitted from the checkpoint: zero-fill now, the
-            # store refills from its raw row source via restore_slab()
-            slab_np = np.zeros((self._cap, self._row_width), self._dtype)
+            # slab omitted from the checkpoint: zero-fill ON DEVICE and
+            # let restore_slab() refill from the raw row source. A host
+            # np.zeros here cost ~70 s at 10M x 768 (7.7 GB of page
+            # first-touch at this host's ~110 MB/s) plus a 7.7 GB H2D
+            # upload of zeros — all overwritten by the restore.
+            slab_np = None
         else:
             slab = data["slab"]
             if slab.dtype == np.uint16:
@@ -739,9 +767,19 @@ class FlatIndex(VectorIndex):
         )
         if hwm:
             valid_np[:hwm] = valid[:hwm]
-            if self._is_quantized:
+            # slab-external checkpoints omit scales (restore_slab's
+            # device requantize regenerates them) — leave the zeros
+            if self._is_quantized and "scales" in data:
                 scales_np[:hwm] = data["scales"]
-        self._place(slab_np, valid_np, scales_np)
+        if slab_np is None:
+            self._slab = jnp.zeros(
+                (self._cap, self._row_width), self._dtype
+            )
+            self._valid = jnp.asarray(valid_np)
+            if self._is_quantized:
+                self._scales = jnp.asarray(scales_np)
+        else:
+            self._place(slab_np, valid_np, scales_np)
         self._size = int(meta["size"])
         self._next_slot = hwm
         self._free = [int(s) for s in meta["free"]]

@@ -361,6 +361,7 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
     # -- overlay state -------------------------------------------------------
     def _reset_overlay(self) -> None:
         self._centroids = None  # (nlist, d) replicated
+        self._centroids_np = None
         self._blk_lo = None  # (n_dev, nlist) int32, sharded
         self._blk_hi = None
         self._row_lo = None  # (n_dev, nlist) int32, sharded
@@ -832,6 +833,8 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
         self._centroids = jax.device_put(
             jnp.asarray(centroids, jnp.float32), self._sharding(P())
         )
+        # host mirror for persistence (see ClusteredIVFIndex)
+        self._centroids_np = np.asarray(centroids, np.float32)
         self._blk_lo = jax.device_put(jnp.asarray(blk_lo), sh)
         self._blk_hi = jax.device_put(jnp.asarray(blk_hi), sh)
         # exact per-(device, bucket) row ranges for the small-batch
@@ -1124,7 +1127,10 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
                 residual=np.asarray(self._residual, np.int64),
             )
             if self.is_trained:
-                arrays["centroids"] = np.asarray(self._centroids)
+                cnp = getattr(self, "_centroids_np", None)
+                arrays["centroids"] = (
+                    cnp if cnp is not None else np.asarray(self._centroids)
+                )
                 arrays["local_counts"] = self._local_counts
             np.savez(path + ".ivfsc.npz", **arrays)
             with open(path + ".ivfsc.json", "w") as f:

@@ -87,6 +87,9 @@ class RawStore:
         self._scales: list[np.ndarray | None] = [None] * num_shards
         self._ok: list[np.ndarray | None] = [None] * num_shards
         self._caps = [0] * num_shards
+        #: read-side fd cache for the contiguous-range pread fast path
+        #: (os.pread is offset-explicit, so shared fds are thread-safe)
+        self._rfds: dict[tuple[int, str], int] = {}
         meta_path = os.path.join(self.dir, "raw_meta.json")
         if os.path.exists(meta_path):
             with open(meta_path) as f:
@@ -324,11 +327,18 @@ class RawStore:
         s0, s1 = int(slots[0]), int(slots[-1])
         if s1 - s0 + 1 == n and 0 <= s0 and s1 < cap:
             # dense ascending range (the slot-sorted restore's common
-            # case): one sliced copy instead of per-row fancy indexing
-            # — np.take over the memmap measured ~68 MB/s here, the
-            # slice runs at sequential-read speed
-            np.copyto(q, rows_v[s0:s1 + 1])
-            np.copyto(s, sc_v[s0:s1 + 1])
+            # case). For the mmap backend, pread INTO the caller's
+            # reused scratch instead of slicing the memmap: a memmap
+            # copy installs every source page in this process
+            # (~110 MB/s of page faults on this host — the measured
+            # slab-restore wall), while pread copies straight from the
+            # page cache into already-touched scratch pages. The write
+            # path's mapped pages ARE the page cache (shared file
+            # mapping), so pread sees unflushed writes too.
+            if not self._pread_into(shard, "bin", q, s0 * self.dim):
+                np.copyto(q, rows_v[s0:s1 + 1])
+            if not self._pread_into(shard, "scale", s, s0 * 4):
+                np.copyto(s, sc_v[s0:s1 + 1])
             have = ok_v[s0:s1 + 1] != 0
         else:
             safe = np.clip(slots, 0, cap - 1)
@@ -338,6 +348,29 @@ class RawStore:
         q[~have] = 0
         s[~have] = 0.0
         return q, s, have
+
+    def _pread_into(self, shard: int, kind: str, out: np.ndarray,
+                    byte_off: int) -> bool:
+        """``os.pread`` the exact byte range into C-contiguous ``out``.
+        False when the backend is ram or the read comes up short (the
+        caller falls back to the array view). Fds are cached per
+        (shard, kind); the mmap backend's files only ever grow in place
+        (truncate extension), so a cached fd never goes stale."""
+        if self.backend == "ram":
+            return False
+        key = (shard, kind)
+        fd = self._rfds.get(key)
+        if fd is None:
+            try:
+                fd = os.open(self._path(shard, kind), os.O_RDONLY)
+            except OSError:
+                return False
+            self._rfds[key] = fd
+        mv = memoryview(out).cast("B")
+        try:
+            return os.preadv(fd, [mv], byte_off) == len(mv)
+        except OSError:
+            return False
 
     def has(self, shard: int, slots: np.ndarray) -> np.ndarray:
         """ok-flag gather only, no row reads — the coverage gate for
