@@ -231,3 +231,58 @@ def test_generations_are_garbage_collected(tmp_path):
     root = os.path.join(str(tmp_path), "checkpoint")
     gens = [n for n in os.listdir(root) if n.startswith("g")]
     assert len(gens) == 1, f"stale generations not GC'd: {gens}"
+
+
+def test_failed_slab_restore_poisons_shard_not_checkpoint(tmp_path):
+    """A recover() whose slab restore fails (raw store lost rows under
+    a slab-external checkpoint) must not leave a checkpoint/registry
+    hybrid serving garbage, and save() must refuse to overwrite — and
+    GC — the last complete generation with the resulting empty state."""
+    store = _make(
+        tmp_path,
+        INDEX_DTYPE="int8",
+        RAW_STORE="memmap",
+        RAW_STORE_DTYPE="int8",
+    )
+    _fill(store, [f"p{i}" for i in range(32)])
+    store.save()
+    root = os.path.join(str(tmp_path), "checkpoint")
+    gens_before = sorted(n for n in os.listdir(root) if n.startswith("g"))
+
+    # damage the raw store: truncate the row file so restore_slab
+    # cannot refill the slab-external checkpoint
+    raw_bin = os.path.join(str(tmp_path), "vectors", "raw_shard0.bin")
+    assert os.path.exists(raw_bin)
+    with open(raw_bin, "r+b") as f:
+        f.truncate(8)
+    store.raws._rfds.clear()
+    store.raws._rows[0] = None  # drop the mapped view of the old size
+    store.raws._caps[0] = 0
+
+    assert store.recover(0) is False
+    # no garbage serving: the shard is empty, not a hybrid
+    assert store.count() == 0
+    with pytest.raises(RuntimeError, match="failed-recovery"):
+        store.save()
+    gens_after = sorted(n for n in os.listdir(root) if n.startswith("g"))
+    assert gens_after == gens_before, "good generation must survive"
+    # explicit clear() lifts the poison (declares empty intentional)
+    store.clear()
+    store.save()
+
+
+def test_rawstore_dense_fastpath_rejects_duplicates(tmp_path):
+    from wdbx_tpu.store.rawstore import RawStore
+
+    rs = RawStore(str(tmp_path), num_shards=1, dim=4,
+                  dtype="int8", backend="mmap")
+    rows = np.arange(32, dtype=np.float32).reshape(8, 4) + 1
+    rs.write(0, np.arange(8), rows)
+    q, s, have = rs.read_native(0, np.asarray([5, 5, 7]))
+    assert have.all()
+    got = q.astype(np.float32) * s[:, None]
+    np.testing.assert_allclose(got[0], got[1], atol=1e-6)
+    np.testing.assert_allclose(
+        got[2] / np.abs(got[2]).max(), rows[7] / np.abs(rows[7]).max(),
+        atol=0.02,
+    )

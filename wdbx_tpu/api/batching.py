@@ -87,18 +87,21 @@ class QueryBatcher:
         groups: dict[str, list[tuple[np.ndarray, dict, asyncio.Future]]] = {}
         for group, query, params, future in pending:
             groups.setdefault(group, []).append((query, params, future))
+        pipelined = hasattr(self.store, "search_batch_submit")
+        # Pipelined store path (VERDICT r4 ask #4): submit EVERY group's
+        # device work first, resolve after — submit returns once the
+        # dispatch is in flight, so group B's device work overlaps group
+        # A's transfer+merge (resolving each group right after its own
+        # submit drained the device between groups), and the next
+        # flush's dispatch overlaps this one's resolves.
+        staged: list[tuple[list, Any, Exception | None]] = []
         for members in groups.values():
             queries = np.stack([q for q, _, _ in members])
             params = members[0][1]
             self.stats["batches"] += 1
             self.stats["batched_queries"] += len(members)
             try:
-                if hasattr(self.store, "search_batch_submit"):
-                    # Pipelined store path (VERDICT r4 ask #4): submit
-                    # dispatches device work and returns immediately, so
-                    # the next flush's dispatch goes out while this
-                    # one's transfer+merge run in resolve — the device
-                    # never drains between batches.
+                if pipelined:
                     handle = await asyncio.to_thread(
                         self.store.search_batch_submit,
                         queries,
@@ -106,21 +109,33 @@ class QueryBatcher:
                         params["threshold"],
                         params["filter_metadata"],
                     )
-                    results = await asyncio.to_thread(
-                        self.store.search_batch_resolve, handle
-                    )
                 else:
-                    results = await asyncio.to_thread(
+                    handle = await asyncio.to_thread(
                         self.store.search_batch,
                         queries,
                         params["limit"],
                         params["threshold"],
                         params["filter_metadata"],
                     )
-            except Exception as e:  # resolve every waiter with the error
+                staged.append((members, handle, None))
+            except Exception as e:
+                staged.append((members, None, e))
+        for members, handle, err in staged:
+            results = None
+            if err is None:
+                try:
+                    results = (
+                        await asyncio.to_thread(
+                            self.store.search_batch_resolve, handle
+                        )
+                        if pipelined else handle
+                    )
+                except Exception as e:
+                    err = e
+            if err is not None:  # resolve every waiter with the error
                 for _, _, future in members:
                     if not future.done():
-                        future.set_exception(e)
+                        future.set_exception(err)
                 continue
             for (_, _, future), hits in zip(members, results):
                 if not future.done():

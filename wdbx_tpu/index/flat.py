@@ -208,6 +208,11 @@ class FlatIndex(VectorIndex):
         self._dtype = _DTYPES[dtype]
         self._precision = "highest" if dtype == "float32" else "default"
         self._cap = self._round_cap(capacity)
+        #: the configured INDEX_CAPACITY floor: load() must not shrink
+        #: below it, or a resumed bulk ingest re-enters the incremental
+        #: copy-grows the presize exists to avoid (HBM holds old+new
+        #: slabs during a grow)
+        self._declared_cap = self._cap
         self._scales = None  # (cap,) f32 per-row scales; int8 slabs only
         self._alloc(self._cap)
         self._size = 0
@@ -740,7 +745,13 @@ class FlatIndex(VectorIndex):
             return False
         data = np.load(path + ".npz")
         hwm = int(meta["next_slot"])
-        self._cap = self._round_cap(max(hwm, 1024))
+        self._cap = self._round_cap(
+            max(hwm, 1024, getattr(self, "_declared_cap", 0))
+        )
+        # drop the constructor-presized slab BEFORE allocating the
+        # loaded one — holding both transiently doubles HBM at exactly
+        # the scales INDEX_CAPACITY exists for
+        self._slab = self._valid = self._scales = None
         valid = np.asarray(data["valid"], bool)
         if meta.get("slab_external"):
             # slab omitted from the checkpoint: zero-fill ON DEVICE and
@@ -787,8 +798,10 @@ class FlatIndex(VectorIndex):
         # read this instead of round-tripping the device array (the
         # device->host gather is pathologically slow on tunneled chips)
         self._loaded_valid_np = valid_np[:hwm].copy()
-        if meta.get("slab_external"):
-            self._slab_restore_pending = True
+        # unconditional: a stale pending flag from an earlier FAILED
+        # slab-external load must not leak into this (possibly
+        # full-slab) checkpoint and trigger a bogus restore
+        self._slab_restore_pending = bool(meta.get("slab_external"))
         return True
 
     def _slots_for_positions(self, positions: np.ndarray) -> np.ndarray:

@@ -1181,8 +1181,19 @@ class ShardedClusteredIndex(ClusteredSlotMixin, IVFIndex, ShardedFlatIndex):
             hwm = min(len(data["slot_of"]), self._cap)
             slot_of = np.asarray(data["slot_of"], np.int32)[:hwm]
             # drop labels on DEAD rows (stale moved-from labels in
-            # pre-r4 checkpoints — see ClusteredIVFIndex.load)
-            live = self._host_replicated(self._valid).T.reshape(-1)[:hwm]
+            # pre-r4 checkpoints — see ClusteredIVFIndex.load).
+            # _loaded_valid_np is the slot-ordered host snapshot the
+            # base loader kept from the npz — same layout .T.reshape
+            # recovers from the round-robin striping, without the
+            # device round-trip (~0.2 MB/s D2H on tunneled chips, plus
+            # an all-gather under multi-controller)
+            live = getattr(self, "_loaded_valid_np", None)
+            if live is None or len(live) < hwm:
+                live = self._host_replicated(
+                    self._valid
+                ).T.reshape(-1)[:hwm]
+            else:
+                live = live[:hwm]
             slot_of = np.where(live, slot_of, -1)
             self._slot_of[:hwm] = slot_of
             keep = slot_of >= 0

@@ -70,15 +70,19 @@ def fsync_dir(path: str) -> None:
         os.close(fd)
 
 
-def atomic_write_json(path: str, obj: Any) -> None:
-    """tmp-file + fsync + ``os.replace`` + parent-dir fsync."""
+def atomic_write_json(path: str, obj: Any, fsync: bool = True) -> None:
+    """tmp-file + fsync + ``os.replace`` + parent-dir fsync.
+    ``fsync=False`` keeps the atomic replace but skips the forced
+    flushes (benchmark mode — see CheckpointRoot)."""
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(obj, f)
         f.flush()
-        os.fsync(f.fileno())
+        if fsync:
+            os.fsync(f.fileno())
     os.replace(tmp, path)
-    fsync_dir(os.path.dirname(path) or ".")
+    if fsync:
+        fsync_dir(os.path.dirname(path) or ".")
 
 
 class CheckpointRoot:
@@ -134,7 +138,10 @@ class CheckpointRoot:
                 "CURRENT generation %d is damaged; scanning for the "
                 "newest complete generation", gen,
             )
-        except (OSError, ValueError, KeyError):
+        except (OSError, ValueError, KeyError, TypeError):
+            # TypeError: valid JSON of the wrong shape (e.g. a list, or
+            # {"generation": null}) — out-of-band damage must fall back
+            # to the newest complete generation, not crash startup
             pass
         gens = self.complete_generations()
         if gens:
@@ -164,7 +171,8 @@ class CheckpointRoot:
         with open(man, "w") as f:
             json.dump({"generation": gen, "files": sorted(files)}, f)
             f.flush()
-            os.fsync(f.fileno())
+            if self.fsync:
+                os.fsync(f.fileno())
         if self.fsync:
             for dirpath, _d, _f in os.walk(stage):
                 fsync_dir(dirpath)
@@ -177,7 +185,8 @@ class CheckpointRoot:
             fsync_dir(self.root)
         _hook("post_rename")
         atomic_write_json(
-            os.path.join(self.root, "CURRENT.json"), {"generation": gen}
+            os.path.join(self.root, "CURRENT.json"), {"generation": gen},
+            fsync=self.fsync,
         )
         _hook("post_current")
         self._gc(keep=gen)

@@ -331,7 +331,13 @@ class RawStore:
             return q, s, np.zeros(n, bool)
         cap = min(rows_v.shape[0], len(ok_v), len(sc_v))
         s0, s1 = int(slots[0]), int(slots[-1])
-        if s1 - s0 + 1 == n and 0 <= s0 and s1 < cap:
+        # strictly-consecutive check: the span test alone misreads a
+        # sorted array WITH DUPLICATES (e.g. [5,5,7] spans 3) as dense
+        # and would return neighbouring rows under the wrong slots
+        if (
+            s1 - s0 + 1 == n and 0 <= s0 and s1 < cap
+            and (n == 1 or bool((np.diff(slots) == 1).all()))
+        ):
             # dense ascending range (the slot-sorted restore's common
             # case). For the mmap backend, pread INTO the caller's
             # reused scratch instead of slicing the memmap: a memmap

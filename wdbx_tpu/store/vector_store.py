@@ -110,6 +110,11 @@ class VectorStore:
         # slot->id object tables and pre-filter mask cache.
         self._slot_ids_cache: list[np.ndarray | None] = []
         self._mask_cache: dict[tuple[str, int], np.ndarray] = {}
+        #: shards whose recover() replaced live state and then FAILED:
+        #: save() refuses to overwrite the last complete checkpoint
+        #: generation while any shard is in this state (a successful
+        #: recover() or an explicit clear() lifts it)
+        self._poisoned: set[int] = set()
 
         index_type = config.get("INDEX_TYPE", "flat")
         persist_backend = str(config.get("PERSIST_BACKEND", "npz"))
@@ -160,6 +165,15 @@ class VectorStore:
     def _after_mutation(self, count: int = 1) -> None:
         self._invalidate_snapshots()
         self._mutations_since_save += count
+        if self._poisoned:
+            # autosave must not turn a failed recovery into a raised
+            # exception inside an unrelated mutation call — skip (and
+            # keep counting) until the shard is repaired or cleared
+            logger.warning(
+                "autosave skipped: shards %s in failed-recovery state",
+                sorted(self._poisoned),
+            )
+            return
         if self.save_immediately:
             self.save()
         elif (
@@ -848,6 +862,7 @@ class VectorStore:
             self.registries = [_native.SlotRegistry() for _ in self.indices]
             self.meta.clear()
             self.raws.clear()
+            self._poisoned.clear()  # explicit wipe: empty is the truth
             self._invalidate_snapshots()
             self.save()
         return n
@@ -1088,11 +1103,16 @@ class VectorStore:
         generations become visible only after their manifest + rename +
         CURRENT commit; heal() therefore always restores a consistent
         index+registry pair, at worst one save older). Returns
-        False when no usable checkpoint exists — in-memory state is left
-        UNTOUCHED unless ``clear_on_failure`` is set (a flapping health
-        check must never wipe live rows that were simply not yet saved;
+        False when no usable checkpoint exists — in-memory state is
+        left UNTOUCHED when the failure precedes any state replacement,
+        unless ``clear_on_failure`` is set (a flapping health check
+        must never wipe live rows that were simply not yet saved;
         clearing is only for callers that know the state is already
-        corrupt)."""
+        corrupt). If the checkpoint LOADED but a later step failed
+        (e.g. slab restore with missing raw rows), the live state is
+        already gone: the shard is cleared and poisoned — save()
+        refuses to commit until a later recover() succeeds or clear()
+        declares the empty state intentional."""
         with self._lock:
             index = self.indices[shard]
             # re-resolve the newest complete generation: heal() may run
@@ -1100,8 +1120,10 @@ class VectorStore:
             cur = self._ckpt.current()
             if cur is not None:
                 self._ckpt_gen, self._ckpt_dir = cur
+            loaded = False
             try:
                 if index.load(self._index_load_path(shard)):
+                    loaded = True  # live state replaced by checkpoint
                     self._maybe_restore_slab(shard, index)
                     ids, slots = self._load_ids(
                         self._index_load_path(shard)
@@ -1109,13 +1131,22 @@ class VectorStore:
                     reg = _native.SlotRegistry()
                     reg.put(ids, slots)
                     self.registries[shard] = reg
+                    self._poisoned.discard(shard)
                     self._invalidate_snapshots()
                     return True
             except (ValueError, OSError, KeyError) as e:
                 logger.warning("recover(%d) failed: %s", shard, e)
-            if clear_on_failure:
+            if loaded or clear_on_failure:
+                # past index.load() the live state is GONE — a failure
+                # after that (e.g. slab restore with missing raw rows)
+                # must not leave the checkpoint/old-registry hybrid
+                # serving garbage. Clear the shard and POISON it:
+                # save() refuses to commit a generation over the last
+                # complete one until a later recover()/load succeeds.
                 index.clear()
                 self.registries[shard] = _native.SlotRegistry()
+                if loaded:
+                    self._poisoned.add(shard)
                 self._invalidate_snapshots()
             return False
 
@@ -1173,6 +1204,15 @@ class VectorStore:
 
     def save(self) -> None:
         with self._lock:
+            if self._poisoned:
+                raise RuntimeError(
+                    f"shards {sorted(self._poisoned)} are in a failed-"
+                    "recovery state (checkpoint loaded but its slab "
+                    "restore failed); refusing to commit a checkpoint "
+                    "generation over the last complete one. Repair the "
+                    "raw store and recover() again, or clear() to "
+                    "discard."
+                )
             gen = self._ckpt_gen + 1
             stage = self._ckpt.stage(gen)
             meta_dir = os.path.join(stage, "metadata")
@@ -1355,12 +1395,20 @@ class VectorStore:
                 logger.warning("failed to load shard %d: %s", shard, e)
                 index.clear()
                 self.registries[shard] = _native.SlotRegistry()
+                if self._ckpt_dir is not None:
+                    # a complete generation EXISTS but could not be
+                    # served (e.g. raw store lost rows under a slab-
+                    # external checkpoint): start empty, but protect
+                    # the generation from being GC'd by a later save
+                    self._poisoned.add(shard)
             except (OSError, KeyError) as e:
                 # Corrupt index state → fresh index, matching the
                 # reference's fallback (reference wdbx/core/indexing.py:309-315).
                 logger.warning("failed to load shard %d: %s", shard, e)
                 index.clear()
                 self.registries[shard] = _native.SlotRegistry()
+                if self._ckpt_dir is not None:
+                    self._poisoned.add(shard)
 
         def resolve(vid: str):
             shard = self._shard_for(vid)
