@@ -416,9 +416,7 @@ class FlatIndex(VectorIndex):
                 self._slab, self._valid, self._scales, self._cap,
             )
             if slot_mask is not None:
-                mask = np.zeros(cap, bool)
-                mask[: len(slot_mask)] = slot_mask[:cap]
-                valid = jnp.logical_and(valid, jnp.asarray(mask))
+                valid = self._masked_valid_dev(valid, slot_mask, cap)
             method = self._resolve_topk()
             if self._is_int4 and method != "fused":
                 # exact/XLA fallback: unpack to int8 codes on device
@@ -539,6 +537,33 @@ class FlatIndex(VectorIndex):
         slots = np.asarray(idx, np.int64)
         slots[scores == -np.inf] = -1
         return scores, slots
+
+    def _masked_valid_dev(self, valid, mask_np, cap):
+        """Cached device AND of ``valid`` with a host filter mask.
+        Filtered serving calls this with the STORE'S cached mask object
+        every search — without the cache each call re-uploads the full
+        bitmap (10 MB at 10M rows ≈ 100 ms on the tunneled chip) and
+        re-runs the AND. Keyed by object identity of (mask, valid):
+        every mutation replaces the ``_valid`` device array, so a state
+        change invalidates naturally, and the cache holds refs to both
+        keys so their ids cannot be recycled while cached. Bounded to a
+        few live filters (each entry pins ~2 bitmap-sized device
+        buffers)."""
+        cache = getattr(self, "_maskdev_cache", None)
+        if cache is None:
+            cache = self._maskdev_cache = {}
+        key = (id(mask_np), id(valid))
+        hit = cache.get(key)
+        if hit is not None:
+            return hit[2]
+        full = np.zeros(cap, bool)
+        n = min(len(mask_np), cap)
+        full[:n] = mask_np[:n]
+        dev = jnp.logical_and(valid, jnp.asarray(full))
+        while len(cache) >= 4:
+            cache.pop(next(iter(cache)))
+        cache[key] = (mask_np, valid, dev)
+        return dev
 
     def _mask_selectivity(self, slot_mask) -> float:
         """Fraction of LIVE rows a filter mask passes. Counts only bits
