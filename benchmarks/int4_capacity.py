@@ -256,10 +256,14 @@ def main() -> None:
             norms = meta["norms"]
             exact_big = meta["exact_big"]
             q = meta["q"]
-            raw_rows = np.memmap(
-                os.path.join(ckpt, "raw.bin"), np.int8, "r",
-                shape=tuple(meta["raw_shape"]),
-            )
+            # load INTO RAM: serving re-ranks gather ~B*k' random rows
+            # per batch — through a cold memmap that is disk-seek-bound
+            # (and fault-around maps GBs of folios), which understates
+            # the serving numbers vs the RawStore ram backend the fresh
+            # path uses. 15.4 GB at disk sequential speed ≈ 2.5 min.
+            raw_rows = np.fromfile(
+                os.path.join(ckpt, "raw.bin"), np.int8
+            ).reshape(tuple(meta["raw_shape"]))
             raw = raw_dir = None
             print(json.dumps({
                 "stage": "flagship_rawfill", "loaded_from": ckpt,

@@ -121,6 +121,11 @@ def _apply_kernel_knobs(idx: Any, config: Any) -> None:
     # bucket-matched reuse of deleted clustered-region rows (bounds
     # capacity growth under delete/update churn between rebuilds)
     idx.recycle_holes = bool(config.get("IVF_RECYCLE_HOLES", True))
+    # deepest k the Pallas scan serves before falling to the lax path
+    # (VMEM-bounded; see ClusteredIVFIndex.KERNEL_K_MAX)
+    km = int(config.get("KERNEL_K_MAX", 0))
+    if km > 0:
+        idx.KERNEL_K_MAX = km
 
 
 def create_index(kind: str, dim: int, config: Any = None) -> "VectorIndex":

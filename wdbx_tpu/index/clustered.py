@@ -833,10 +833,14 @@ class ClusteredSlotMixin:
             return kv
         return "v2"
 
-    #: deep over-fetch (store re-rank at k' = k * fetch_factor) must
-    #: take the lax path: the kernel's k-pass fold scales its scoped
-    #: VMEM with k (measured: k=200 needs 164 MB > the 128 MB cap)
-    KERNEL_K_MAX = 64
+    #: deepest k the Pallas scan serves; beyond it the lax path takes
+    #: over. The kernel's k-pass fold scales its scoped VMEM with k
+    #: (measured: k=200 needs 164 MB > the 128 MB cap; k=128 fits).
+    #: r5 raised 64 -> 128 after the 20M int4 sweep showed the
+    #: 0.961-recall op point (k'=100) paying the 10-75x-slower lax
+    #: fallback; kernel-vs-lax candidate sets agree exactly at k=100
+    #: and the kernel compiles clean. KERNEL_K_MAX in config overrides.
+    KERNEL_K_MAX = 128
 
     def _use_kernel(self, k: int = 1) -> bool:
         """Pallas block-scan kernel vs the portable lax scan. 'auto'
