@@ -438,9 +438,16 @@ def main() -> None:
             for mode, kk in [("raw", k)] + [
                 ("rerank", k * f) for f in serve_factors
             ]:
-                idx.resolve_pipelined(
+                warm = idx.resolve_pipelined(
                     idx.search_pipelined(qstack, kk, materialize=False)
                 )
+                if mode == "rerank":
+                    # warm the host re-rank arenas at THIS kk: numpy's
+                    # per-call f32 temporaries ((16,64,kk,768) across
+                    # the stacks) first-touch at ~15 MB/s on this host,
+                    # which billed the first timed leg ~2-4x slow
+                    for nb in range(warm[1].shape[0]):
+                        rerank(np.asarray(warm[1][nb]), qhost_n[nb])
                 t0 = time.perf_counter()
                 hs = [
                     idx.search_pipelined(qstack, kk, materialize=False)
